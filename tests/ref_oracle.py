@@ -42,6 +42,10 @@ def _build() -> str:
     parts = [PRELUDE]
     for fn in gen_lifting.DCT_FUNCS:
         parts.append(gen_lifting.extract_function(dct_text, fn))
+    for n in (4, 8, 16, 32, 64):
+        for kind in ("fdct", "idct"):
+            parts.append(gen_lifting.extract_function(
+                dct_text, "od_bin_%s%dx%d" % (kind, n, n)))
     for fn in gen_lifting.FILTER_FUNCS:
         parts.append(gen_lifting.extract_function(filt_text, fn))
     with open(src_path, "w") as f:
@@ -85,6 +89,33 @@ def ref_idct(n: int, y: np.ndarray) -> np.ndarray:
     for i in range(flat_in.shape[0]):
         fn(flat_out[i].ctypes.data_as(ctypes.c_void_p), 1,
            flat_in[i].ctypes.data_as(ctypes.c_void_p))
+    return out
+
+
+def ref_fdct2d(n: int, x: np.ndarray) -> np.ndarray:
+    """Reference 2-D forward DCT on a batch of blocks (..., n, n)."""
+    lib = get_lib()
+    fn = getattr(lib, "od_bin_fdct%dx%d" % (n, n))
+    x = np.ascontiguousarray(x, np.int32)
+    out = np.empty_like(x)
+    fi = x.reshape(-1, n, n)
+    fo = out.reshape(-1, n, n)
+    for i in range(fi.shape[0]):
+        fn(fo[i].ctypes.data_as(ctypes.c_void_p), n,
+           fi[i].ctypes.data_as(ctypes.c_void_p), n)
+    return out
+
+
+def ref_idct2d(n: int, y: np.ndarray) -> np.ndarray:
+    lib = get_lib()
+    fn = getattr(lib, "od_bin_idct%dx%d" % (n, n))
+    y = np.ascontiguousarray(y, np.int32)
+    out = np.empty_like(y)
+    fi = y.reshape(-1, n, n)
+    fo = out.reshape(-1, n, n)
+    for i in range(fi.shape[0]):
+        fn(fo[i].ctypes.data_as(ctypes.c_void_p), n,
+           fi[i].ctypes.data_as(ctypes.c_void_p), n)
     return out
 
 

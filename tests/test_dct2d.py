@@ -1,0 +1,78 @@
+"""2-D DCT and scan-order tests (vs reference C oracle where available)."""
+
+import numpy as np
+import pytest
+
+from daala_tpu.ops import dct, partition
+
+try:
+    import ref_oracle
+    ref_oracle.get_lib()
+    HAVE_ORACLE = True
+except Exception:
+    HAVE_ORACLE = False
+
+SIZES = (4, 8, 16, 32, 64)
+
+
+def rand_blocks(n, rng, count=64, scale=1 << 12):
+    return np.asarray(rng.integers(-scale, scale, size=(count, n, n)),
+                      np.int32)
+
+
+@pytest.mark.parametrize("n", SIZES)
+def test_fdct2d_roundtrip(n):
+    rng = np.random.default_rng(n)
+    x = rand_blocks(n, rng)
+    y = dct.fdct2d(x)
+    np.testing.assert_array_equal(dct.idct2d(y), x)
+
+
+@pytest.mark.skipif(not HAVE_ORACLE, reason="reference oracle unavailable")
+@pytest.mark.parametrize("n", SIZES)
+def test_fdct2d_matches_reference(n):
+    rng = np.random.default_rng(1000 + n)
+    x = rand_blocks(n, rng, count=16)
+    np.testing.assert_array_equal(dct.fdct2d(x), ref_oracle.ref_fdct2d(n, x))
+    y = ref_oracle.ref_fdct2d(n, x)
+    np.testing.assert_array_equal(dct.idct2d(y), ref_oracle.ref_idct2d(n, y))
+
+
+def test_fdct2d_jax_matches_numpy():
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.default_rng(7)
+    x = rand_blocks(8, rng)
+    want = dct.fdct2d(x)
+    got = jax.jit(dct.fdct2d)(jnp.asarray(x))
+    np.testing.assert_array_equal(np.asarray(got), want)
+
+
+@pytest.mark.parametrize("n", SIZES)
+def test_scan_order_roundtrip(n):
+    rng = np.random.default_rng(n)
+    x = rand_blocks(n, rng, count=8)
+    v = partition.raster_to_coding(x)
+    assert v.shape == (8, n * n)
+    np.testing.assert_array_equal(partition.coding_to_raster(v), x)
+    # The permutation must be a bijection.
+    perm = partition.coding_order_indices(n)
+    assert sorted(perm.tolist()) == list(range(n * n))
+
+
+@pytest.mark.parametrize("n", SIZES)
+def test_band_offsets(n):
+    offs = partition.band_offsets(n)
+    assert offs[0] == 1
+    # 32x32 and 64x64 both stop their band structure at 512 coefficients
+    # (reference: src/partition.c:79-83).
+    expect_last = {4: 16, 8: 64, 16: 256, 32: 1024, 64: 1024}[n] // 2
+    if n == 4:
+        expect_last = 16
+    elif n == 8:
+        expect_last = 64
+    elif n == 16:
+        expect_last = 256
+    else:
+        expect_last = 512
+    assert offs[-1] == expect_last
