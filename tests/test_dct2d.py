@@ -53,11 +53,18 @@ def test_scan_order_roundtrip(n):
     rng = np.random.default_rng(n)
     x = rand_blocks(n, rng, count=8)
     v = partition.raster_to_coding(x)
-    assert v.shape == (8, n * n)
-    np.testing.assert_array_equal(partition.coding_to_raster(v), x)
-    # The permutation must be a bijection.
+    slen = partition.scan_length(n)
+    assert v.shape == (8, slen)
+    assert slen == {4: 16, 8: 64, 16: 256, 32: 512, 64: 512}[n]
+    back = partition.coding_to_raster(v, n, base=x)
+    np.testing.assert_array_equal(back, x)
+    # Scanned positions must be unique; with base=None the unscanned tail
+    # is zeroed.
     perm = partition.coding_order_indices(n)
-    assert sorted(perm.tolist()) == list(range(n * n))
+    assert len(set(perm.tolist())) == slen
+    z = partition.coding_to_raster(v, n)
+    np.testing.assert_array_equal(z.reshape(8, -1)[:, perm],
+                                  x.reshape(8, -1)[:, perm])
 
 
 @pytest.mark.parametrize("n", SIZES)
