@@ -1,0 +1,355 @@
+"""Daala-compatible decoder (intra tools; inter coming online next).
+
+Frame parse mirrors daala_decode_packet_in (reference: src/decode.c:1113-
+1249) and od_decode_coefficients (:921-1111).  The per-symbol entropy
+decode is host-side and sequential (it must be); the reconstruction math
+(inverse transforms, filters) runs on whole-frame tensors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from daala_tpu.codec import headers, quantizer
+from daala_tpu.codec import pvq_codec as PC
+from daala_tpu.codec.state import (CodecState, OD_DC_QM, OD_QM_SIZE,
+                                   coeff_to_ref_plane)
+from daala_tpu.entropy import ec as ec_mod
+from daala_tpu.entropy.adapt import decode_cdf_adapt
+from daala_tpu.ops import dct, filter as filt, intra
+from daala_tpu.ops import partition as part
+from daala_tpu.ops import pvq as P
+from daala_tpu.ops.haar import haar_kernel
+
+OD_NBSIZES = 5
+OD_MAX_REORDER = 16
+OD_MAX_CODED_REFS = 2
+BETA_TABLES = {
+    # OD_PVQ_BETA[use_masking][pli][bs] flattened: betas per band
+    # (reference: src/pvq.c:206-268).
+}
+
+
+def pvq_beta(use_masking, pli, bs):
+    nb = [1, 4, 7, 10, 13][bs]
+    if use_masking and pli == 0 and bs > 0:
+        return [P.BETA_1_5] * nb
+    return [P.BETA_1] * nb
+
+
+class Decoder:
+    def __init__(self, info: headers.Info):
+        self.info = info
+        self.state = CodecState(info)
+        self.frames = []
+
+    # -- keyframe DC (reference: src/decode.c:605-654) ----------------------
+
+    def _decode_haar_dc_sb(self, dec, pli, sbx, sby, xdec, has_ur, d):
+        st = self.state
+        if st.quantizer == 0:
+            dc_quant = 1
+        else:
+            dc_quant = max(1, st.quantizer *
+                           st.pvq_qm_q4[pli][P.qm_get_index(OD_NBSIZES - 1,
+                                                            0)] >> 4)
+        nhsb = st.nhsb
+        sb_dc_mem = st.sb_dc_mem[pli]
+        ln = 6 - xdec
+        if sby > 0 and sbx > 0:
+            if has_ur:
+                sb_dc_pred = (22 * sb_dc_mem[sby * nhsb + sbx - 1]
+                              - 9 * sb_dc_mem[(sby - 1) * nhsb + sbx - 1]
+                              + 15 * sb_dc_mem[(sby - 1) * nhsb + sbx]
+                              + 4 * sb_dc_mem[(sby - 1) * nhsb + sbx + 1]
+                              + 16) >> 5
+            else:
+                sb_dc_pred = (23 * sb_dc_mem[sby * nhsb + sbx - 1]
+                              - 10 * sb_dc_mem[(sby - 1) * nhsb + sbx - 1]
+                              + 19 * sb_dc_mem[(sby - 1) * nhsb + sbx]
+                              + 16) >> 5
+        elif sby > 0:
+            sb_dc_pred = sb_dc_mem[(sby - 1) * nhsb + sbx]
+        elif sbx > 0:
+            sb_dc_pred = sb_dc_mem[sby * nhsb + sbx - 1]
+        else:
+            sb_dc_pred = 0
+        adapt = st.adapt
+        q, adapt.ex_sb_dc[pli] = adapt.model_dc[pli].decode(
+            dec, -1, adapt.ex_sb_dc[pli], 2)
+        if q and dec.decode_bits(1):
+            q = -q
+        sb_dc_curr = q * dc_quant + int(sb_dc_pred)
+        d[sby << ln, sbx << ln] = sb_dc_curr
+        sb_dc_mem[sby * nhsb + sbx] = sb_dc_curr
+        vgrad = hgrad = 0
+        if sby > 0:
+            vgrad = int(sb_dc_mem[(sby - 1) * nhsb + sbx]) - sb_dc_curr
+        if sbx > 0:
+            hgrad = int(sb_dc_mem[sby * nhsb + sbx - 1]) - sb_dc_curr
+        return hgrad, vgrad
+
+    def _decode_haar_dc_level(self, dec, pli, bx, by, bsi, xdec, hgrad,
+                              vgrad, d):
+        """Reference: src/decode.c:656-714.  bx/by in units of level-bsi
+        blocks (doubled by caller)."""
+        st = self.state
+        if st.quantizer == 0:
+            dc_quant = 1
+            ac_quant = [1, 1]
+        else:
+            dc_quant = max(1, st.quantizer *
+                           st.pvq_qm_q4[pli][P.qm_get_index(OD_NBSIZES - 1,
+                                                            0)] >> 4)
+            ac_quant = [(dc_quant * OD_DC_QM[bsi - xdec][0] + 8) >> 4,
+                        (dc_quant * OD_DC_QM[bsi - xdec][1] + 8) >> 4]
+        ln = bsi - xdec + 2
+        adapt = st.adapt
+        x = [int(d[by << ln, bx << ln]), 0, 0, 0]
+        for i in range(1, 4):
+            exl = adapt.ex_dc[pli][bsi]
+            q, exl[i - 1] = adapt.model_dc[pli].decode(dec, -1, exl[i - 1], 2)
+            if q and dec.decode_bits(1):
+                q = -q
+            x[i] = q * ac_quant[1 if i == 3 else 0]
+        x[1] += hgrad // 5 if hgrad >= 0 else -((-hgrad) // 5)
+        x[2] += vgrad // 5 if vgrad >= 0 else -((-vgrad) // 5)
+        hgrad = x[1]
+        vgrad = x[2]
+        x0, x1, x2, x3 = haar_kernel(x[0], x[1], x[2], x[3])
+        d[by << ln, bx << ln] = x0
+        d[by << ln, (bx + 1) << ln] = x1
+        d[(by + 1) << ln, bx << ln] = x2
+        d[(by + 1) << ln, (bx + 1) << ln] = x3
+        return hgrad, vgrad
+
+    # -- block decode (reference: src/decode.c:482-599) ---------------------
+
+    def _block_decode(self, dec, ctx, bs, pli, bx, by, skip):
+        st = self.state
+        n = 1 << (bs + 2)
+        # Convert to 4x4-block coordinates (reference: src/decode.c:504-505).
+        bx <<= bs
+        by <<= bs
+        xdec = self.info.plane_dec[pli][0]
+        w = st.frame_width >> xdec
+        c = ctx["c"]
+        d = ctx["d"][pli]
+        y0, x0 = by << 2, bx << 2
+        is_keyframe = ctx["is_keyframe"]
+        # Prediction.
+        pred = np.zeros((n, n), np.int32)
+        if is_keyframe:
+            if pli == 0:
+                predr = np.zeros(n * n, np.int32)
+                intra.hv_intra_pred(predr, d.reshape(-1), w, bx, by,
+                                    st.bsize4, bs)
+                pred = predr.reshape(n, n)
+            else:
+                pred = ctx["l"][:n, :n]
+        else:
+            raise NotImplementedError("inter frames")
+        predt = part.raster_to_coding(pred[None])[0].astype(np.int64)
+        quant = max(1, st.quantizer)
+        lossless = st.quantizer == 0
+        if lossless:
+            dc_quant = 1
+        else:
+            dc_quant = max(1, quant *
+                           st.pvq_qm_q4[pli][P.qm_get_index(bs, 0)] >> 4)
+        nodesync = 1
+        off = P.qm_offset(bs, xdec)
+        slen = part.scan_length(n)
+        out = np.zeros(slen, np.int64)
+        beta = pvq_beta(ctx["use_activity_masking"], pli, bs)
+        PC.pvq_decode_block(dec, st.adapt, predt, out, quant, pli, bs, beta,
+                            nodesync, is_keyframe, skip,
+                            st.qm[off:off + slen],
+                            st.qm_inv[off:off + slen], st.pvq_qm_q4[pli])
+        if not is_keyframe:
+            raise NotImplementedError("inter DC")
+        else:
+            out[0] = d[y0, x0]
+        # Scatter back to raster; unscanned coeffs are zero on keyframes
+        # (od_init_skipped_coeffs).
+        base = np.zeros((n, n), np.int32)
+        blk = part.coding_to_raster(out[None].astype(np.int32), n,
+                                    base=base[None])[0]
+        d[y0:y0 + n, x0:x0 + n] = blk
+        c[y0:y0 + n, x0:x0 + n] = dct.idct2d(blk[None])[0]
+
+    # -- recursive parse (reference: src/decode.c:726-826) ------------------
+
+    def _decode_recursive(self, dec, ctx, pli, bx, by, bsi, xdec, hgrad,
+                          vgrad):
+        st = self.state
+        obs = st.bsize4(bx << bsi, by << bsi)
+        w = st.frame_width >> xdec
+        skip = 0
+        if pli == 0:
+            skip = decode_cdf_adapt(
+                dec, st.adapt.skip_cdf[2 * bsi], 4 + (1 if bsi > 0 else 0),
+                st.adapt.skip_increment)
+            obs = bsi if skip < 4 else -1
+        bs = max(obs, xdec)
+        assert bs <= bsi
+        if bs == bsi:
+            bs -= xdec
+            if pli == 0:
+                st.set_bsize4_region(bx << bsi, by << bsi, 1 << bsi, bsi)
+            if ctx["l"] is not None:
+                assert pli > 0
+                n = 1 << (bs + 2)
+                dl = ctx["d"][0]
+                ly = by << (2 + bsi)
+                lx = bx << (2 + bsi)
+                src = dl[ly:ly + 2 * n + 2, lx:lx + 2 * n + 2]
+                ctx["l"] = intra.resample_luma_coeffs(
+                    src, xdec, self.info.plane_dec[pli][1], bs, obs, n)
+            if pli > 0:
+                skip = decode_cdf_adapt(
+                    dec, st.adapt.skip_cdf[2 * bsi + 1], 4,
+                    st.adapt.skip_increment)
+            self._block_decode(dec, ctx, bs, pli, bx, by, skip)
+            sk = self.state.bskip[pli]
+            val = 1 if (skip == 0 and not ctx["is_keyframe"]) else 0
+            sk[(by << bs):(by << bs) + (1 << bs),
+               (bx << bs):(bx << bs) + (1 << bs)] = val
+        else:
+            bs = bsi - xdec
+            f = 0  # OD_FILT_SIZE is constant 0
+            y0 = by << (2 + bs)
+            x0 = bx << (2 + bs)
+            hfilter = ((bx + 1) << (2 + bs)) <= self.info.pic_width
+            vfilter = ((by + 1) << (2 + bs)) <= self.info.pic_height
+            if not ctx["is_keyframe"]:
+                raise NotImplementedError("inter split prefilter")
+            if ctx["is_keyframe"]:
+                hgrad, vgrad = self._decode_haar_dc_level(
+                    dec, pli, 2 * bx, 2 * by, bsi - 1, xdec, hgrad, vgrad,
+                    ctx["d"][pli])
+            for sub in ((0, 0), (1, 0), (0, 1), (1, 1)):
+                self._decode_recursive(dec, ctx, pli, 2 * bx + sub[0],
+                                       2 * by + sub[1], bsi - 1, xdec,
+                                       hgrad, vgrad)
+            filt.postfilter_split(ctx["c"], y0, x0, bs, f, hfilter, vfilter)
+
+    # -- frame decode -------------------------------------------------------
+
+    def decode_packet(self, data: bytes):
+        st = self.state
+        info = self.info
+        dec = ec_mod.Decoder(data)
+        if dec.decode_bool_q15(16384):
+            raise ValueError("bad packet")
+        is_keyframe = dec.decode_bool_q15(16384)
+        if not is_keyframe:
+            raise NotImplementedError("inter frames")
+        num_refs = 0
+        frame_number = dec.decode_uint(OD_MAX_REORDER)
+        use_activity_masking = dec.decode_bool_q15(16384)
+        qm = dec.decode_bool_q15(16384)
+        st.update_qm(qm)
+        use_haar_wavelet = dec.decode_bool_q15(16384)
+        is_golden = dec.decode_bool_q15(16384)
+        if use_haar_wavelet:
+            raise NotImplementedError("haar wavelet mode")
+        if is_keyframe:
+            for pli in range(info.nplanes):
+                for i in range(OD_QM_SIZE):
+                    st.pvq_qm_q4[pli][i] = dec.decode_bits(8)
+        st.adapt.reset(is_keyframe)
+        # -- od_decode_coefficients ----------------------------------------
+        st.coded_quantizer = dec.decode_uint(quantizer.N_CODED_QUANTIZERS)
+        st.quantizer = quantizer.codedquantizer_to_quantizer(
+            st.coded_quantizer)
+        nplanes = info.nplanes
+        fw, fh = st.frame_width, st.frame_height
+        ctmp = [np.zeros((fh >> info.plane_dec[p][1],
+                          fw >> info.plane_dec[p][0]), np.int32)
+                for p in range(nplanes)]
+        dtmp = [np.zeros_like(ctmp[p]) for p in range(nplanes)]
+        ctx = {"is_keyframe": True, "use_activity_masking":
+               use_activity_masking, "d": dtmp, "l": None}
+        for sby in range(st.nvsb):
+            for sbx in range(st.nhsb):
+                for pli in range(nplanes):
+                    xdec = info.plane_dec[pli][0]
+                    ctx["c"] = ctmp[pli]
+                    ctx["l"] = (np.zeros((64, 64), np.int32) if pli > 0
+                                else None)
+                    hgrad = vgrad = 0
+                    if is_keyframe:
+                        hgrad, vgrad = self._decode_haar_dc_sb(
+                            dec, pli, sbx, sby, xdec,
+                            sby > 0 and sbx < st.nhsb - 1, dtmp[pli])
+                    self._decode_recursive(dec, ctx, pli, sbx, sby,
+                                           OD_NBSIZES - 1, xdec, hgrad,
+                                           vgrad)
+        for pli in range(nplanes):
+            xdec = info.plane_dec[pli][0]
+            filt.apply_postfilter_frame_sbs(ctmp[pli], st.nhsb, st.nvsb,
+                                            xdec, info.plane_dec[pli][1])
+        # Dering (reference: src/decode.c:1000-1092).
+        if st.quantizer != 0:
+            self._decode_dering(dec, ctmp, is_keyframe)
+        # Output conversion.
+        planes = []
+        for pli in range(nplanes):
+            xdec = info.plane_dec[pli][0]
+            ydec = info.plane_dec[pli][1]
+            full = coeff_to_ref_plane(ctmp[pli], st.quantizer == 0)
+            planes.append(full[:(info.pic_height + (1 << ydec) - 1) >> ydec,
+                               :(info.pic_width + (1 << xdec) - 1) >> xdec])
+        return [planes]
+
+    def _decode_dering(self, dec, ctmp, is_keyframe):
+        """Parse dering levels and apply the filter (reference:
+        src/decode.c:1000-1092)."""
+        from daala_tpu.ops import dering as dering_mod
+        st = self.state
+        info = self.info
+        nhdr = st.frame_width >> 6
+        nvdr = st.frame_height >> 6
+        nplanes = info.nplanes
+        base_threshold = float(st.quantizer) ** 0.84182
+        levels = np.zeros((nvdr, nhdr), np.int32)
+        # The dering input plane is int16 (reference: src/state.h:270 etmp).
+        etmp = [c.astype(np.int16) for c in ctmp]
+        for sby in range(nvdr):
+            for sbx in range(nhdr):
+                bsk = st.bskip[0][sby << 4:(sby + 1) << 4,
+                                  sbx << 4:(sbx + 1) << 4]
+                if np.all(bsk):
+                    levels[sby, sbx] = 0
+                    continue
+                if is_keyframe:
+                    left = up = 0
+                    if sby > 0:
+                        left = up = int(levels[sby - 1, sbx])
+                    if sbx > 0:
+                        left = int(levels[sby, sbx - 1])
+                        if sby == 0:
+                            up = left
+                    c = up + left
+                else:
+                    c = 0
+                level = decode_cdf_adapt(dec, st.adapt.dering_cdf[c], 6,
+                                         st.adapt.dering_increment)
+                levels[sby, sbx] = level
+                if level:
+                    dirs = None
+                    for pli in range(nplanes):
+                        xdec = info.plane_dec[pli][0]
+                        ydec = info.plane_dec[pli][1]
+                        ln = 6 - xdec
+                        n = 1 << ln
+                        threshold = int(
+                            dering_mod.OD_DERING_GAIN_TABLE[level]
+                            * base_threshold * (1 if pli == 0 else 0.6))
+                        out, dirs = dering_mod.od_dering(
+                            etmp[pli], sby, sbx, xdec, pli,
+                            st.bskip[pli], threshold, n, dirs=dirs)
+                        ctmp[pli][sby << ln:(sby << ln) + n,
+                                  sbx << ln:(sbx << ln) + n] = out
+        st.dering_level = levels

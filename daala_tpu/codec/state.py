@@ -1,0 +1,125 @@
+"""Shared codec state (reference: src/state.h, src/state.c).
+
+Holds the per-stream dimensions, quantization matrices, block size / skip
+maps, superblock DC memory, and the adaptation context.  Frame pixel
+buffers are 2-D int32 numpy arrays sized to the padded frame.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from daala_tpu.entropy.adapt import AdaptCtx
+from daala_tpu.ops import _tables as T
+from daala_tpu.ops import pvq as P
+from daala_tpu.ops.intrin import OD_COEFF_SHIFT
+
+OD_BSIZE_MAX = 64
+OD_NBSIZES = 5
+OD_BSIZE_GRID = 8
+OD_QM_SIZE = 30  # OD_NBSIZES*(OD_NBSIZES + 1) (reference: src/pvq.h:107)
+OD_FLAT_QM = 0
+OD_HVS_QM = 1
+
+# Scaling compensation for Haar DC (reference: src/state.c:44-62).
+OD_DC_QM = [[21, 25], [18, 20], [17, 18], [17, 17]]
+OD_HAAR_QM = [[16, 16, 16, 16, 24, 32], [16, 16, 16, 24, 32, 48]]
+
+
+class CodecState:
+    """Mirror of od_state for the parts the intra codec needs."""
+
+    def __init__(self, info):
+        self.info = info
+        self.frame_width = info.frame_width
+        self.frame_height = info.frame_height
+        self.nhsb = self.frame_width >> 6
+        self.nvsb = self.frame_height >> 6
+        self.quantizer = 0
+        self.coded_quantizer = 0
+        self.last_qm = -1
+        self.qm = None
+        self.qm_inv = None
+        self.pvq_qm_q4 = [[16] * OD_QM_SIZE for _ in range(4)]
+        self.adapt = AdaptCtx()
+        nplanes = info.nplanes
+        self.sb_dc_mem = [np.zeros(self.nhsb * self.nvsb, np.int32)
+                          for _ in range(nplanes)]
+        # bsize at 8x8 granularity with one superblock of padding each side
+        # (reference: src/state.h:241-258); padding reads as 64x64.
+        self.bstride = (self.nhsb + 2) * OD_BSIZE_GRID
+        self._bsize_full = np.full(
+            ((self.nvsb + 2) * OD_BSIZE_GRID, self.bstride), 4, np.uint8)
+        self.bsize = self._bsize_full[OD_BSIZE_GRID:, OD_BSIZE_GRID:]
+        # bskip at 4x4 granularity per plane.
+        self.bskip = []
+        self.skip_stride = self.frame_width >> 2
+        for pli in range(nplanes):
+            xd = info.plane_dec[pli][0]
+            self.bskip.append(np.zeros(
+                ((self.frame_height >> xd) >> 2,
+                 (self.frame_width >> xd) >> 2), np.uint8))
+        self.frame_type = 0
+        self.dering_level = np.zeros(
+            (self.frame_height >> 6) * (self.frame_width >> 6), np.uint8)
+
+    def bsize4(self, bx4, by4):
+        """OD_BLOCK_SIZE4x4 (reference: src/block_size.h:32-35)."""
+        return int(self.bsize[by4 >> 1, bx4 >> 1])
+
+    def set_bsize4_region(self, bx4, by4, n4, val):
+        """Set the (n4 x n4) 4x4-granular region starting at (bx4, by4)."""
+        self.bsize[by4 >> 1:(by4 + n4 + 1) >> 1,
+                   bx4 >> 1:(bx4 + n4 + 1) >> 1] = val
+
+    def init_superblock_split(self, bs):
+        self.bsize[:self.nvsb * OD_BSIZE_GRID,
+                   :self.nhsb * OD_BSIZE_GRID] = bs
+
+    def update_qm(self, qm_choice):
+        """od_init_qm on QM change (reference: src/decode.c:1155-1160)."""
+        if qm_choice != self.last_qm:
+            base = T.QM8_Q4_HVS if qm_choice == OD_HVS_QM else T.QM8_Q4_FLAT
+            self.qm, self.qm_inv = P.init_qm(base)
+            self.last_qm = qm_choice
+
+
+def ref_plane_to_coeff(plane_u8, lossless: bool) -> np.ndarray:
+    """od_ref_buf_to_coeff, 8-bit path (reference: src/state.c:1219-1240):
+    (x - 128) << OD_COEFF_SHIFT (or no shift when lossless)."""
+    shift = 0 if lossless else OD_COEFF_SHIFT
+    return ((plane_u8.astype(np.int32) - 128) * (1 << shift)).astype(np.int32)
+
+
+def coeff_to_ref_plane(coeffs, lossless: bool) -> np.ndarray:
+    """od_coeff_to_ref_buf, 8-bit path (reference: src/state.c:1283-1300)."""
+    shift = 0 if lossless else OD_COEFF_SHIFT
+    v = (coeffs + (1 << shift >> 1)) >> shift
+    return np.clip(v + 128, 0, 255).astype(np.uint8)
+
+
+def img_plane_copy_pad(src, plane_w, plane_h, pic_w, pic_h):
+    """od_img_plane_copy_pad low-pass padding extension (reference:
+    src/encode.c:752-838).  src: (pic_h, pic_w) uint8; returns
+    (plane_h, plane_w) uint8."""
+    dst = np.zeros((plane_h, plane_w), np.uint8)
+    dst[:pic_h, :pic_w] = src[:pic_h, :pic_w]
+    for x in range(pic_w, plane_w):
+        col_c = dst[:pic_h, x - 1].astype(np.int32)
+        col_u = np.empty_like(col_c)
+        col_u[0] = col_c[0]
+        col_u[1:] = dst[:pic_h - 1, x - 1]
+        col_d = np.empty_like(col_c)
+        col_d[-1] = col_c[-1]
+        col_d[:-1] = dst[1:pic_h, x - 1]
+        dst[:pic_h, x] = (2 * col_c + col_u + col_d + 2) >> 2
+    for y in range(pic_h, plane_h):
+        row_c = dst[y - 1, :plane_w].astype(np.int32)
+        row_l = np.empty_like(row_c)
+        row_l[0] = row_c[0]
+        row_l[1:] = dst[y - 1, :plane_w - 1]
+        row_r = np.empty_like(row_c)
+        row_r[-1] = row_c[-1]
+        row_r[:-1] = dst[y - 1, 1:plane_w]
+        dst[y, :] = (2 * row_c + row_l + row_r + 2) >> 2
+    return dst

@@ -1,0 +1,136 @@
+"""Per-frame adaptation context: every adaptive CDF and expectation the
+codec carries across symbols within a frame.
+
+Mirrors od_adapt_ctx / od_pvq_adapt_ctx and their reset functions
+(reference: src/state.h:141-175, src/state.c:535-578, src/pvq.c:275-320).
+This state is host-side: the range coder replays adaptation while
+serializing (encoder) or parsing (decoder), exactly as the reference does.
+CDFs are plain Python lists for fast scalar mutation.
+"""
+
+from __future__ import annotations
+
+from daala_tpu.entropy.models import GenericModel, cdf_init
+from daala_tpu.ops import _tables as T
+
+OD_NBSIZES = 5
+OD_NPLANES_MAX = 4
+PVQ_MAX_PARTITIONS = 9
+OD_NSB_ADAPT_CTXS = 4
+OD_ADAPT_K_Q8 = 0
+OD_ADAPT_SUM_EX_Q8 = 1
+OD_ADAPT_COUNT_Q8 = 2
+OD_ADAPT_COUNT_EX_Q8 = 3
+OD_MC_LEVEL_MAX = 6  # 2*OD_LOG_MVB_DELTA0 (reference: src/internal.h:96)
+OD_MC_NLEVELS = 7
+OD_DERING_LEVELS = 6
+
+
+def _cdfs(nc, n, val, first=None):
+    return [cdf_init(n, val, first) for _ in range(nc)]
+
+
+class PvqCodewordCtx:
+    """od_pvq_codeword_ctx (reference: src/pvq.h:125-133)."""
+
+    def reset(self):
+        self.pvq_adapt = [0] * (2 * OD_NBSIZES * OD_NSB_ADAPT_CTXS)
+        for i in range(2 * OD_NBSIZES):
+            self.pvq_adapt[4 * i + OD_ADAPT_K_Q8] = 384
+            self.pvq_adapt[4 * i + OD_ADAPT_SUM_EX_Q8] = 256
+            self.pvq_adapt[4 * i + OD_ADAPT_COUNT_Q8] = 104
+            self.pvq_adapt[4 * i + OD_ADAPT_COUNT_EX_Q8] = 128
+        self.pvq_k1_increment = 128
+        self.pvq_k1_cdf = _cdfs(12, 16, self.pvq_k1_increment)
+        self.pvq_split_increment = 128
+        self.pvq_split_cdf = _cdfs(14 * 7, 8, self.pvq_split_increment >> 1)
+
+
+class PvqAdaptCtx:
+    """od_pvq_adapt_ctx (reference: src/pvq.h:135-146)."""
+
+    def reset(self, is_keyframe: bool):
+        self.pvq_codeword_ctx = PvqCodewordCtx()
+        self.pvq_codeword_ctx.reset()
+        self.pvq_param_model = [GenericModel() for _ in range(3)]
+        self.pvq_exg = [[[2 << 16 for _ in range(PVQ_MAX_PARTITIONS)]
+                         for _ in range(OD_NBSIZES)]
+                        for _ in range(OD_NPLANES_MAX)]
+        self.pvq_ext = [(24576 if is_keyframe else 2 << 16)
+                        for _ in range(OD_NBSIZES * PVQ_MAX_PARTITIONS)]
+        self.pvq_gaintheta_increment = 128
+        self.pvq_gaintheta_cdf = _cdfs(2 * OD_NBSIZES * PVQ_MAX_PARTITIONS,
+                                       16, self.pvq_gaintheta_increment >> 2)
+        self.pvq_skip_dir_increment = 128
+        self.pvq_skip_dir_cdf = _cdfs(2 * (OD_NBSIZES - 1), 7,
+                                      self.pvq_skip_dir_increment >> 2)
+
+
+class AdaptCtx:
+    """od_adapt_ctx (reference: src/state.h:141-175)."""
+
+    def reset(self, is_keyframe: bool):
+        self.pvq = PvqAdaptCtx()
+        self.pvq.reset(is_keyframe)
+        self.mv_model = GenericModel()
+        self.mv_ref_cdf = _cdfs(5, 16, 128)
+        self.mv_ex = [0] * OD_MC_NLEVELS
+        self.mv_ey = [0] * OD_MC_NLEVELS
+        self.mv_small_increment = 128
+        self.mv_small_cdf = _cdfs(5, 16, self.mv_small_increment,
+                                  10 * self.mv_small_increment)
+        self.split_flag_increment = 128
+        self.split_flag_cdf = [
+            [[self.split_flag_increment >> 1, self.split_flag_increment]
+             for _ in range(9)] for _ in range(OD_MC_LEVEL_MAX)]
+        self.model_dc = [GenericModel() for _ in range(OD_NPLANES_MAX)]
+        self.ex_sb_dc = [32768 if pli == 0 else 8
+                         for pli in range(OD_NPLANES_MAX)]
+        self.ex_dc = [[[32768 if pli == 0 else 8 for _ in range(3)]
+                       for _ in range(OD_NBSIZES)]
+                      for pli in range(OD_NPLANES_MAX)]
+        self.ex_g = [[8] * OD_NBSIZES for _ in range(OD_NPLANES_MAX)]
+        self.skip_increment = 128
+        self.skip_cdf = _cdfs(OD_NBSIZES * 2, 5, self.skip_increment >> 2)
+        self.haar_coeff_increment = 128
+        self.haar_coeff_cdf = _cdfs(15 * 3 * (OD_NBSIZES + 1), 16,
+                                    self.haar_coeff_increment >> 2)
+        self.haar_split_increment = 128
+        self.haar_split_cdf = _cdfs(15 * 2 * 5, 16,
+                                    self.haar_split_increment >> 2)
+        self.haar_bits_increment = 128
+        self.haar_bits_cdf = _cdfs(3, 16, self.haar_bits_increment >> 2)
+        self.dering_increment = 128
+        self.dering_cdf = _cdfs(2 * OD_DERING_LEVELS - 1, OD_DERING_LEVELS,
+                                self.dering_increment >> 2)
+        self.q_increment = 128
+        self.q_cdf = _cdfs(4 * 4, 4, self.q_increment >> 2)
+
+    def set_mv_res(self, mv_res: int):
+        """od_state_set_mv_res (reference: src/state.c:579-585)."""
+        for i in range(OD_MC_NLEVELS):
+            self.mv_ex[i] = self.mv_ey[i] = (24 << 16) >> mv_res
+
+
+def encode_cdf_adapt(enc, val, cdf, n, increment):
+    """od_encode_cdf_adapt on a raw list CDF (reference:
+    src/generic_encoder.c:65-86).  cdf may be longer than n; only the
+    first n entries are coded and adapted (matching the reference, which
+    passes n smaller than the allocated row)."""
+    enc.encode_cdf_unscaled(val, cdf[:n])
+    _cdf_adapt_increment(val, cdf, n, increment)
+
+
+def decode_cdf_adapt(dec, cdf, n, increment):
+    """od_decode_cdf_adapt (reference: src/generic_decoder.c)."""
+    val = dec.decode_cdf_unscaled(cdf[:n])
+    _cdf_adapt_increment(val, cdf, n, increment)
+    return val
+
+
+def _cdf_adapt_increment(val, cdf, n, increment):
+    if cdf[n - 1] + increment > 32767:
+        for i in range(n):
+            cdf[i] = (cdf[i] >> 1) + i + 1
+    for i in range(val, n):
+        cdf[i] += increment
