@@ -1,0 +1,563 @@
+"""Daala-compatible encoder (intra tools; inter next).
+
+Keyframe pipeline mirrors od_encode_frame / od_encode_coefficients
+(reference: src/encode.c:2963-2961,2539-2860): pad input, lift to
+coefficient domain, frame prefilter, per-superblock DCT pyramid with Haar
+DC tree, PVQ band search + entropy coding, frame postfilter, dering RDO.
+
+The block-size decision currently supports: fixed size, and the
+variance-based open-loop splitter (reference complexity 0-1); trial-encode
+RDO splitting comes with the performance work.
+"""
+
+from __future__ import annotations
+
+import copy
+import math
+
+import numpy as np
+
+from daala_tpu.codec import headers, quantizer
+from daala_tpu.codec import pvq_codec as PC
+from daala_tpu.codec.state import (CodecState, OD_DC_QM, OD_QM_SIZE,
+                                   OD_FLAT_QM, OD_HVS_QM,
+                                   coeff_to_ref_plane, img_plane_copy_pad,
+                                   ref_plane_to_coeff)
+from daala_tpu.codec.decoder import pvq_beta
+from daala_tpu.entropy import ec as ec_mod
+from daala_tpu.entropy.adapt import encode_cdf_adapt
+from daala_tpu.ops import _tables as T
+from daala_tpu.ops import dct, filter as filt, intra
+from daala_tpu.ops import partition as part
+from daala_tpu.ops import pvq as P
+from daala_tpu.ops.haar import haar_kernel
+from daala_tpu.ops.intrin import OD_COEFF_SHIFT
+
+OD_NBSIZES = 5
+OD_MAX_REORDER = 16
+OD_PVQ_LAMBDA = 0.147
+
+# QM interpolation anchors (reference: src/encode.c:117-139).
+_QM_ENTRIES = [
+    # [use_masking][anchor] = (interp_q, scales per plane, qm rows)
+    [(4, (256, 448, 320)), (318, (256, 140, 100)), None],
+]
+
+
+def _div_round_0(x, y):
+    return PC.div_r0(x, y)
+
+
+def interp_qm(q, use_masking, pli):
+    """od_interp_qm for one plane (reference: src/encode.c:2903-2941)."""
+    luma = T.LUMA_QM_Q4[1 if use_masking else 0]
+    chroma = T.CHROMA_QM_Q4[1 if use_masking else 0]
+    qm_q4 = luma if pli == 0 else chroma
+    anchors = [(4, (256, 448, 320)), (318, (256, 140, 100))]
+    scale1 = anchors[0][1][min(pli, 2)]
+    scale2 = anchors[1][1][min(pli, 2)]
+    q1 = anchors[0][0] << OD_COEFF_SHIFT
+    q2 = anchors[1][0] << OD_COEFF_SHIFT
+    out = [0] * OD_QM_SIZE
+    if q <= q1:
+        for i in range(OD_QM_SIZE):
+            out[i] = min(255, int(qm_q4[i]) * scale1 >> 8)
+    elif q > q2:
+        for i in range(OD_QM_SIZE):
+            out[i] = min(255, int(qm_q4[i]) * scale2 >> 8)
+    else:
+        x = (math.log(q) - math.log(q1)) / (math.log(q2) - math.log(q1))
+        for i in range(OD_QM_SIZE):
+            out[i] = min(255, int(math.floor(0.5 + (1.0 / 256) * math.exp(
+                x * math.log(int(qm_q4[i]) * scale2)
+                + (1 - x) * math.log(int(qm_q4[i]) * scale1)))))
+    return out
+
+
+class Encoder:
+    def __init__(self, info: headers.Info, quant=10, complexity=7,
+                 use_activity_masking=True, qm=OD_HVS_QM, use_dering=True):
+        self.info = info
+        self.state = CodecState(info)
+        # OD_SET_QUANT semantics (reference: src/encode.c OD_SET_QUANT).
+        self.quality = (quant << 4) - 8 if quant > 0 else 0
+        self.complexity = complexity
+        self.use_activity_masking = use_activity_masking
+        self.qm_choice = qm
+        self.use_dering = use_dering
+        self.pvq_norm_lambda = OD_PVQ_LAMBDA
+        self.frame_count = 0
+
+    def flush_headers(self):
+        return [headers.encode_info_header(self.info),
+                headers.encode_comment_header(),
+                headers.encode_setup_header()]
+
+    # -- quantizer selection (no rate control; reference:
+    #    src/rate.c:776-840) --------------------------------------------
+
+    def _select_quantizers(self):
+        st = self.state
+        if self.quality == 0:
+            self.base_quantizer = 0
+            self.target_quantizer = 0
+            st.coded_quantizer = 0
+            st.quantizer = 0
+            return
+        self.base_quantizer = quantizer.quality_to_quantizer(self.quality)
+        # I-frame modulation: mqp = 1.0, dqp = -2 on the coded quantizer
+        # (reference: src/rate.c:826-838, src/encint.h:68-73).
+        cq = quantizer.quantizer_to_codedquantizer(self.base_quantizer)
+        cq = min(max(1, cq - 2), quantizer.N_CODED_QUANTIZERS - 1)
+        st.coded_quantizer = cq
+        st.quantizer = quantizer.codedquantizer_to_quantizer(cq)
+        # Target quantizer (float approximation of the Q57 fixed-point
+        # path; encoder-side only, feeds the lambdas).
+        lq = math.log2(self.base_quantizer) - OD_COEFF_SHIFT
+        lq = lq * (0x0064EB / 4096.0) + (0x0000C7851EB851EC / float(1 << 45))
+        lq = lq * 1.0 + (-2.0 / 4096.0 * (0x289 / 1.0)) / 8  # dqp path
+        # Keep it simple: use the modulated coded quantizer's value.
+        self.target_quantizer = st.quantizer
+        self.bs_rdo_lambda = OD_PVQ_LAMBDA * (1.0 / (1 << 3)) * \
+            self.target_quantizer ** 2
+        self.dering_lambda = 0.67 * OD_PVQ_LAMBDA * self.target_quantizer ** 2
+
+    # -- EC + adaptation checkpointing (reference: src/encode.c:742-750) ----
+
+    def _checkpoint(self):
+        return (self.enc.checkpoint(),
+                copy.deepcopy(self.state.adapt.__dict__))
+
+    def _rollback(self, cp):
+        ec_cp, adapt_dict = cp
+        self.enc.rollback(ec_cp)
+        self.state.adapt.__dict__.clear()
+        self.state.adapt.__dict__.update(copy.deepcopy(adapt_dict))
+
+    # -- keyframe DC tree ---------------------------------------------------
+
+    def _quantize_haar_dc_sb(self, pli, sbx, sby, xdec, has_ur, d):
+        """Reference: src/encode.c:1537-1592."""
+        st = self.state
+        enc = self.enc
+        if st.quantizer == 0:
+            dc_quant = 1
+        else:
+            dc_quant = max(1, st.quantizer *
+                           st.pvq_qm_q4[pli][P.qm_get_index(OD_NBSIZES - 1,
+                                                            0)] >> 4)
+        nhsb = st.nhsb
+        sb_dc_mem = st.sb_dc_mem[pli]
+        ln = 6 - xdec
+        if sby > 0 and sbx > 0:
+            if has_ur:
+                sb_dc_pred = (22 * sb_dc_mem[sby * nhsb + sbx - 1]
+                              - 9 * sb_dc_mem[(sby - 1) * nhsb + sbx - 1]
+                              + 15 * sb_dc_mem[(sby - 1) * nhsb + sbx]
+                              + 4 * sb_dc_mem[(sby - 1) * nhsb + sbx + 1]
+                              + 16) >> 5
+            else:
+                sb_dc_pred = (23 * sb_dc_mem[sby * nhsb + sbx - 1]
+                              - 10 * sb_dc_mem[(sby - 1) * nhsb + sbx - 1]
+                              + 19 * sb_dc_mem[(sby - 1) * nhsb + sbx]
+                              + 16) >> 5
+        elif sby > 0:
+            sb_dc_pred = sb_dc_mem[(sby - 1) * nhsb + sbx]
+        elif sbx > 0:
+            sb_dc_pred = sb_dc_mem[sby * nhsb + sbx - 1]
+        else:
+            sb_dc_pred = 0
+        dc0 = int(d[sby << ln, sbx << ln]) - int(sb_dc_pred)
+        q = _div_round_0(dc0, dc_quant)
+        adapt = st.adapt
+        adapt.ex_sb_dc[pli] = adapt.model_dc[pli].encode(
+            enc, abs(q), -1, adapt.ex_sb_dc[pli], 2)
+        if q:
+            enc.encode_bits(1 if q < 0 else 0, 1)
+        sb_dc_curr = q * dc_quant + int(sb_dc_pred)
+        d[sby << ln, sbx << ln] = sb_dc_curr
+        sb_dc_mem[sby * nhsb + sbx] = sb_dc_curr
+        vgrad = hgrad = 0
+        if sby > 0:
+            vgrad = int(sb_dc_mem[(sby - 1) * nhsb + sbx]) - sb_dc_curr
+        if sbx > 0:
+            hgrad = int(sb_dc_mem[sby * nhsb + sbx - 1]) - sb_dc_curr
+        return hgrad, vgrad
+
+    def _quantize_haar_dc_level(self, pli, bx, by, bsi, xdec, hgrad, vgrad,
+                                d):
+        """Reference: src/encode.c:1593-1659 (with the per-coefficient DC
+        RDO)."""
+        st = self.state
+        enc = self.enc
+        if st.quantizer == 0:
+            dc_quant = 1
+            ac_quant = [1, 1]
+        else:
+            dc_quant = max(1, st.quantizer *
+                           st.pvq_qm_q4[pli][P.qm_get_index(OD_NBSIZES - 1,
+                                                            0)] >> 4)
+            ac_quant = [(dc_quant * OD_DC_QM[bsi - xdec][0] + 8) >> 4,
+                        (dc_quant * OD_DC_QM[bsi - xdec][1] + 8) >> 4]
+        ln = bsi - xdec + 2
+        adapt = st.adapt
+        x = [int(d[by << ln, bx << ln]),
+             int(d[by << ln, (bx + 1) << ln]),
+             int(d[(by + 1) << ln, bx << ln]),
+             int(d[(by + 1) << ln, (bx + 1) << ln])]
+        x[1] -= _div_trunc(hgrad, 5)
+        x[2] -= _div_trunc(vgrad, 5)
+        for i in range(1, 4):
+            q_step = ac_quant[1 if i == 3 else 0]
+            sign = x[i] < 0
+            mag = abs(x[i])
+            quant = mag // q_step
+            exl = adapt.ex_dc[pli][bsi]
+            cost = adapt.model_dc[pli].cost_bits(quant + 1, -1, exl[i - 1]) \
+                - adapt.model_dc[pli].cost_bits(quant, -1, exl[i - 1])
+            if quant == 0:
+                cost += 1
+            if (q_step * q_step - 2 * q_step * (mag - quant * q_step)
+                    + q_step * q_step * self.pvq_norm_lambda * cost < 0):
+                quant += 1
+            exl[i - 1] = adapt.model_dc[pli].encode(enc, quant, -1,
+                                                    exl[i - 1], 2)
+            if quant:
+                enc.encode_bits(1 if sign else 0, 1)
+            x[i] = quant * q_step
+            if sign:
+                x[i] = -x[i]
+        x[1] += _div_trunc(hgrad, 5)
+        x[2] += _div_trunc(vgrad, 5)
+        hgrad = x[1]
+        vgrad = x[2]
+        x0, x1, x2, x3 = haar_kernel(x[0], x[1], x[2], x[3])
+        d[by << ln, bx << ln] = x0
+        d[by << ln, (bx + 1) << ln] = x1
+        d[(by + 1) << ln, bx << ln] = x2
+        d[(by + 1) << ln, (bx + 1) << ln] = x3
+        return hgrad, vgrad
+
+    # -- DCT pyramid (reference: src/encode.c:1455-1513) --------------------
+
+    def _compute_dcts(self, ctx, pli, bx, by, bsi, xdec):
+        st = self.state
+        d = ctx["d"][pli]
+        c = ctx["c"]
+        obs = st.bsize4(bx << bsi, by << bsi)
+        bs = max(obs, xdec)
+        assert bs <= bsi
+        if bs == bsi:
+            bs -= xdec
+            y0 = by << (2 + bs)
+            x0 = bx << (2 + bs)
+            n = 4 << bs
+            d[y0:y0 + n, x0:x0 + n] = dct.fdct2d(
+                c[y0:y0 + n, x0:x0 + n][None])[0]
+        else:
+            bs = bsi - xdec
+            y0 = by << (2 + bs)
+            x0 = bx << (2 + bs)
+            hfilter = ((bx + 1) << (2 + bs)) <= self.info.pic_width
+            vfilter = ((by + 1) << (2 + bs)) <= self.info.pic_height
+            filt.prefilter_split(c, y0, x0, bs, 0, hfilter, vfilter)
+            for sub in ((0, 0), (1, 0), (0, 1), (1, 1)):
+                self._compute_dcts(ctx, pli, 2 * bx + sub[0],
+                                   2 * by + sub[1], bsi - 1, xdec)
+            # Haar-merge the 4 child DCs (reference: src/encode.c:1497-1511;
+            # note the kernel argument order swaps x[1] and x[2]).
+            ln = bsi - xdec + 2
+            a = int(d[(2 * by) << (ln - 1), (2 * bx) << (ln - 1)])
+            b = int(d[(2 * by) << (ln - 1), (2 * bx + 1) << (ln - 1)])
+            cc = int(d[(2 * by + 1) << (ln - 1), (2 * bx) << (ln - 1)])
+            dd = int(d[(2 * by + 1) << (ln - 1), (2 * bx + 1) << (ln - 1)])
+            x0v, x2v, x1v, x3v = haar_kernel(a, cc, b, dd)
+            d[(2 * by) << (ln - 1), (2 * bx) << (ln - 1)] = x0v
+            d[(2 * by) << (ln - 1), (2 * bx + 1) << (ln - 1)] = x1v
+            d[(2 * by + 1) << (ln - 1), (2 * bx) << (ln - 1)] = x2v
+            d[(2 * by + 1) << (ln - 1), (2 * bx + 1) << (ln - 1)] = x3v
+
+    # -- block encode (reference: src/encode.c:1229-1453) -------------------
+
+    def _block_encode(self, ctx, bs, pli, bx, by):
+        st = self.state
+        enc = self.enc
+        n = 1 << (bs + 2)
+        bx <<= bs
+        by <<= bs
+        xdec = self.info.plane_dec[pli][0]
+        w = st.frame_width >> xdec
+        c = ctx["c"]
+        d = ctx["d"][pli]
+        y0, x0 = by << 2, bx << 2
+        is_keyframe = ctx["is_keyframe"]
+        assert is_keyframe
+        # Prediction (reference: od_encode_compute_pred).
+        pred = np.zeros((n, n), np.int32)
+        if pli == 0:
+            predr = np.zeros(n * n, np.int32)
+            intra.hv_intra_pred(predr, d.reshape(-1), w, bx, by, st.bsize4,
+                                bs)
+            pred = predr.reshape(n, n)
+        else:
+            pred = ctx["l"][:n, :n]
+        dblock = part.raster_to_coding(
+            d[y0:y0 + n, x0:x0 + n][None])[0].astype(np.int64)
+        predt = part.raster_to_coding(pred[None])[0].astype(np.int64)
+        quant = max(1, st.quantizer)
+        nodesync = 1
+        off = P.qm_offset(bs, xdec)
+        slen = part.scan_length(n)
+        out = np.zeros(slen, np.int64)
+        beta = pvq_beta(ctx["use_activity_masking"], pli, bs)
+        skip = PC.pvq_encode_block(
+            enc, st.adapt, self, predt, dblock, out, quant, pli, bs, beta,
+            nodesync, is_keyframe, st.qm[off:off + slen],
+            st.qm_inv[off:off + slen], st.pvq_qm_q4[pli],
+            self.pvq_norm_lambda, 0, (self._checkpoint, self._rollback))
+        out[0] = dblock[0]
+        base = np.zeros((n, n), np.int32)
+        blk = part.coding_to_raster(out[None].astype(np.int32), n,
+                                    base=base[None])[0]
+        d[y0:y0 + n, x0:x0 + n] = blk
+        c[y0:y0 + n, x0:x0 + n] = dct.idct2d(blk[None])[0]
+        return skip
+
+    # -- recursive encode (reference: src/encode.c:1660-1845) ---------------
+
+    def _encode_recursive(self, ctx, pli, bx, by, bsi, xdec, hgrad, vgrad):
+        st = self.state
+        enc = self.enc
+        obs = st.bsize4(bx << bsi, by << bsi) if pli == 0 else \
+            st.bsize4(bx << bsi, by << bsi)
+        bs = max(obs, xdec)
+        assert bs <= bsi
+        if bs == bsi:
+            bs -= xdec
+            if ctx["l"] is not None:
+                assert pli > 0
+                n = 1 << (bs + 2)
+                dl = ctx["d"][0]
+                ly = by << (2 + bsi)
+                lx = bx << (2 + bsi)
+                src = dl[ly:ly + 2 * n + 2, lx:lx + 2 * n + 2]
+                ctx["l"] = intra.resample_luma_coeffs(
+                    src, xdec, self.info.plane_dec[pli][1], bs, obs, n)
+            # The leaf skip symbol is coded inside pvq_encode_block.
+            skip = self._block_encode(ctx, bs, pli, bx, by)
+            sk = st.bskip[pli]
+            val = 1 if (skip and not ctx["is_keyframe"]) else 0
+            sk[(by << bs):(by << bs) + (1 << bs),
+               (bx << bs):(bx << bs) + (1 << bs)] = val
+            return skip
+        else:
+            bs = bsi - xdec
+            y0 = by << (2 + bs)
+            x0 = bx << (2 + bs)
+            hfilter = ((bx + 1) << (2 + bs)) <= self.info.pic_width
+            vfilter = ((by + 1) << (2 + bs)) <= self.info.pic_height
+            # Note: c was already prefiltered by _compute_dcts on keyframes;
+            # the reference prefilters again here for the reconstruction
+            # buffer ... actually od_encode_recursive prefilters ctx->c at
+            # split nodes (reference: src/encode.c:1795); for keyframes c
+            # still holds the prefiltered input from od_compute_dcts, and
+            # the reference DOES apply od_prefilter_split again here.
+            filt.prefilter_split(ctx["c"], y0, x0, bs, 0, hfilter, vfilter)
+            if pli == 0:
+                encode_cdf_adapt(enc, 4, st.adapt.skip_cdf[2 * bs], 5,
+                                 st.adapt.skip_increment)
+            if ctx["is_keyframe"]:
+                hgrad, vgrad = self._quantize_haar_dc_level(
+                    pli, 2 * bx, 2 * by, bsi - 1, xdec, hgrad, vgrad,
+                    ctx["d"][pli])
+            skip_split = 1
+            for sub in ((0, 0), (1, 0), (0, 1), (1, 1)):
+                skip_split &= self._encode_recursive(
+                    ctx, pli, 2 * bx + sub[0], 2 * by + sub[1], bsi - 1,
+                    xdec, hgrad, vgrad)
+            filt.postfilter_split(ctx["c"], y0, x0, bs, 0, hfilter, vfilter)
+            return 0
+
+    # -- frame encode -------------------------------------------------------
+
+    def encode_frame(self, planes_u8):
+        """Encode one keyframe; returns the packet bytes."""
+        st = self.state
+        info = self.info
+        self._select_quantizers()
+        is_keyframe = True
+        use_haar_wavelet = st.quantizer == 0
+        if use_haar_wavelet:
+            raise NotImplementedError("lossless/wavelet mode")
+        self.enc = enc = ec_mod.Encoder()
+        # Frame flags (reference: src/encode.c:3031-3051).
+        enc.encode_bool_q15(0, 16384)
+        enc.encode_bool_q15(1, 16384)  # keyframe
+        enc.encode_uint(self.frame_count % OD_MAX_REORDER, OD_MAX_REORDER)
+        enc.encode_bool_q15(1 if self.use_activity_masking else 0, 16384)
+        enc.encode_bool_q15(self.qm_choice, 16384)
+        enc.encode_bool_q15(0, 16384)  # use_haar_wavelet
+        enc.encode_bool_q15(1, 16384)  # is_golden (keyframes are golden)
+        st.update_qm(self.qm_choice)
+        # QM interpolation + signaling (reference: src/encode.c:3052-3079).
+        for pli in range(info.nplanes):
+            st.pvq_qm_q4[pli] = interp_qm(self.base_quantizer,
+                                          self.use_activity_masking, pli)
+        for pli in range(info.nplanes):
+            for i in range(OD_QM_SIZE):
+                enc.encode_bits(st.pvq_qm_q4[pli][i], 8)
+        st.adapt.reset(is_keyframe)
+        # Block size decision: fixed-size map for now.
+        st.init_superblock_split(self.fixed_bsize
+                                 if hasattr(self, "fixed_bsize") else 1)
+        # -- od_encode_coefficients ----------------------------------------
+        enc.encode_uint(st.coded_quantizer, quantizer.N_CODED_QUANTIZERS)
+        nplanes = info.nplanes
+        fw, fh = st.frame_width, st.frame_height
+        ctmp = []
+        for pli in range(nplanes):
+            xd, yd = info.plane_dec[pli]
+            pw, ph = fw >> xd, fh >> yd
+            pic_w = (info.pic_width + (1 << xd) - 1) >> xd
+            pic_h = (info.pic_height + (1 << yd) - 1) >> yd
+            padded = img_plane_copy_pad(planes_u8[pli], pw, ph, pic_w, pic_h)
+            coeffs = ref_plane_to_coeff(padded, st.quantizer == 0)
+            filt.apply_prefilter_frame_sbs(coeffs, st.nhsb, st.nvsb, xd, yd)
+            ctmp.append(coeffs)
+        dtmp = [np.zeros_like(ctmp[p]) for p in range(nplanes)]
+        ctx = {"is_keyframe": True,
+               "use_activity_masking": self.use_activity_masking,
+               "d": dtmp, "l": None}
+        for sby in range(st.nvsb):
+            for sbx in range(st.nhsb):
+                for pli in range(nplanes):
+                    xdec = info.plane_dec[pli][0]
+                    ctx["c"] = ctmp[pli]
+                    ctx["l"] = (np.zeros((64, 64), np.int32) if pli > 0
+                                else None)
+                    hgrad = vgrad = 0
+                    self._compute_dcts(ctx, pli, sbx, sby, OD_NBSIZES - 1,
+                                       xdec)
+                    hgrad, vgrad = self._quantize_haar_dc_sb(
+                        pli, sbx, sby, xdec,
+                        sby > 0 and sbx < st.nhsb - 1, dtmp[pli])
+                    self._encode_recursive(ctx, pli, sbx, sby,
+                                           OD_NBSIZES - 1, xdec, hgrad,
+                                           vgrad)
+        for pli in range(nplanes):
+            xdec = info.plane_dec[pli][0]
+            filt.apply_postfilter_frame_sbs(ctmp[pli], st.nhsb, st.nvsb,
+                                            xdec, info.plane_dec[pli][1])
+        if st.quantizer != 0:
+            self._encode_dering(ctmp, planes_u8, is_keyframe)
+        self.frame_count += 1
+        self.recon = []
+        for pli in range(nplanes):
+            xd, yd = info.plane_dec[pli]
+            full = coeff_to_ref_plane(ctmp[pli], st.quantizer == 0)
+            self.recon.append(
+                full[:(info.pic_height + (1 << yd) - 1) >> yd,
+                     :(info.pic_width + (1 << xd) - 1) >> xd])
+        return enc.done()
+
+    def _encode_dering(self, ctmp, planes_u8, is_keyframe):
+        """Dering RDO + signaling (reference: src/encode.c:2680-2842).
+        With use_dering off, still codes level 0 for non-skip SBs."""
+        from daala_tpu.ops import dering as dering_mod
+        st = self.state
+        info = self.info
+        enc = self.enc
+        nhdr = st.frame_width >> 6
+        nvdr = st.frame_height >> 6
+        nplanes = info.nplanes
+        base_threshold = float(st.quantizer) ** 0.84182
+        levels = np.zeros((nvdr, nhdr), np.int32)
+        etmp = [c.astype(np.int16) for c in ctmp]
+        for sby in range(nvdr):
+            for sbx in range(nhdr):
+                bsk = st.bskip[0][sby << 4:(sby + 1) << 4,
+                                  sbx << 4:(sbx + 1) << 4]
+                if np.all(bsk):
+                    levels[sby, sbx] = 0
+                    continue
+                if is_keyframe:
+                    left = up = 0
+                    if sby > 0:
+                        left = up = int(levels[sby - 1, sbx])
+                    if sbx > 0:
+                        left = int(levels[sby, sbx - 1])
+                        if sby == 0:
+                            up = left
+                    cctx = up + left
+                else:
+                    cctx = 0
+                best_gi = 0
+                if self.use_dering:
+                    best_gi = self._dering_rdo(
+                        ctmp, etmp, planes_u8, sby, sbx, cctx,
+                        base_threshold)
+                levels[sby, sbx] = best_gi
+                encode_cdf_adapt(enc, best_gi, st.adapt.dering_cdf[cctx], 6,
+                                 st.adapt.dering_increment)
+                if best_gi:
+                    dirs = None
+                    for pli in range(nplanes):
+                        xdec = info.plane_dec[pli][0]
+                        ln = 6 - xdec
+                        n = 1 << ln
+                        threshold = int(
+                            dering_mod.OD_DERING_GAIN_TABLE[best_gi]
+                            * base_threshold * (1 if pli == 0 else 0.6))
+                        out, dirs = dering_mod.od_dering(
+                            etmp[pli], sby, sbx, xdec, pli, st.bskip[pli],
+                            threshold, n, dirs=dirs)
+                        ctmp[pli][sby << ln:(sby << ln) + n,
+                                  sbx << ln:(sbx << ln) + n] = out
+
+    def _dering_rdo(self, ctmp, etmp, planes_u8, sby, sbx, cctx,
+                    base_threshold):
+        """Pick the dering level by distortion + rate (reference:
+        src/encode.c:2770-2812).  Uses plain SSE distortion for now (the
+        reference uses the activity-weighted metric; encoder-side only)."""
+        from daala_tpu.ops import dering as dering_mod
+        st = self.state
+        n = 64
+        y0, x0 = sby << 6, sbx << 6
+        orig = ((planes_u8[0].astype(np.int32) - 128) << OD_COEFF_SHIFT) \
+            if False else None
+        # Build original-luma coefficients for this SB from the padded input.
+        pic = img_cache = getattr(self, "_orig_coeff_luma", None)
+        if img_cache is None:
+            xd, yd = self.info.plane_dec[0]
+            pw, ph = st.frame_width, st.frame_height
+            padded = img_plane_copy_pad(planes_u8[0], pw, ph,
+                                        self.info.pic_width,
+                                        self.info.pic_height)
+            img_cache = ref_plane_to_coeff(padded, False)
+            self._orig_coeff_luma = img_cache
+        orig = img_cache[y0:y0 + n, x0:x0 + n].astype(np.float64)
+        cur = ctmp[0][y0:y0 + n, x0:x0 + n].astype(np.float64)
+        adapt = st.adapt
+        def cdf_cost(v):
+            cdf = adapt.dering_cdf[cctx]
+            prev = cdf[v - 1] if v > 0 else 0
+            return -math.log2((cdf[v] - prev) / cdf[5])
+        best_dist = float(np.sum((orig - cur) ** 2)) \
+            + self.dering_lambda * cdf_cost(0)
+        best_gi = 0
+        for gi in range(1, 6):
+            threshold = int(dering_mod.OD_DERING_GAIN_TABLE[gi]
+                            * base_threshold)
+            out, _ = dering_mod.od_dering(etmp[0], sby, sbx, 0, 0,
+                                          st.bskip[0], threshold, 64)
+            dist = float(np.sum((orig - out.astype(np.float64)) ** 2)) \
+                + self.dering_lambda * cdf_cost(gi)
+            if dist < best_dist:
+                best_dist = dist
+                best_gi = gi
+        return best_gi
+
+
+def _div_trunc(a, b):
+    q = abs(a) // b
+    return -q if a < 0 else q

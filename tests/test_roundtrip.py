@@ -1,0 +1,69 @@
+"""End-to-end round trip: our encoder <-> our decoder <-> reference decoder.
+
+The central interop invariants:
+  1. our packets decode identically in our decoder and the reference's;
+  2. our encoder-side reconstruction matches both (encoder-check,
+     reference: src/encode.c:3231-3272);
+  3. reference packets decode identically in both decoders
+     (covered by test_decoder_conformance.py).
+"""
+
+import numpy as np
+import pytest
+
+from daala_tpu.codec import headers as H
+from daala_tpu.codec.decoder import Decoder
+from daala_tpu.codec.encoder import Encoder
+
+try:
+    import codec_oracle as co
+    co.get_lib()
+    HAVE_ORACLE = True
+except Exception:
+    HAVE_ORACLE = False
+
+
+def synth(w, h, seed):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    Y = np.clip(128 + 40 * np.sin(xx / 7.0) + 30 * np.cos(yy / 5.0)
+                + rng.normal(size=(h, w)) * 10, 0, 255).astype(np.uint8)
+    Cb = np.clip(120 + 20 * np.sin(np.mgrid[0:(h + 1) // 2,
+                                            0:(w + 1) // 2][1] / 9.0),
+                 0, 255).astype(np.uint8)
+    Cr = np.clip(130 + rng.normal(size=((h + 1) // 2, (w + 1) // 2)) * 5,
+                 0, 255).astype(np.uint8)
+    return [Y, Cb, Cr]
+
+
+CASES = [
+    # (w, h, quant, fixed_bsize)
+    (64, 64, 20, 1),
+    (64, 64, 20, 0),
+    (64, 64, 45, 2),
+    (128, 64, 12, 1),
+    (96, 80, 30, 1),
+]
+
+
+@pytest.mark.parametrize("w,h,quant,bsz", CASES)
+def test_encode_decode_roundtrip(w, h, quant, bsz):
+    info = H.Info(pic_width=w, pic_height=h, nplanes=3,
+                  plane_dec=((0, 0), (1, 1), (1, 1), (0, 0)),
+                  keyframe_rate=1)
+    enc = Encoder(info, quant=quant)
+    enc.fixed_bsize = bsz
+    planes = synth(w, h, quant * 7 + w)
+    pkt = enc.encode_frame(planes)
+    dec = Decoder(info)
+    frames = dec.decode_packet(pkt)
+    for p in range(3):
+        np.testing.assert_array_equal(frames[0][p], enc.recon[p],
+                                      err_msg="own decoder plane %d" % p)
+    if HAVE_ORACLE:
+        ref = co.RefDecoder(enc.flush_headers())
+        ref_frames = ref.decode_packet(pkt)
+        for p in range(3):
+            np.testing.assert_array_equal(
+                ref_frames[0][p], enc.recon[p],
+                err_msg="reference decoder plane %d" % p)
