@@ -137,18 +137,34 @@ class Decoder:
         d = ctx["d"][pli]
         y0, x0 = by << 2, bx << 2
         is_keyframe = ctx["is_keyframe"]
+        use_haar = ctx.get("use_haar_wavelet", False)
         # Prediction.
         pred = np.zeros((n, n), np.int32)
         if is_keyframe:
-            if pli == 0:
-                predr = np.zeros(n * n, np.int32)
-                intra.hv_intra_pred(predr, d.reshape(-1), w, bx, by,
-                                    st.bsize4, bs)
-                pred = predr.reshape(n, n)
+            if pli == 0 or use_haar:
+                pred = np.zeros((n, n), np.int32)
+                if pli == 0 and not use_haar:
+                    predr = np.zeros(n * n, np.int32)
+                    intra.hv_intra_pred(predr, d.reshape(-1), w, bx, by,
+                                        st.bsize4, bs)
+                    pred = predr.reshape(n, n)
             else:
                 pred = ctx["l"][:n, :n]
         else:
             raise NotImplementedError("inter frames")
+        if use_haar:
+            from daala_tpu.codec import wavelet
+            from daala_tpu.ops.haar import haar2d_inv
+            quant0 = st.quantizer
+            blk = wavelet.wavelet_unquantize(dec, st.adapt, bs + 2,
+                                             pred.astype(np.int64),
+                                             quant0, pli)
+            if is_keyframe:
+                blk[0, 0] = d[y0, x0]
+            d[y0:y0 + n, x0:x0 + n] = blk
+            c[y0:y0 + n, x0:x0 + n] = haar2d_inv(
+                blk.astype(np.int32)[None])[0]
+            return
         predt = part.raster_to_coding(pred[None])[0].astype(np.int64)
         quant = max(1, st.quantizer)
         lossless = st.quantizer == 0
@@ -186,7 +202,9 @@ class Decoder:
         obs = st.bsize4(bx << bsi, by << bsi)
         w = st.frame_width >> xdec
         skip = 0
-        if pli == 0:
+        if ctx.get("use_haar_wavelet", False):
+            obs = bsi
+        elif pli == 0:
             skip = decode_cdf_adapt(
                 dec, st.adapt.skip_cdf[2 * bsi], 4 + (1 if bsi > 0 else 0),
                 st.adapt.skip_increment)
@@ -197,7 +215,8 @@ class Decoder:
             bs -= xdec
             if pli == 0:
                 st.set_bsize4_region(bx << bsi, by << bsi, 1 << bsi, bsi)
-            if ctx["l"] is not None:
+            if ctx["l"] is not None and not ctx.get("use_haar_wavelet",
+                                                    False):
                 assert pli > 0
                 n = 1 << (bs + 2)
                 dl = ctx["d"][0]
@@ -206,7 +225,7 @@ class Decoder:
                 src = dl[ly:ly + 2 * n + 2, lx:lx + 2 * n + 2]
                 ctx["l"] = intra.resample_luma_coeffs(
                     src, xdec, self.info.plane_dec[pli][1], bs, obs, n)
-            if pli > 0:
+            if pli > 0 and not ctx.get("use_haar_wavelet", False):
                 skip = decode_cdf_adapt(
                     dec, st.adapt.skip_cdf[2 * bsi + 1], 4,
                     st.adapt.skip_increment)
@@ -252,8 +271,6 @@ class Decoder:
         st.update_qm(qm)
         use_haar_wavelet = dec.decode_bool_q15(16384)
         is_golden = dec.decode_bool_q15(16384)
-        if use_haar_wavelet:
-            raise NotImplementedError("haar wavelet mode")
         if is_keyframe:
             for pli in range(info.nplanes):
                 for i in range(OD_QM_SIZE):
@@ -270,7 +287,8 @@ class Decoder:
                 for p in range(nplanes)]
         dtmp = [np.zeros_like(ctmp[p]) for p in range(nplanes)]
         ctx = {"is_keyframe": True, "use_activity_masking":
-               use_activity_masking, "d": dtmp, "l": None}
+               use_activity_masking, "d": dtmp, "l": None,
+               "use_haar_wavelet": use_haar_wavelet}
         for sby in range(st.nvsb):
             for sbx in range(st.nhsb):
                 for pli in range(nplanes):
@@ -286,10 +304,12 @@ class Decoder:
                     self._decode_recursive(dec, ctx, pli, sbx, sby,
                                            OD_NBSIZES - 1, xdec, hgrad,
                                            vgrad)
-        for pli in range(nplanes):
-            xdec = info.plane_dec[pli][0]
-            filt.apply_postfilter_frame_sbs(ctmp[pli], st.nhsb, st.nvsb,
-                                            xdec, info.plane_dec[pli][1])
+        if not use_haar_wavelet:
+            for pli in range(nplanes):
+                xdec = info.plane_dec[pli][0]
+                filt.apply_postfilter_frame_sbs(ctmp[pli], st.nhsb,
+                                                st.nvsb, xdec,
+                                                info.plane_dec[pli][1])
         # Dering (reference: src/decode.c:1000-1092).
         if st.quantizer != 0:
             self._decode_dering(dec, ctmp, is_keyframe)

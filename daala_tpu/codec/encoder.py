@@ -252,8 +252,13 @@ class Encoder:
             y0 = by << (2 + bs)
             x0 = bx << (2 + bs)
             n = 4 << bs
-            d[y0:y0 + n, x0:x0 + n] = dct.fdct2d(
-                c[y0:y0 + n, x0:x0 + n][None])[0]
+            if ctx.get("use_haar_wavelet", False):
+                from daala_tpu.ops.haar import haar2d
+                d[y0:y0 + n, x0:x0 + n] = haar2d(
+                    c[y0:y0 + n, x0:x0 + n][None])[0]
+            else:
+                d[y0:y0 + n, x0:x0 + n] = dct.fdct2d(
+                    c[y0:y0 + n, x0:x0 + n][None])[0]
         else:
             bs = bsi - xdec
             y0 = by << (2 + bs)
@@ -292,15 +297,30 @@ class Encoder:
         y0, x0 = by << 2, bx << 2
         is_keyframe = ctx["is_keyframe"]
         assert is_keyframe
+        use_haar = ctx.get("use_haar_wavelet", False)
         # Prediction (reference: od_encode_compute_pred).
         pred = np.zeros((n, n), np.int32)
-        if pli == 0:
-            predr = np.zeros(n * n, np.int32)
-            intra.hv_intra_pred(predr, d.reshape(-1), w, bx, by, st.bsize4,
-                                bs)
-            pred = predr.reshape(n, n)
+        if pli == 0 or use_haar:
+            pred = np.zeros((n, n), np.int32)
+            if pli == 0 and not use_haar:
+                predr = np.zeros(n * n, np.int32)
+                intra.hv_intra_pred(predr, d.reshape(-1), w, bx, by,
+                                    st.bsize4, bs)
+                pred = predr.reshape(n, n)
         else:
             pred = ctx["l"][:n, :n]
+        if use_haar:
+            from daala_tpu.codec import wavelet
+            from daala_tpu.ops.haar import haar2d_inv
+            dblk = d[y0:y0 + n, x0:x0 + n].astype(np.int64)
+            rec = wavelet.wavelet_quantize(enc, st.adapt, bs + 2, dblk,
+                                           pred.astype(np.int64),
+                                           st.quantizer, pli)
+            rec[0, 0] = dblk[0, 0]
+            d[y0:y0 + n, x0:x0 + n] = rec
+            c[y0:y0 + n, x0:x0 + n] = haar2d_inv(
+                rec.astype(np.int32)[None])[0]
+            return 0
         dblock = part.raster_to_coding(
             d[y0:y0 + n, x0:x0 + n][None])[0].astype(np.int64)
         predt = part.raster_to_coding(pred[None])[0].astype(np.int64)
@@ -334,7 +354,8 @@ class Encoder:
         assert bs <= bsi
         if bs == bsi:
             bs -= xdec
-            if ctx["l"] is not None:
+            if ctx["l"] is not None and not ctx.get("use_haar_wavelet",
+                                                    False):
                 assert pli > 0
                 n = 1 << (bs + 2)
                 dl = ctx["d"][0]
@@ -387,8 +408,6 @@ class Encoder:
         self._select_quantizers()
         is_keyframe = True
         use_haar_wavelet = st.quantizer == 0
-        if use_haar_wavelet:
-            raise NotImplementedError("lossless/wavelet mode")
         self.enc = enc = ec_mod.Encoder()
         # Frame flags (reference: src/encode.c:3031-3051).
         enc.encode_bool_q15(0, 16384)
@@ -396,7 +415,7 @@ class Encoder:
         enc.encode_uint(self.frame_count % OD_MAX_REORDER, OD_MAX_REORDER)
         enc.encode_bool_q15(1 if self.use_activity_masking else 0, 16384)
         enc.encode_bool_q15(self.qm_choice, 16384)
-        enc.encode_bool_q15(0, 16384)  # use_haar_wavelet
+        enc.encode_bool_q15(1 if use_haar_wavelet else 0, 16384)
         enc.encode_bool_q15(1, 16384)  # is_golden (keyframes are golden)
         st.update_qm(self.qm_choice)
         # QM interpolation + signaling (reference: src/encode.c:3052-3079).
@@ -407,9 +426,13 @@ class Encoder:
             for i in range(OD_QM_SIZE):
                 enc.encode_bits(st.pvq_qm_q4[pli][i], 8)
         st.adapt.reset(is_keyframe)
-        # Block size decision: fixed-size map for now.
-        st.init_superblock_split(self.fixed_bsize
-                                 if hasattr(self, "fixed_bsize") else 1)
+        # Block size decision: wavelet mode forces whole superblocks;
+        # otherwise a fixed-size map for now.
+        if use_haar_wavelet:
+            st.init_superblock_split(4)
+        else:
+            st.init_superblock_split(self.fixed_bsize
+                                     if hasattr(self, "fixed_bsize") else 1)
         # -- od_encode_coefficients ----------------------------------------
         enc.encode_uint(st.coded_quantizer, quantizer.N_CODED_QUANTIZERS)
         nplanes = info.nplanes
@@ -422,12 +445,15 @@ class Encoder:
             pic_h = (info.pic_height + (1 << yd) - 1) >> yd
             padded = img_plane_copy_pad(planes_u8[pli], pw, ph, pic_w, pic_h)
             coeffs = ref_plane_to_coeff(padded, st.quantizer == 0)
-            filt.apply_prefilter_frame_sbs(coeffs, st.nhsb, st.nvsb, xd, yd)
+            if not use_haar_wavelet:
+                filt.apply_prefilter_frame_sbs(coeffs, st.nhsb, st.nvsb,
+                                               xd, yd)
             ctmp.append(coeffs)
         dtmp = [np.zeros_like(ctmp[p]) for p in range(nplanes)]
         ctx = {"is_keyframe": True,
                "use_activity_masking": self.use_activity_masking,
-               "d": dtmp, "l": None}
+               "d": dtmp, "l": None,
+               "use_haar_wavelet": use_haar_wavelet}
         for sby in range(st.nvsb):
             for sbx in range(st.nhsb):
                 for pli in range(nplanes):
@@ -444,10 +470,12 @@ class Encoder:
                     self._encode_recursive(ctx, pli, sbx, sby,
                                            OD_NBSIZES - 1, xdec, hgrad,
                                            vgrad)
-        for pli in range(nplanes):
-            xdec = info.plane_dec[pli][0]
-            filt.apply_postfilter_frame_sbs(ctmp[pli], st.nhsb, st.nvsb,
-                                            xdec, info.plane_dec[pli][1])
+        if not use_haar_wavelet:
+            for pli in range(nplanes):
+                xdec = info.plane_dec[pli][0]
+                filt.apply_postfilter_frame_sbs(ctmp[pli], st.nhsb,
+                                                st.nvsb, xdec,
+                                                info.plane_dec[pli][1])
         if st.quantizer != 0:
             self._encode_dering(ctmp, planes_u8, is_keyframe)
         self.frame_count += 1

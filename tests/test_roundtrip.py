@@ -67,3 +67,40 @@ def test_encode_decode_roundtrip(w, h, quant, bsz):
             np.testing.assert_array_equal(
                 ref_frames[0][p], enc.recon[p],
                 err_msg="reference decoder plane %d" % p)
+
+
+@pytest.mark.skipif(not HAVE_ORACLE, reason="codec oracle unavailable")
+def test_lossless_byte_identical_to_reference():
+    """Wavelet/lossless mode has no RDO decisions, so our encoder must
+    produce byte-identical packets to the reference encoder."""
+    rng = np.random.default_rng(5)
+    w = h = 64
+    Y = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    Cb = rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8)
+    Cr = rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8)
+    renc = co.RefEncoder(w, h, quant=0, keyframe_rate=1)
+    renc.flush_headers()
+    ref_pkt = renc.encode_frame([Y, Cb, Cr], last=True)[0][0]
+    info = H.Info(pic_width=w, pic_height=h, nplanes=3,
+                  plane_dec=((0, 0), (1, 1), (1, 1), (0, 0)),
+                  keyframe_rate=1)
+    enc = Encoder(info, quant=0)
+    pkt = enc.encode_frame([Y, Cb, Cr])
+    assert pkt == ref_pkt
+
+
+def test_lossless_roundtrip_own():
+    rng = np.random.default_rng(17)
+    w, h = 96, 64
+    Y = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    Cb = rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8)
+    Cr = rng.integers(0, 256, (h // 2, w // 2)).astype(np.uint8)
+    info = H.Info(pic_width=w, pic_height=h, nplanes=3,
+                  plane_dec=((0, 0), (1, 1), (1, 1), (0, 0)),
+                  keyframe_rate=1)
+    enc = Encoder(info, quant=0)
+    pkt = enc.encode_frame([Y, Cb, Cr])
+    dec = Decoder(info)
+    frames = dec.decode_packet(pkt)
+    for p, plane in enumerate([Y, Cb, Cr]):
+        np.testing.assert_array_equal(frames[0][p], plane)
