@@ -20,6 +20,7 @@ from daala_tpu.ops import dct, filter as filt, intra
 from daala_tpu.ops import partition as part
 from daala_tpu.ops import pvq as P
 from daala_tpu.ops.haar import haar_kernel
+from daala_tpu.codec import mc as MC
 
 OD_NBSIZES = 5
 OD_MAX_REORDER = 16
@@ -42,6 +43,114 @@ class Decoder:
         self.info = info
         self.state = CodecState(info)
         self.frames = []
+        # Reference image ring (reference: src/state.h:216-219).
+        self.ref_imgs = [MC.RefImage(info) for _ in range(4)]
+        self.ref_imgi = [-1, -1, -1, -1]
+        self.mv_grid = MC.MVGrid(info.frame_width >> 3,
+                                 info.frame_height >> 3)
+        # Display reorder queue (reference: src/state.c:1115-1214).
+        self._out_slots = [None] * OD_MAX_REORDER
+        self._out_index = 0
+
+    # -- MV mesh decode (reference: src/decode.c:829-919,200-251) ----------
+
+    def _decode_mv(self, dec, num_refs, vx, vy, level, mv_res, width,
+                   height):
+        st = self.state
+        grid = self.mv_grid
+        if num_refs > 1:
+            ref_offset = 1 if st.frame_type == 2 else 0  # OD_B_FRAME
+            ref_pred = MC.get_ref_predictor(grid, st.frame_type, vx, vy,
+                                            level) - ref_offset
+            # mv_ref_cdf uses od_decode_cdf_adapt with increment 256.
+            ref = decode_cdf_adapt(dec, st.adapt.mv_ref_cdf[ref_pred],
+                                   num_refs, 256) + ref_offset
+            grid.ref[vy, vx] = ref
+        else:
+            grid.ref[vy, vx] = MC.OD_FRAME_PREV
+        ref = int(grid.ref[vy, vx])
+        pred, equal_mvs = MC.get_predictor(grid, vx, vy, level, mv_res, ref)
+        model = st.adapt.mv_model
+        sym = decode_cdf_adapt(dec, st.adapt.mv_small_cdf[equal_mvs], 16,
+                               st.adapt.mv_small_increment)
+        oy = sym >> 2
+        ox = sym & 3
+        if ox == 3:
+            x, st.adapt.mv_ex[level] = model.decode(
+                dec, width << (3 - mv_res), st.adapt.mv_ex[level], 6)
+            ox += x
+        if oy == 3:
+            y, st.adapt.mv_ey[level] = model.decode(
+                dec, height << (3 - mv_res), st.adapt.mv_ey[level], 6)
+            oy += y
+        if ox and dec.decode_bits(1):
+            ox = -ox
+        if oy and dec.decode_bits(1):
+            oy = -oy
+        if ref == MC.OD_FRAME_NEXT:
+            grid.mv1[vy, vx, 0] = (pred[0] + ox) * (1 << mv_res)
+            grid.mv1[vy, vx, 1] = (pred[1] + oy) * (1 << mv_res)
+        else:
+            grid.mv[vy, vx, 0] = (pred[0] + ox) * (1 << mv_res)
+            grid.mv[vy, vx, 1] = (pred[1] + oy) * (1 << mv_res)
+
+    def _dec_mv_unpack(self, dec, num_refs):
+        st = self.state
+        grid = self.mv_grid
+        grid.clear()
+        nhmvbs = grid.nhmvbs
+        nvmvbs = grid.nvmvbs
+        mv_res = dec.decode_uint(3)
+        st.adapt.set_mv_res(mv_res)
+        width = (self.info.frame_width + 32) << (3 - mv_res)
+        height = (self.info.frame_height + 32) << (3 - mv_res)
+        D0 = MC.OD_MVB_DELTA0
+        for vy in range(0, nvmvbs + 1, D0):
+            for vx in range(0, nhmvbs + 1, D0):
+                grid.valid[vy, vx] = 1
+                self._decode_mv(dec, num_refs, vx, vy, 0, mv_res, width,
+                                height)
+        level = 1
+        log_mvb_sz = MC.OD_LOG_MVB_DELTA0 - 1
+        while log_mvb_sz >= 0:
+            mvb_sz = 1 << log_mvb_sz
+            for vy in range(mvb_sz, nvmvbs + 1, 2 * mvb_sz):
+                for vx in range(mvb_sz, nhmvbs + 1, 2 * mvb_sz):
+                    if (grid.valid[vy - mvb_sz, vx - mvb_sz]
+                            and grid.valid[vy - mvb_sz, vx + mvb_sz]
+                            and grid.valid[vy + mvb_sz, vx + mvb_sz]
+                            and grid.valid[vy + mvb_sz, vx - mvb_sz]):
+                        ctx = MC.mv_split_flag_ctx(grid, vx, vy, level)
+                        cdf = st.adapt.split_flag_cdf[level - 1][ctx]
+                        valid = decode_cdf_adapt(
+                            dec, cdf, 2, st.adapt.split_flag_increment)
+                        grid.valid[vy, vx] = valid
+                        if valid:
+                            self._decode_mv(dec, num_refs, vx, vy, level,
+                                            mv_res, width, height)
+            level += 1
+            for vy in range(0, nvmvbs + 1, mvb_sz):
+                vx0 = mvb_sz if not (vy & mvb_sz) else 0
+                for vx in range(vx0, nhmvbs + 1, 2 * mvb_sz):
+                    ok = ((vy - mvb_sz < 0
+                           or grid.valid[vy - mvb_sz, vx])
+                          and (vx - mvb_sz < 0
+                               or grid.valid[vy, vx - mvb_sz])
+                          and (vy + mvb_sz > nvmvbs
+                               or grid.valid[vy + mvb_sz, vx])
+                          and (vx + mvb_sz > nhmvbs
+                               or grid.valid[vy, vx + mvb_sz]))
+                    if ok:
+                        ctx = MC.mv_split_flag_ctx(grid, vx, vy, level)
+                        cdf = st.adapt.split_flag_cdf[level - 1][ctx]
+                        valid = decode_cdf_adapt(
+                            dec, cdf, 2, st.adapt.split_flag_increment)
+                        grid.valid[vy, vx] = valid
+                        if valid:
+                            self._decode_mv(dec, num_refs, vx, vy, level,
+                                            mv_res, width, height)
+            level += 1
+            log_mvb_sz -= 1
 
     # -- keyframe DC (reference: src/decode.c:605-654) ----------------------
 
@@ -151,7 +260,16 @@ class Decoder:
             else:
                 pred = ctx["l"][:n, :n]
         else:
-            raise NotImplementedError("inter frames")
+            mcp = ctx["mc"][pli]
+            mdp = ctx["md"][pli]
+            if use_haar:
+                from daala_tpu.ops.haar import haar2d
+                mdp[y0:y0 + n, x0:x0 + n] = haar2d(
+                    mcp[y0:y0 + n, x0:x0 + n][None])[0]
+            else:
+                mdp[y0:y0 + n, x0:x0 + n] = dct.fdct2d(
+                    mcp[y0:y0 + n, x0:x0 + n][None])[0]
+            pred = mdp[y0:y0 + n, x0:x0 + n].copy()
         if use_haar:
             from daala_tpu.codec import wavelet
             from daala_tpu.ops.haar import haar2d_inv
@@ -183,12 +301,20 @@ class Decoder:
                             st.qm[off:off + slen],
                             st.qm_inv[off:off + slen], st.pvq_qm_q4[pli])
         if not is_keyframe:
-            raise NotImplementedError("inter DC")
+            # has_dc_skip DC coding (reference: src/decode.c:565-576).
+            adapt = st.adapt
+            if out[0]:
+                exl = adapt.ex_dc[pli][bs]
+                q, exl[0] = adapt.model_dc[pli].decode(dec, -1, exl[0], 2)
+                out[0] = 1 + q
+                if out[0] and dec.decode_bits(1):
+                    out[0] = -out[0]
+            out[0] = out[0] * dc_quant + predt[0]
         else:
             out[0] = d[y0, x0]
-        # Scatter back to raster; unscanned coeffs are zero on keyframes
-        # (od_init_skipped_coeffs).
-        base = np.zeros((n, n), np.int32)
+        # Scatter back to raster; unscanned coeffs are zero on keyframes,
+        # and take the prediction on inter frames (od_init_skipped_coeffs).
+        base = np.zeros((n, n), np.int32) if is_keyframe else pred.copy()
         blk = part.coding_to_raster(out[None].astype(np.int32), n,
                                     base=base[None])[0]
         d[y0:y0 + n, x0:x0 + n] = blk
@@ -215,8 +341,8 @@ class Decoder:
             bs -= xdec
             if pli == 0:
                 st.set_bsize4_region(bx << bsi, by << bsi, 1 << bsi, bsi)
-            if ctx["l"] is not None and not ctx.get("use_haar_wavelet",
-                                                    False):
+            if (ctx["l"] is not None and ctx["is_keyframe"]
+                    and not ctx.get("use_haar_wavelet", False)):
                 assert pli > 0
                 n = 1 << (bs + 2)
                 dl = ctx["d"][0]
@@ -242,7 +368,8 @@ class Decoder:
             hfilter = ((bx + 1) << (2 + bs)) <= self.info.pic_width
             vfilter = ((by + 1) << (2 + bs)) <= self.info.pic_height
             if not ctx["is_keyframe"]:
-                raise NotImplementedError("inter split prefilter")
+                filt.prefilter_split(ctx["mc"][pli], y0, x0, bs, f,
+                                     hfilter, vfilter)
             if ctx["is_keyframe"]:
                 hgrad, vgrad = self._decode_haar_dc_level(
                     dec, pli, 2 * bx, 2 * by, bsi - 1, xdec, hgrad, vgrad,
@@ -256,15 +383,23 @@ class Decoder:
     # -- frame decode -------------------------------------------------------
 
     def decode_packet(self, data: bytes):
+        """daala_decode_packet_in (reference: src/decode.c:1113-1249).
+        Returns the list of frames ready for display (in display order)."""
         st = self.state
         info = self.info
         dec = ec_mod.Decoder(data)
         if dec.decode_bool_q15(16384):
             raise ValueError("bad packet")
         is_keyframe = dec.decode_bool_q15(16384)
-        if not is_keyframe:
-            raise NotImplementedError("inter frames")
-        num_refs = 0
+        if is_keyframe:
+            frame_type = 0  # OD_I_FRAME
+        else:
+            frame_type = 2 if dec.decode_bool_q15(16384) else 1
+        st.frame_type = frame_type
+        if frame_type != 0:
+            num_refs = dec.decode_uint(OD_MAX_CODED_REFS) + 1
+        else:
+            num_refs = 0
         frame_number = dec.decode_uint(OD_MAX_REORDER)
         use_activity_masking = dec.decode_bool_q15(16384)
         qm = dec.decode_bool_q15(16384)
@@ -275,20 +410,55 @@ class Decoder:
             for pli in range(info.nplanes):
                 for i in range(OD_QM_SIZE):
                     st.pvq_qm_q4[pli][i] = dec.decode_bits(8)
+        # Reference buffer state (reference: src/decode.c:1174-1209).
+        if frame_type == 1:  # P
+            self.ref_imgi[MC.OD_FRAME_PREV] = self.ref_imgi[MC.OD_FRAME_NEXT]
+        if not is_keyframe:
+            if (self.ref_imgi[MC.OD_FRAME_GOLD] < 0
+                    or self.ref_imgi[MC.OD_FRAME_PREV] < 0):
+                self.ref_imgi[MC.OD_FRAME_GOLD] = 0
+                self.ref_imgi[MC.OD_FRAME_PREV] = 0
+                self.ref_imgi[MC.OD_FRAME_SELF] = 0
+                self.ref_imgs[0].blank()
+        refi = 0
+        while refi in (self.ref_imgi[MC.OD_FRAME_GOLD],
+                       self.ref_imgi[MC.OD_FRAME_PREV],
+                       self.ref_imgi[MC.OD_FRAME_NEXT]):
+            refi += 1
+        self.ref_imgi[MC.OD_FRAME_SELF] = refi
         st.adapt.reset(is_keyframe)
+        self_img = self.ref_imgs[refi]
+        if not is_keyframe:
+            self._dec_mv_unpack(dec, num_refs)
+            MC.mc_predict_frame(self.mv_grid, self.ref_imgs, self.ref_imgi,
+                                info, self_img)
         # -- od_decode_coefficients ----------------------------------------
         st.coded_quantizer = dec.decode_uint(quantizer.N_CODED_QUANTIZERS)
         st.quantizer = quantizer.codedquantizer_to_quantizer(
             st.coded_quantizer)
         nplanes = info.nplanes
         fw, fh = st.frame_width, st.frame_height
+        lossless = st.quantizer == 0
         ctmp = [np.zeros((fh >> info.plane_dec[p][1],
                           fw >> info.plane_dec[p][0]), np.int32)
                 for p in range(nplanes)]
         dtmp = [np.zeros_like(ctmp[p]) for p in range(nplanes)]
-        ctx = {"is_keyframe": True, "use_activity_masking":
+        mctmp = [None] * nplanes
+        mdtmp = [None] * nplanes
+        if not is_keyframe:
+            from daala_tpu.codec.state import ref_plane_to_coeff
+            for pli in range(nplanes):
+                xd, yd = info.plane_dec[pli]
+                mctmp[pli] = ref_plane_to_coeff(self_img.plane_view(pli),
+                                                lossless)
+                if not use_haar_wavelet:
+                    filt.apply_prefilter_frame_sbs(mctmp[pli], st.nhsb,
+                                                   st.nvsb, xd, yd)
+                mdtmp[pli] = np.zeros_like(mctmp[pli])
+        ctx = {"is_keyframe": bool(is_keyframe), "use_activity_masking":
                use_activity_masking, "d": dtmp, "l": None,
-               "use_haar_wavelet": use_haar_wavelet}
+               "use_haar_wavelet": use_haar_wavelet,
+               "mc": mctmp, "md": mdtmp}
         for sby in range(st.nvsb):
             for sbx in range(st.nhsb):
                 for pli in range(nplanes):
@@ -310,18 +480,41 @@ class Decoder:
                 filt.apply_postfilter_frame_sbs(ctmp[pli], st.nhsb,
                                                 st.nvsb, xdec,
                                                 info.plane_dec[pli][1])
-        # Dering (reference: src/decode.c:1000-1092).
         if st.quantizer != 0:
             self._decode_dering(dec, ctmp, is_keyframe)
-        # Output conversion.
+        # Store reconstruction into the SELF reference image.
+        for pli in range(nplanes):
+            self_img.plane_view(pli)[:, :] = coeff_to_ref_plane(
+                ctmp[pli], lossless)
+        self_img.edge_ext()
+        if is_golden:
+            self.ref_imgi[MC.OD_FRAME_GOLD] = refi
+        if frame_type != 2:  # not B
+            if (self.ref_imgi[MC.OD_FRAME_PREV] < 0
+                    and self.ref_imgi[MC.OD_FRAME_NEXT] < 0):
+                self.ref_imgi[MC.OD_FRAME_PREV] = refi
+                self.ref_imgi[MC.OD_FRAME_NEXT] = refi
+            else:
+                self.ref_imgi[MC.OD_FRAME_PREV] = \
+                    self.ref_imgi[MC.OD_FRAME_NEXT]
+                self.ref_imgi[MC.OD_FRAME_NEXT] = refi
+        # Output via the display reorder queue (cropped planes).
         planes = []
         for pli in range(nplanes):
-            xdec = info.plane_dec[pli][0]
-            ydec = info.plane_dec[pli][1]
-            full = coeff_to_ref_plane(ctmp[pli], st.quantizer == 0)
-            planes.append(full[:(info.pic_height + (1 << ydec) - 1) >> ydec,
-                               :(info.pic_width + (1 << xdec) - 1) >> xdec])
-        return [planes]
+            xd, yd = info.plane_dec[pli]
+            full = self_img.plane_view(pli)
+            planes.append(full[:(info.pic_height + (1 << yd) - 1) >> yd,
+                               :(info.pic_width + (1 << xd) - 1) >> xd]
+                          .copy())
+        slot = frame_number % OD_MAX_REORDER
+        assert self._out_slots[slot] is None
+        self._out_slots[slot] = planes
+        ready = []
+        while self._out_slots[self._out_index] is not None:
+            ready.append(self._out_slots[self._out_index])
+            self._out_slots[self._out_index] = None
+            self._out_index = (self._out_index + 1) % OD_MAX_REORDER
+        return ready
 
     def _decode_dering(self, dec, ctmp, is_keyframe):
         """Parse dering levels and apply the filter (reference:
