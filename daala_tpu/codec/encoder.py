@@ -24,6 +24,8 @@ from daala_tpu.codec.state import (CodecState, OD_DC_QM, OD_QM_SIZE,
                                    coeff_to_ref_plane, img_plane_copy_pad,
                                    ref_plane_to_coeff)
 from daala_tpu.codec.decoder import pvq_beta
+from daala_tpu.codec import mc as MC
+from daala_tpu.codec import mvest
 from daala_tpu.entropy import ec as ec_mod
 from daala_tpu.entropy.adapt import encode_cdf_adapt
 from daala_tpu.ops import _tables as T
@@ -87,6 +89,13 @@ class Encoder:
         self.use_dering = use_dering
         self.pvq_norm_lambda = OD_PVQ_LAMBDA
         self.frame_count = 0
+        self.ip_frame_count = 0
+        self.keyframe_rate = info.keyframe_rate
+        self.search_range = 16
+        self.ref_imgs = [MC.RefImage(info) for _ in range(4)]
+        self.ref_imgi = [-1, -1, -1, -1]
+        self.mv_grid = MC.MVGrid(info.frame_width >> 3,
+                                 info.frame_height >> 3)
 
     def flush_headers(self):
         return [headers.encode_info_header(self.info),
@@ -133,6 +142,97 @@ class Encoder:
         self.enc.rollback(ec_cp)
         self.state.adapt.__dict__.clear()
         self.state.adapt.__dict__.update(copy.deepcopy(adapt_dict))
+
+    # -- MV mesh encode (reference: src/encode.c:1847-1896,2441-2527) ------
+
+    def _encode_mv(self, enc, num_refs, vx, vy, level, mv_res, range_x,
+                   range_y):
+        st = self.state
+        grid = self.mv_grid
+        ref = int(grid.ref[vy, vx])
+        if num_refs > 1:
+            ref_offset = 1 if st.frame_type == 2 else 0
+            ref_pred = MC.get_ref_predictor(grid, st.frame_type, vx, vy,
+                                            level) - ref_offset
+            encode_cdf_adapt(enc, ref - ref_offset,
+                             st.adapt.mv_ref_cdf[ref_pred], num_refs, 256)
+        pred, equal_mvs = MC.get_predictor(grid, vx, vy, level, mv_res, ref)
+        if ref == MC.OD_FRAME_NEXT:
+            ox = (int(grid.mv1[vy, vx, 0]) >> mv_res) - pred[0]
+            oy = (int(grid.mv1[vy, vx, 1]) >> mv_res) - pred[1]
+        else:
+            ox = (int(grid.mv[vy, vx, 0]) >> mv_res) - pred[0]
+            oy = (int(grid.mv[vy, vx, 1]) >> mv_res) - pred[1]
+        model = st.adapt.mv_model
+        sym = min(abs(oy), 3) * 4 + min(abs(ox), 3)
+        encode_cdf_adapt(enc, sym, st.adapt.mv_small_cdf[equal_mvs], 16,
+                         st.adapt.mv_small_increment)
+        if abs(ox) >= 3:
+            st.adapt.mv_ex[level] = model.encode(
+                enc, abs(ox) - 3, range_x, st.adapt.mv_ex[level], 6)
+        if abs(oy) >= 3:
+            st.adapt.mv_ey[level] = model.encode(
+                enc, abs(oy) - 3, range_y, st.adapt.mv_ey[level], 6)
+        if abs(ox):
+            enc.encode_bits(1 if ox < 0 else 0, 1)
+        if abs(oy):
+            enc.encode_bits(1 if oy < 0 else 0, 1)
+
+    def _encode_mvs(self, enc, num_refs, mv_res=0):
+        st = self.state
+        grid = self.mv_grid
+        nhmvbs = grid.nhmvbs
+        nvmvbs = grid.nvmvbs
+        enc.encode_uint(mv_res, 3)
+        st.adapt.set_mv_res(mv_res)
+        # Note the reference's extra <<1 on the range here vs the decoder
+        # (reference: src/encode.c:2463-2464); kept for parity.
+        range_x = (self.info.frame_width + 32) << ((3 - mv_res) + 1)
+        range_y = (self.info.frame_height + 32) << ((3 - mv_res) + 1)
+        D0 = MC.OD_MVB_DELTA0
+        for vy in range(0, nvmvbs + 1, D0):
+            for vx in range(0, nhmvbs + 1, D0):
+                self._encode_mv(enc, num_refs, vx, vy, 0, mv_res, range_x,
+                                range_y)
+        level = 1
+        log_mvb_sz = MC.OD_LOG_MVB_DELTA0 - 1
+        while log_mvb_sz >= 0:
+            mvb_sz = 1 << log_mvb_sz
+            for vy in range(mvb_sz, nvmvbs + 1, 2 * mvb_sz):
+                for vx in range(mvb_sz, nhmvbs + 1, 2 * mvb_sz):
+                    if (grid.valid[vy - mvb_sz, vx - mvb_sz]
+                            and grid.valid[vy - mvb_sz, vx + mvb_sz]
+                            and grid.valid[vy + mvb_sz, vx + mvb_sz]
+                            and grid.valid[vy + mvb_sz, vx - mvb_sz]):
+                        ctx = MC.mv_split_flag_ctx(grid, vx, vy, level)
+                        cdf = st.adapt.split_flag_cdf[level - 1][ctx]
+                        encode_cdf_adapt(enc, int(grid.valid[vy, vx]), cdf,
+                                         2, st.adapt.split_flag_increment)
+                        if grid.valid[vy, vx]:
+                            self._encode_mv(enc, num_refs, vx, vy, level,
+                                            mv_res, range_x, range_y)
+            level += 1
+            for vy in range(0, nvmvbs + 1, mvb_sz):
+                vx0 = mvb_sz if not (vy & mvb_sz) else 0
+                for vx in range(vx0, nhmvbs + 1, 2 * mvb_sz):
+                    ok = ((vy - mvb_sz < 0
+                           or grid.valid[vy - mvb_sz, vx])
+                          and (vx - mvb_sz < 0
+                               or grid.valid[vy, vx - mvb_sz])
+                          and (vy + mvb_sz > nvmvbs
+                               or grid.valid[vy + mvb_sz, vx])
+                          and (vx + mvb_sz > nhmvbs
+                               or grid.valid[vy, vx + mvb_sz]))
+                    if ok:
+                        ctx = MC.mv_split_flag_ctx(grid, vx, vy, level)
+                        cdf = st.adapt.split_flag_cdf[level - 1][ctx]
+                        encode_cdf_adapt(enc, int(grid.valid[vy, vx]), cdf,
+                                         2, st.adapt.split_flag_increment)
+                        if grid.valid[vy, vx]:
+                            self._encode_mv(enc, num_refs, vx, vy, level,
+                                            mv_res, range_x, range_y)
+            level += 1
+            log_mvb_sz -= 1
 
     # -- keyframe DC tree ---------------------------------------------------
 
@@ -265,6 +365,9 @@ class Encoder:
             x0 = bx << (2 + bs)
             hfilter = ((bx + 1) << (2 + bs)) <= self.info.pic_width
             vfilter = ((by + 1) << (2 + bs)) <= self.info.pic_height
+            if not ctx["is_keyframe"]:
+                filt.prefilter_split(ctx["mc"][pli], y0, x0, bs, 0,
+                                     hfilter, vfilter)
             filt.prefilter_split(c, y0, x0, bs, 0, hfilter, vfilter)
             for sub in ((0, 0), (1, 0), (0, 1), (1, 1)):
                 self._compute_dcts(ctx, pli, 2 * bx + sub[0],
@@ -296,11 +399,26 @@ class Encoder:
         d = ctx["d"][pli]
         y0, x0 = by << 2, bx << 2
         is_keyframe = ctx["is_keyframe"]
-        assert is_keyframe
         use_haar = ctx.get("use_haar_wavelet", False)
+        if not is_keyframe:
+            # Forward transform of source and MC prediction (reference:
+            # src/encode.c:1296-1319).
+            mcp = ctx["mc"][pli]
+            mdp = ctx["md"][pli]
+            if use_haar:
+                from daala_tpu.ops.haar import haar2d
+                d[y0:y0 + n, x0:x0 + n] = haar2d(
+                    c[y0:y0 + n, x0:x0 + n][None])[0]
+                mdp[y0:y0 + n, x0:x0 + n] = haar2d(
+                    mcp[y0:y0 + n, x0:x0 + n][None])[0]
+            else:
+                d[y0:y0 + n, x0:x0 + n] = dct.fdct2d(
+                    c[y0:y0 + n, x0:x0 + n][None])[0]
+                mdp[y0:y0 + n, x0:x0 + n] = dct.fdct2d(
+                    mcp[y0:y0 + n, x0:x0 + n][None])[0]
+            pred = mdp[y0:y0 + n, x0:x0 + n].copy()
         # Prediction (reference: od_encode_compute_pred).
-        pred = np.zeros((n, n), np.int32)
-        if pli == 0 or use_haar:
+        elif pli == 0 or use_haar:
             pred = np.zeros((n, n), np.int32)
             if pli == 0 and not use_haar:
                 predr = np.zeros(n * n, np.int32)
@@ -335,8 +453,24 @@ class Encoder:
             nodesync, is_keyframe, st.qm[off:off + slen],
             st.qm_inv[off:off + slen], st.pvq_qm_q4[pli],
             self.pvq_norm_lambda, 0, (self._checkpoint, self._rollback))
-        out[0] = dblock[0]
-        base = np.zeros((n, n), np.int32)
+        if not is_keyframe:
+            # has_dc_skip DC coding (reference: src/encode.c:1363-1382).
+            lossless = st.quantizer == 0
+            dc_quant = max(1, quant *
+                           st.pvq_qm_q4[pli][P.qm_get_index(bs, 0)] >> 4) \
+                if not lossless else quant
+            adapt = st.adapt
+            dc_idx = int(out[0])
+            if dc_idx != 0:
+                exl = adapt.ex_dc[pli][bs]
+                exl[0] = adapt.model_dc[pli].encode(
+                    enc, abs(dc_idx) - 1, -1, exl[0], 2)
+                enc.encode_bits(1 if dc_idx < 0 else 0, 1)
+                skip = 0
+            out[0] = dc_idx * dc_quant + predt[0]
+        else:
+            out[0] = dblock[0]
+        base = np.zeros((n, n), np.int32) if is_keyframe else pred.copy()
         blk = part.coding_to_raster(out[None].astype(np.int32), n,
                                     base=base[None])[0]
         d[y0:y0 + n, x0:x0 + n] = blk
@@ -354,8 +488,8 @@ class Encoder:
         assert bs <= bsi
         if bs == bsi:
             bs -= xdec
-            if ctx["l"] is not None and not ctx.get("use_haar_wavelet",
-                                                    False):
+            if (ctx["l"] is not None and ctx["is_keyframe"]
+                    and not ctx.get("use_haar_wavelet", False)):
                 assert pli > 0
                 n = 1 << (bs + 2)
                 dl = ctx["d"][0]
@@ -377,6 +511,9 @@ class Encoder:
             x0 = bx << (2 + bs)
             hfilter = ((bx + 1) << (2 + bs)) <= self.info.pic_width
             vfilter = ((by + 1) << (2 + bs)) <= self.info.pic_height
+            if not ctx["is_keyframe"]:
+                filt.prefilter_split(ctx["mc"][pli], y0, x0, bs, 0,
+                                     hfilter, vfilter)
             # Note: c was already prefiltered by _compute_dcts on keyframes;
             # the reference prefilters again here for the reconstruction
             # buffer ... actually od_encode_recursive prefilters ctx->c at
@@ -402,32 +539,75 @@ class Encoder:
     # -- frame encode -------------------------------------------------------
 
     def encode_frame(self, planes_u8):
-        """Encode one keyframe; returns the packet bytes."""
+        """Encode one frame (I or P chosen by keyframe_rate / golden
+        interval); returns the packet bytes."""
         st = self.state
         info = self.info
+        self._orig_coeff_luma = None
         self._select_quantizers()
-        is_keyframe = True
+        is_keyframe = (self.frame_count % max(1, self.keyframe_rate)) == 0 \
+            or self.ref_imgi[MC.OD_FRAME_PREV] < 0
+        frame_type = 0 if is_keyframe else 1
+        st.frame_type = frame_type
+        is_golden = is_keyframe or (self.ip_frame_count % 10 == 0)
         use_haar_wavelet = st.quantizer == 0
+        if use_haar_wavelet and not is_keyframe:
+            raise NotImplementedError("lossless inter frames")
+        num_refs = 0
+        if not is_keyframe:
+            num_refs = 1
+        # Select a free SELF slot (reference: src/encode.c:2999-3002).
+        refi = 0
+        while refi in (self.ref_imgi[MC.OD_FRAME_GOLD],
+                       self.ref_imgi[MC.OD_FRAME_PREV],
+                       self.ref_imgi[MC.OD_FRAME_NEXT]):
+            refi += 1
+        self.ref_imgi[MC.OD_FRAME_SELF] = refi
+        self_img = self.ref_imgs[refi]
         self.enc = enc = ec_mod.Encoder()
         # Frame flags (reference: src/encode.c:3031-3051).
         enc.encode_bool_q15(0, 16384)
-        enc.encode_bool_q15(1, 16384)  # keyframe
+        enc.encode_bool_q15(1 if is_keyframe else 0, 16384)
+        if not is_keyframe:
+            enc.encode_bool_q15(0, 16384)  # not a B frame
+            enc.encode_uint(num_refs - 1, 2)  # OD_MAX_CODED_REFS
         enc.encode_uint(self.frame_count % OD_MAX_REORDER, OD_MAX_REORDER)
         enc.encode_bool_q15(1 if self.use_activity_masking else 0, 16384)
         enc.encode_bool_q15(self.qm_choice, 16384)
         enc.encode_bool_q15(1 if use_haar_wavelet else 0, 16384)
-        enc.encode_bool_q15(1, 16384)  # is_golden (keyframes are golden)
+        enc.encode_bool_q15(1 if is_golden else 0, 16384)
         st.update_qm(self.qm_choice)
-        # QM interpolation + signaling (reference: src/encode.c:3052-3079).
-        for pli in range(info.nplanes):
-            st.pvq_qm_q4[pli] = interp_qm(self.base_quantizer,
-                                          self.use_activity_masking, pli)
-        for pli in range(info.nplanes):
-            for i in range(OD_QM_SIZE):
-                enc.encode_bits(st.pvq_qm_q4[pli][i], 8)
+        if is_keyframe:
+            # QM interpolation + signaling (reference:
+            # src/encode.c:3052-3079).
+            for pli in range(info.nplanes):
+                st.pvq_qm_q4[pli] = interp_qm(self.base_quantizer,
+                                              self.use_activity_masking,
+                                              pli)
+            for pli in range(info.nplanes):
+                for i in range(OD_QM_SIZE):
+                    enc.encode_bits(st.pvq_qm_q4[pli][i], 8)
         st.adapt.reset(is_keyframe)
-        # Block size decision: wavelet mode forces whole superblocks;
-        # otherwise a fixed-size map for now.
+        # Pad the input planes once (reference: daala_image_copy_pad).
+        nplanes = info.nplanes
+        fw, fh = st.frame_width, st.frame_height
+        padded_in = []
+        for pli in range(nplanes):
+            xd, yd = info.plane_dec[pli]
+            pw, ph = fw >> xd, fh >> yd
+            pic_w = (info.pic_width + (1 << xd) - 1) >> xd
+            pic_h = (info.pic_height + (1 << yd) - 1) >> yd
+            padded_in.append(img_plane_copy_pad(planes_u8[pli], pw, ph,
+                                                pic_w, pic_h))
+        if not is_keyframe:
+            # Motion estimation + OBMC prediction into SELF.
+            mvest.estimate(self.mv_grid, padded_in[0],
+                           self.ref_imgs[self.ref_imgi[MC.OD_FRAME_PREV]],
+                           info, self.search_range)
+            MC.mc_predict_frame(self.mv_grid, self.ref_imgs, self.ref_imgi,
+                                info, self_img)
+            self._encode_mvs(enc, num_refs, mv_res=0)
+        # Block size decision.
         if use_haar_wavelet:
             st.init_superblock_split(4)
         else:
@@ -435,25 +615,37 @@ class Encoder:
                                      if hasattr(self, "fixed_bsize") else 1)
         # -- od_encode_coefficients ----------------------------------------
         enc.encode_uint(st.coded_quantizer, quantizer.N_CODED_QUANTIZERS)
-        nplanes = info.nplanes
-        fw, fh = st.frame_width, st.frame_height
+        lossless = st.quantizer == 0
         ctmp = []
+        mctmp = [None] * nplanes
+        mdtmp = [None] * nplanes
         for pli in range(nplanes):
             xd, yd = info.plane_dec[pli]
-            pw, ph = fw >> xd, fh >> yd
-            pic_w = (info.pic_width + (1 << xd) - 1) >> xd
-            pic_h = (info.pic_height + (1 << yd) - 1) >> yd
-            padded = img_plane_copy_pad(planes_u8[pli], pw, ph, pic_w, pic_h)
-            coeffs = ref_plane_to_coeff(padded, st.quantizer == 0)
+            coeffs = ref_plane_to_coeff(padded_in[pli], lossless)
             if not use_haar_wavelet:
                 filt.apply_prefilter_frame_sbs(coeffs, st.nhsb, st.nvsb,
                                                xd, yd)
             ctmp.append(coeffs)
+            if not is_keyframe:
+                mc_coeffs = ref_plane_to_coeff(self_img.plane_view(pli),
+                                               lossless)
+                if not use_haar_wavelet:
+                    filt.apply_prefilter_frame_sbs(mc_coeffs, st.nhsb,
+                                                   st.nvsb, xd, yd)
+                mctmp[pli] = mc_coeffs
+                mdtmp[pli] = np.zeros_like(mc_coeffs)
+                # Make the padding identical to the reference so no bits
+                # are wasted there (reference: src/encode.c:2662-2686).
+                pic_w = (info.pic_width + (1 << xd) - 1) >> xd
+                pic_h = (info.pic_height + (1 << yd) - 1) >> yd
+                coeffs[:, pic_w:] = mc_coeffs[:, pic_w:]
+                coeffs[pic_h:, :] = mc_coeffs[pic_h:, :]
         dtmp = [np.zeros_like(ctmp[p]) for p in range(nplanes)]
-        ctx = {"is_keyframe": True,
+        ctx = {"is_keyframe": bool(is_keyframe),
                "use_activity_masking": self.use_activity_masking,
                "d": dtmp, "l": None,
-               "use_haar_wavelet": use_haar_wavelet}
+               "use_haar_wavelet": use_haar_wavelet,
+               "mc": mctmp, "md": mdtmp}
         for sby in range(st.nvsb):
             for sbx in range(st.nhsb):
                 for pli in range(nplanes):
@@ -462,11 +654,12 @@ class Encoder:
                     ctx["l"] = (np.zeros((64, 64), np.int32) if pli > 0
                                 else None)
                     hgrad = vgrad = 0
-                    self._compute_dcts(ctx, pli, sbx, sby, OD_NBSIZES - 1,
-                                       xdec)
-                    hgrad, vgrad = self._quantize_haar_dc_sb(
-                        pli, sbx, sby, xdec,
-                        sby > 0 and sbx < st.nhsb - 1, dtmp[pli])
+                    if is_keyframe:
+                        self._compute_dcts(ctx, pli, sbx, sby,
+                                           OD_NBSIZES - 1, xdec)
+                        hgrad, vgrad = self._quantize_haar_dc_sb(
+                            pli, sbx, sby, xdec,
+                            sby > 0 and sbx < st.nhsb - 1, dtmp[pli])
                     self._encode_recursive(ctx, pli, sbx, sby,
                                            OD_NBSIZES - 1, xdec, hgrad,
                                            vgrad)
@@ -478,14 +671,24 @@ class Encoder:
                                                 info.plane_dec[pli][1])
         if st.quantizer != 0:
             self._encode_dering(ctmp, planes_u8, is_keyframe)
+        # Store the reconstruction into SELF + rotate references.
+        for pli in range(nplanes):
+            self_img.plane_view(pli)[:, :] = coeff_to_ref_plane(
+                ctmp[pli], lossless)
+        self_img.edge_ext()
+        if is_golden:
+            self.ref_imgi[MC.OD_FRAME_GOLD] = refi
+        # b_frames == 0: PREV <- SELF (reference: src/encode.c:3152-3155).
+        self.ref_imgi[MC.OD_FRAME_PREV] = refi
         self.frame_count += 1
+        self.ip_frame_count += 1
         self.recon = []
         for pli in range(nplanes):
             xd, yd = info.plane_dec[pli]
-            full = coeff_to_ref_plane(ctmp[pli], st.quantizer == 0)
+            full = self_img.plane_view(pli)
             self.recon.append(
                 full[:(info.pic_height + (1 << yd) - 1) >> yd,
-                     :(info.pic_width + (1 << xd) - 1) >> xd])
+                     :(info.pic_width + (1 << xd) - 1) >> xd].copy())
         return enc.done()
 
     def _encode_dering(self, ctmp, planes_u8, is_keyframe):
@@ -554,7 +757,7 @@ class Encoder:
         orig = ((planes_u8[0].astype(np.int32) - 128) << OD_COEFF_SHIFT) \
             if False else None
         # Build original-luma coefficients for this SB from the padded input.
-        pic = img_cache = getattr(self, "_orig_coeff_luma", None)
+        img_cache = getattr(self, "_orig_coeff_luma", None)
         if img_cache is None:
             xd, yd = self.info.plane_dec[0]
             pw, ph = st.frame_width, st.frame_height

@@ -104,3 +104,30 @@ def test_lossless_roundtrip_own():
     frames = dec.decode_packet(pkt)
     for p, plane in enumerate([Y, Cb, Cr]):
         np.testing.assert_array_equal(frames[0][p], plane)
+
+
+@pytest.mark.skipif(not HAVE_ORACLE, reason="codec oracle unavailable")
+def test_inter_encode_roundtrip():
+    """I+P sequence from our encoder: encoder-check against both our
+    decoder and the reference decoder."""
+    rng = np.random.default_rng(11)
+    w = h = 64
+    yy, xx = np.mgrid[0:h, 0:w]
+    tex = np.clip(128 + 45 * np.sin(xx / 6.0) * np.cos(yy / 5.0)
+                  + rng.normal(size=(h, w)) * 8, 0, 255).astype(np.uint8)
+    info = H.Info(pic_width=w, pic_height=h, nplanes=3,
+                  plane_dec=((0, 0), (1, 1), (1, 1), (0, 0)),
+                  keyframe_rate=100)
+    enc = Encoder(info, quant=22)
+    dec = Decoder(info)
+    ref_dec = co.RefDecoder(enc.flush_headers())
+    for t in range(3):
+        Y = np.roll(np.roll(tex, t, 0), 2 * t, 1)
+        Cb = np.full((h // 2, w // 2), 115, np.uint8)
+        Cr = np.full((h // 2, w // 2), 135, np.uint8)
+        pkt = enc.encode_frame([Y, Cb, Cr])
+        ours = dec.decode_packet(pkt)[0]
+        refs = ref_dec.decode_packet(pkt)[0]
+        for p in range(3):
+            np.testing.assert_array_equal(ours[p], enc.recon[p])
+            np.testing.assert_array_equal(refs[p], enc.recon[p])
