@@ -607,12 +607,19 @@ class Encoder:
             MC.mc_predict_frame(self.mv_grid, self.ref_imgs, self.ref_imgi,
                                 info, self_img)
             self._encode_mvs(enc, num_refs, mv_res=0)
-        # Block size decision.
+        # Block size decision: open-loop variance splitter by default
+        # (reference complexity 0-1 path); fixed_bsize overrides for tests.
         if use_haar_wavelet:
             st.init_superblock_split(4)
+        elif hasattr(self, "fixed_bsize"):
+            st.init_superblock_split(self.fixed_bsize)
         else:
-            st.init_superblock_split(self.fixed_bsize
-                                     if hasattr(self, "fixed_bsize") else 1)
+            from daala_tpu.codec import blocksize
+            pred_luma = None
+            if not is_keyframe:
+                pred_luma = self_img.plane_view(0)
+            blocksize.split_superblocks(st, padded_in[0], pred_luma,
+                                        st.quantizer)
         # -- od_encode_coefficients ----------------------------------------
         enc.encode_uint(st.coded_quantizer, quantizer.N_CODED_QUANTIZERS)
         lossless = st.quantizer == 0
