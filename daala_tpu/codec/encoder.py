@@ -134,14 +134,22 @@ class Encoder:
     # -- EC + adaptation checkpointing (reference: src/encode.c:742-750) ----
 
     def _checkpoint(self):
+        """Scoped checkpoint for the PVQ skip-RDO rollback: between the
+        checkpoint and rollback, pvq_encode_block only touches the EC, the
+        skip CDFs, and the PVQ adaptation subcontext, so only those are
+        saved (the reference memcpys the whole adapt ctx because that is
+        cheap in C, reference: src/encode.c:742-750)."""
+        adapt = self.state.adapt
         return (self.enc.checkpoint(),
-                copy.deepcopy(self.state.adapt.__dict__))
+                [list(r) for r in adapt.skip_cdf],
+                adapt.pvq.snapshot())
 
     def _rollback(self, cp):
-        ec_cp, adapt_dict = cp
+        ec_cp, skip_cdf, pvq_snap = cp
         self.enc.rollback(ec_cp)
-        self.state.adapt.__dict__.clear()
-        self.state.adapt.__dict__.update(copy.deepcopy(adapt_dict))
+        adapt = self.state.adapt
+        adapt.skip_cdf = [list(r) for r in skip_cdf]
+        adapt.pvq.restore(pvq_snap)
 
     # -- MV mesh encode (reference: src/encode.c:1847-1896,2441-2527) ------
 

@@ -305,9 +305,10 @@ def pvq_rate(qg, icgr, theta, ts, adapt, y0, k, n, is_keyframe, pli, speed):
     else:
         # Exact rate: run the codeword coder into a scratch encoder with a
         # cloned adaptation context (reference: src/pvq_encoder.c:268-277).
-        import copy
+        from daala_tpu.entropy.adapt import PvqCodewordCtx
         enc = ec_mod.Encoder()
-        cd = copy.deepcopy(adapt.pvq.pvq_codeword_ctx)
+        cd = PvqCodewordCtx()
+        cd.restore(adapt.pvq.pvq_codeword_ctx.snapshot())
         tell = enc.tell_frac()
         encode_pvq_codeword(enc, cd, y0, n - (1 if theta != -1 else 0), k)
         rate = (enc.tell_frac() - tell) / 8.0

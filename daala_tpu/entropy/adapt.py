@@ -30,8 +30,60 @@ def _cdfs(nc, n, val, first=None):
     return [cdf_init(n, val, first) for _ in range(nc)]
 
 
-class PvqCodewordCtx:
+def _clone_rows(rows):
+    return [list(r) for r in rows]
+
+
+class Snapshottable:
+    """Fast manual checkpoint/restore of the adaptation state.
+
+    The reference memcpys the whole od_adapt_ctx for every RDO checkpoint
+    (reference: src/encode.c:742-750); deepcopy is ~50x too slow in Python,
+    so each context clones its own flat list structure."""
+
+    _ROW_LISTS = ()    # attributes that are lists of lists of ints
+    _FLAT_LISTS = ()   # attributes that are flat lists of ints
+    _SCALARS = ()      # attributes that are plain ints
+    _CHILDREN = ()     # attributes that are Snapshottable (or lists of)
+
+    def snapshot(self):
+        snap = {}
+        for a in self._ROW_LISTS:
+            snap[a] = _clone_rows(getattr(self, a))
+        for a in self._FLAT_LISTS:
+            snap[a] = list(getattr(self, a))
+        for a in self._SCALARS:
+            snap[a] = getattr(self, a)
+        for a in self._CHILDREN:
+            c = getattr(self, a)
+            if isinstance(c, list):
+                snap[a] = [x.snapshot() for x in c]
+            else:
+                snap[a] = c.snapshot()
+        return snap
+
+    def restore(self, snap):
+        for a in self._ROW_LISTS:
+            setattr(self, a, _clone_rows(snap[a]))
+        for a in self._FLAT_LISTS:
+            setattr(self, a, list(snap[a]))
+        for a in self._SCALARS:
+            setattr(self, a, snap[a])
+        for a in self._CHILDREN:
+            c = getattr(self, a)
+            if isinstance(c, list):
+                for x, xs in zip(c, snap[a]):
+                    x.restore(xs)
+            else:
+                c.restore(snap[a])
+
+
+class PvqCodewordCtx(Snapshottable):
     """od_pvq_codeword_ctx (reference: src/pvq.h:125-133)."""
+
+    _ROW_LISTS = ("pvq_k1_cdf", "pvq_split_cdf")
+    _FLAT_LISTS = ("pvq_adapt",)
+    _SCALARS = ("pvq_k1_increment", "pvq_split_increment")
 
     def reset(self):
         self.pvq_adapt = [0] * (2 * OD_NBSIZES * OD_NSB_ADAPT_CTXS)
@@ -46,8 +98,22 @@ class PvqCodewordCtx:
         self.pvq_split_cdf = _cdfs(14 * 7, 8, self.pvq_split_increment >> 1)
 
 
-class PvqAdaptCtx:
+class PvqAdaptCtx(Snapshottable):
     """od_pvq_adapt_ctx (reference: src/pvq.h:135-146)."""
+
+    _ROW_LISTS = ("pvq_gaintheta_cdf", "pvq_skip_dir_cdf")
+    _FLAT_LISTS = ("pvq_ext",)
+    _SCALARS = ("pvq_gaintheta_increment", "pvq_skip_dir_increment")
+    _CHILDREN = ("pvq_codeword_ctx", "pvq_param_model")
+
+    def snapshot(self):
+        snap = super().snapshot()
+        snap["pvq_exg"] = [[list(b) for b in p] for p in self.pvq_exg]
+        return snap
+
+    def restore(self, snap):
+        super().restore(snap)
+        self.pvq_exg = [[list(b) for b in p] for p in snap["pvq_exg"]]
 
     def reset(self, is_keyframe: bool):
         self.pvq_codeword_ctx = PvqCodewordCtx()
@@ -66,8 +132,33 @@ class PvqAdaptCtx:
                                       self.pvq_skip_dir_increment >> 2)
 
 
-class AdaptCtx:
+class AdaptCtx(Snapshottable):
     """od_adapt_ctx (reference: src/state.h:141-175)."""
+
+    _ROW_LISTS = ("mv_ref_cdf", "mv_small_cdf", "skip_cdf",
+                  "haar_coeff_cdf", "haar_split_cdf", "haar_bits_cdf",
+                  "dering_cdf", "q_cdf")
+    _FLAT_LISTS = ("mv_ex", "mv_ey", "ex_sb_dc")
+    _SCALARS = ("mv_small_increment", "split_flag_increment",
+                "skip_increment", "haar_coeff_increment",
+                "haar_split_increment", "haar_bits_increment",
+                "dering_increment", "q_increment")
+    _CHILDREN = ("pvq", "mv_model", "model_dc")
+
+    def snapshot(self):
+        snap = super().snapshot()
+        snap["split_flag_cdf"] = [
+            [list(r) for r in lvl] for lvl in self.split_flag_cdf]
+        snap["ex_dc"] = [[list(b) for b in p] for p in self.ex_dc]
+        snap["ex_g"] = [list(p) for p in self.ex_g]
+        return snap
+
+    def restore(self, snap):
+        super().restore(snap)
+        self.split_flag_cdf = [
+            [list(r) for r in lvl] for lvl in snap["split_flag_cdf"]]
+        self.ex_dc = [[list(b) for b in p] for p in snap["ex_dc"]]
+        self.ex_g = [list(p) for p in snap["ex_g"]]
 
     def reset(self, is_keyframe: bool):
         self.pvq = PvqAdaptCtx()

@@ -144,6 +144,13 @@ class GenericModel:
         self.cdf = [[(j + 1) * self.increment for j in range(16)]
                     for _ in range(GENERIC_TABLES)]
 
+    def snapshot(self):
+        return (self.increment, [list(r) for r in self.cdf])
+
+    def restore(self, snap):
+        self.increment = snap[0]
+        self.cdf = [list(r) for r in snap[1]]
+
     def _params(self, ex_q16: int):
         lg_q1 = log_ex(ex_q16)
         shift = max(0, (lg_q1 - 5) >> 1)

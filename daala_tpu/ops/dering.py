@@ -44,22 +44,32 @@ def _i16(x):
     return x.astype(np.int16)
 
 
+_DIR_IDX = None
+
+
+def _dir_index_maps():
+    """Precomputed (8, 8, 8) index maps for the 8 directional projections
+    (reference: src/dering.c:54-62)."""
+    global _DIR_IDX
+    if _DIR_IDX is None:
+        i = np.arange(8)[:, None] + np.zeros((1, 8), np.int64)
+        j = np.arange(8)[None, :] + np.zeros((8, 1), np.int64)
+        i = i.astype(np.int64)
+        j = j.astype(np.int64)
+        _DIR_IDX = np.stack([
+            i + j, i + j // 2, i, 3 + i - j // 2, 7 + i - j,
+            3 - i // 2 + j, j, i // 2 + j]).astype(np.int64)
+    return _DIR_IDX
+
+
 def dir_find8(block8, coeff_shift):
     """od_dir_find8 on one 8x8 int array; returns (dir, var)
     (reference: src/dering.c:61-125)."""
     x = (block8.astype(np.int64)) >> coeff_shift
-    partial = [np.zeros(15, np.int64) for _ in range(8)]
-    for i in range(8):
-        for j in range(8):
-            v = int(x[i, j])
-            partial[0][i + j] += v
-            partial[1][i + j // 2] += v
-            partial[2][i] += v
-            partial[3][3 + i - j // 2] += v
-            partial[4][7 + i - j] += v
-            partial[5][3 - i // 2 + j] += v
-            partial[6][j] += v
-            partial[7][i // 2 + j] += v
+    idx = _dir_index_maps()
+    partial = [np.bincount(idx[d].ravel(), weights=x.ravel(),
+                           minlength=15).astype(np.int64)
+               for d in range(8)]
     cost = [0] * 8
     for i in range(8):
         cost[2] += int(partial[2][i]) ** 2
