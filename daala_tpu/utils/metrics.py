@@ -1,0 +1,158 @@
+"""Quality metrics: PSNR, PSNR-HVS-M, SSIM, MS-SSIM.
+
+Equivalents of the reference's offline metric tools
+(reference: tools/dump_psnr.c, tools/dump_psnrhvs.c, tools/dump_ssim.c,
+tools/dump_msssim.c).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def psnr(a, b, maxval=255.0):
+    mse = np.mean((np.asarray(a, np.float64) - np.asarray(b, np.float64))
+                  ** 2)
+    if mse == 0:
+        return float("inf")
+    return 10 * np.log10(maxval * maxval / mse)
+
+
+# CSF weights for PSNR-HVS (reference: tools/dump_psnrhvs.c:80-120).
+_CSF_Y = np.array([
+    [1.6193873005, 2.2901594831, 2.08509755623, 1.48366094411,
+     0.999227625638, 0.622557230743, 0.404589405388, 0.271306656997],
+    [2.2901594831, 1.94321815382, 2.04793073064, 1.68731108984,
+     1.2305666963, 0.767913815959, 0.505312529424, 0.338240959913],
+    [2.08509755623, 2.04793073064, 1.34329019223, 1.09205635862,
+     0.875087929243, 0.60512836623, 0.448943958666, 0.30881878844],
+    [1.48366094411, 1.68731108984, 1.09205635862, 0.772819797575,
+     0.605636379554, 0.448943958666, 0.352474791098, 0.247682437031],
+    [0.999227625638, 1.2305666963, 0.875087929243, 0.605636379554,
+     0.448943958666, 0.352474791098, 0.283797458834, 0.210228316969],
+    [0.622557230743, 0.767913815959, 0.60512836623, 0.448943958666,
+     0.352474791098, 0.283797458834, 0.235186582729, 0.180712592073],
+    [0.404589405388, 0.505312529424, 0.448943958666, 0.352474791098,
+     0.283797458834, 0.235186582729, 0.200261666352, 0.160314207231],
+    [0.271306656997, 0.338240959913, 0.30881878844, 0.247682437031,
+     0.210228316969, 0.180712592073, 0.160314207231, 0.137109189847]])
+
+
+def _dct8_f(block):
+    """Float 8x8 type-II DCT (for the metric only)."""
+    n = 8
+    k = np.arange(n)
+    c = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * k[None, :] + 1)
+                                  * k[:, None] / (2 * n))
+    c[0] /= np.sqrt(2)
+    return c @ block @ c.T
+
+
+def psnr_hvs(a, b, step=7):
+    """PSNR-HVS-M-style metric on one plane (reference:
+    tools/dump_psnrhvs.c)."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    h, w = a.shape
+    total = 0.0
+    count = 0
+    for y in range(0, h - 7, step):
+        for x in range(0, w - 7, step):
+            da = _dct8_f(a[y:y + 8, x:x + 8])
+            db = _dct8_f(b[y:y + 8, x:x + 8])
+            d = (da - db) * _CSF_Y
+            total += np.sum(d * d)
+            count += 64
+    if total == 0:
+        return float("inf")
+    return 10 * np.log10(255 * 255 / (total / count))
+
+
+def _fspecial_gauss(size, sigma):
+    x = np.arange(size) - (size - 1) / 2.0
+    g = np.exp(-(x ** 2) / (2 * sigma ** 2))
+    k = np.outer(g, g)
+    return k / k.sum()
+
+
+def _filter2_valid(img, kernel):
+    kh, kw = kernel.shape
+    h, w = img.shape
+    out = np.zeros((h - kh + 1, w - kw + 1))
+    for i in range(kh):
+        for j in range(kw):
+            out += kernel[i, j] * img[i:i + h - kh + 1, j:j + w - kw + 1]
+    return out
+
+
+def ssim(a, b, k1=0.01, k2=0.03, maxval=255.0):
+    """Single-scale SSIM with an 11x11 gaussian window (reference:
+    tools/dump_ssim.c)."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    win = _fspecial_gauss(11, 1.5)
+    c1 = (k1 * maxval) ** 2
+    c2 = (k2 * maxval) ** 2
+    mu_a = _filter2_valid(a, win)
+    mu_b = _filter2_valid(b, win)
+    sa = _filter2_valid(a * a, win) - mu_a ** 2
+    sb = _filter2_valid(b * b, win) - mu_b ** 2
+    sab = _filter2_valid(a * b, win) - mu_a * mu_b
+    num = (2 * mu_a * mu_b + c1) * (2 * sab + c2)
+    den = (mu_a ** 2 + mu_b ** 2 + c1) * (sa + sb + c2)
+    return float(np.mean(num / den))
+
+
+def ms_ssim(a, b, levels=5):
+    """Multi-scale SSIM (reference: tools/dump_msssim.c)."""
+    weights = [0.0448, 0.2856, 0.3001, 0.2363, 0.1333][:levels]
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    vals = []
+    for lvl in range(levels):
+        win = _fspecial_gauss(11, 1.5)
+        c2 = (0.03 * 255) ** 2
+        mu_a = _filter2_valid(a, win)
+        mu_b = _filter2_valid(b, win)
+        sa = _filter2_valid(a * a, win) - mu_a ** 2
+        sb = _filter2_valid(b * b, win) - mu_b ** 2
+        sab = _filter2_valid(a * b, win) - mu_a * mu_b
+        cs = np.mean((2 * sab + c2) / (sa + sb + c2))
+        if lvl == levels - 1:
+            c1 = (0.01 * 255) ** 2
+            l = np.mean((2 * mu_a * mu_b + c1)
+                        / (mu_a ** 2 + mu_b ** 2 + c1))
+            vals.append(l * cs)
+        else:
+            vals.append(cs)
+        if lvl < levels - 1:
+            a = (a[0::2, 0::2] + a[1::2, 0::2] + a[0::2, 1::2]
+                 + a[1::2, 1::2])[:a.shape[0] // 2, :a.shape[1] // 2] / 4
+            b = (b[0::2, 0::2] + b[1::2, 0::2] + b[0::2, 1::2]
+                 + b[1::2, 1::2])[:b.shape[0] // 2, :b.shape[1] // 2] / 4
+    out = 1.0
+    for v, wgt in zip(vals, weights):
+        out *= max(v, 0) ** wgt
+    return float(out)
+
+
+def bd_rate(rate1, dist1, rate2, dist2):
+    """Bjontegaard delta-rate between two RD curves (reference:
+    tools/bjontegaard.c, tools/bd_rate.sh): average bitrate difference in
+    percent over the overlapping quality interval."""
+    r1 = np.log(np.asarray(rate1, np.float64))
+    r2 = np.log(np.asarray(rate2, np.float64))
+    d1 = np.asarray(dist1, np.float64)
+    d2 = np.asarray(dist2, np.float64)
+    p1 = np.polyfit(d1, r1, 3)
+    p2 = np.polyfit(d2, r2, 3)
+    lo = max(d1.min(), d2.min())
+    hi = min(d1.max(), d2.max())
+    if hi <= lo:
+        raise ValueError("no overlap between RD curves")
+    q1 = np.polyint(p1)
+    q2 = np.polyint(p2)
+    int1 = np.polyval(q1, hi) - np.polyval(q1, lo)
+    int2 = np.polyval(q2, hi) - np.polyval(q2, lo)
+    avg_diff = (int2 - int1) / (hi - lo)
+    return (np.exp(avg_diff) - 1) * 100

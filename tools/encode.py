@@ -1,0 +1,60 @@
+#!/usr/bin/env python3
+"""CLI encoder: y4m -> Ogg/Daala (equivalent of the reference's
+encoder_example, reference: examples/encoder_example.c)."""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
+
+from daala_tpu.codec import headers as H
+from daala_tpu.codec.encoder import Encoder
+from daala_tpu.utils.ogg import OggPageWriter
+from daala_tpu.utils.y4m import Y4MReader
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("input", help="input .y4m")
+    ap.add_argument("output", help="output .ogv")
+    ap.add_argument("-v", "--video-quality", type=int, default=10,
+                    help="0 = lossless, 1..511 coarser (like the "
+                         "reference's -v)")
+    ap.add_argument("-k", "--keyframe-rate", type=int, default=256)
+    ap.add_argument("--limit", type=int, default=0,
+                    help="max frames to encode (0 = all)")
+    ap.add_argument("--no-dering", action="store_true")
+    args = ap.parse_args()
+
+    rd = Y4MReader(args.input)
+    dec = tuple(rd.dec) + (((0, 0),) if rd.nplanes == 3 else ())
+    info = H.Info(pic_width=rd.width, pic_height=rd.height,
+                  nplanes=rd.nplanes, plane_dec=dec,
+                  keyframe_rate=args.keyframe_rate,
+                  timebase_numerator=rd.fps[0],
+                  timebase_denominator=rd.fps[1])
+    enc = Encoder(info, quant=args.video_quality,
+                  use_dering=not args.no_dering)
+    with open(args.output, "wb") as f:
+        ogg = OggPageWriter(f, serial=0x0da1a)
+        for hpkt in enc.flush_headers():
+            ogg.add_packet(hpkt, 0, flush=True)
+        n = 0
+        t0 = time.time()
+        for planes in rd:
+            pkt = enc.encode_frame(planes)
+            ogg.add_packet(pkt, n + 1, flush=True)
+            n += 1
+            if args.limit and n >= args.limit:
+                break
+        ogg.close()
+    dt = time.time() - t0
+    print("encoded %d frames in %.2fs (%.2f fps, %.3f Mpix/s)"
+          % (n, dt, n / dt, n * rd.width * rd.height / dt / 1e6))
+
+
+if __name__ == "__main__":
+    main()
