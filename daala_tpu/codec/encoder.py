@@ -78,11 +78,16 @@ def interp_qm(q, use_masking, pli):
 
 class Encoder:
     def __init__(self, info: headers.Info, quant=10, complexity=7,
-                 use_activity_masking=True, qm=OD_HVS_QM, use_dering=True):
+                 use_activity_masking=True, qm=OD_HVS_QM, use_dering=True,
+                 bitrate=0):
         self.info = info
         self.state = CodecState(info)
         # OD_SET_QUANT semantics (reference: src/encode.c OD_SET_QUANT).
         self.quality = (quant << 4) - 8 if quant > 0 else 0
+        if quant < 0:
+            self.quality = -1
+        from daala_tpu.codec.rate import RateControl
+        self.rc = RateControl(self, bitrate)
         self.complexity = complexity
         self.use_activity_masking = use_activity_masking
         self.qm_choice = qm
@@ -105,8 +110,28 @@ class Encoder:
     # -- quantizer selection (no rate control; reference:
     #    src/rate.c:776-840) --------------------------------------------
 
-    def _select_quantizers(self):
+    def _select_quantizers(self, frame_type=0, is_golden=1):
         st = self.state
+        if self.rc.target_bitrate > 0:
+            # CBR mode (reference: src/rate.c:840-1065).
+            lossy_q_min = quantizer.codedquantizer_to_quantizer(1)
+            lossy_q_max = quantizer.codedquantizer_to_quantizer(
+                quantizer.N_CODED_QUANTIZERS - 1)
+            target, base = self.rc.select_quantizer(
+                frame_type, is_golden, self.frame_count,
+                max(1, self.keyframe_rate), 1, 0, self.quality,
+                self.frame_count, lossy_q_min, lossy_q_max)
+            self.base_quantizer = base
+            self.target_quantizer = target
+            st.coded_quantizer = quantizer.quantizer_to_codedquantizer(
+                target)
+            st.quantizer = quantizer.codedquantizer_to_quantizer(
+                st.coded_quantizer)
+            self.bs_rdo_lambda = OD_PVQ_LAMBDA * (1.0 / (1 << 3)) * \
+                self.target_quantizer ** 2
+            self.dering_lambda = 0.67 * OD_PVQ_LAMBDA * \
+                self.target_quantizer ** 2
+            return
         if self.quality == 0:
             self.base_quantizer = 0
             self.target_quantizer = 0
@@ -552,12 +577,12 @@ class Encoder:
         st = self.state
         info = self.info
         self._orig_coeff_luma = None
-        self._select_quantizers()
         is_keyframe = (self.frame_count % max(1, self.keyframe_rate)) == 0 \
             or self.ref_imgi[MC.OD_FRAME_PREV] < 0
         frame_type = 0 if is_keyframe else 1
         st.frame_type = frame_type
         is_golden = is_keyframe or (self.ip_frame_count % 10 == 0)
+        self._select_quantizers(frame_type, int(is_golden))
         use_haar_wavelet = st.quantizer == 0
         if use_haar_wavelet and not is_keyframe:
             raise NotImplementedError("lossless inter frames")
@@ -697,6 +722,11 @@ class Encoder:
         self.ref_imgi[MC.OD_FRAME_PREV] = refi
         self.frame_count += 1
         self.ip_frame_count += 1
+        packet = enc.done()
+        if self.rc.target_bitrate > 0:
+            self.rc.update(len(packet) * 8, int(is_golden), frame_type,
+                           0, self.target_quantizer)
+        self._packet = packet
         self.recon = []
         for pli in range(nplanes):
             xd, yd = info.plane_dec[pli]
@@ -704,7 +734,7 @@ class Encoder:
             self.recon.append(
                 full[:(info.pic_height + (1 << yd) - 1) >> yd,
                      :(info.pic_width + (1 << xd) - 1) >> xd].copy())
-        return enc.done()
+        return self._packet
 
     def _encode_dering(self, ctmp, planes_u8, is_keyframe):
         """Dering RDO + signaling (reference: src/encode.c:2680-2842).
