@@ -51,6 +51,10 @@ class Decoder:
         # Display reorder queue (reference: src/state.c:1115-1214).
         self._out_slots = [None] * OD_MAX_REORDER
         self._out_index = 0
+        # Optional bit accounting (reference: src/accounting.h:34-60):
+        # when enabled, every symbol decode records (label, bits_q3).
+        self.accounting_enabled = False
+        self.accounting = None
 
     # -- MV mesh decode (reference: src/decode.c:829-919,200-251) ----------
 
@@ -388,6 +392,8 @@ class Decoder:
         st = self.state
         info = self.info
         dec = ec_mod.Decoder(data)
+        if self.accounting_enabled:
+            self.accounting = _install_accounting(dec)
         if dec.decode_bool_q15(16384):
             raise ValueError("bad packet")
         is_keyframe = dec.decode_bool_q15(16384)
@@ -566,3 +572,23 @@ class Decoder:
                         ctmp[pli][sby << ln:(sby << ln) + n,
                                   sbx << ln:(sbx << ln) + n] = out
         st.dering_level = levels
+
+
+def _install_accounting(dec):
+    """Wrap the EC decoder's symbol methods to record per-symbol bit usage
+    (equivalent of OD_ACCOUNTING builds, reference: src/accounting.c)."""
+    records = []
+    for name in ("decode_bool_q15", "decode_cdf_q15", "decode_cdf",
+                 "decode_cdf_unscaled", "decode_uint", "decode_bits",
+                 "decode_cdf_dyadic"):
+        orig = getattr(dec, name)
+
+        def wrap(orig=orig, name=name):
+            def g(*a, **k):
+                t0 = dec.tell_frac()
+                r = orig(*a, **k)
+                records.append((name, dec.tell_frac() - t0))
+                return r
+            return g
+        setattr(dec, name, wrap())
+    return records
