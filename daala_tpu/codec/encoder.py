@@ -96,6 +96,9 @@ class Encoder:
         self.frame_count = 0
         self.ip_frame_count = 0
         self.keyframe_rate = info.keyframe_rate
+        self.b_frames = 0
+        self._pending = []   # display-order frames awaiting coding
+        self._display_idx = 0
         self.search_range = 16
         self.ref_imgs = [MC.RefImage(info) for _ in range(4)]
         self.ref_imgi = [-1, -1, -1, -1]
@@ -572,23 +575,70 @@ class Encoder:
     # -- frame encode -------------------------------------------------------
 
     def encode_frame(self, planes_u8):
-        """Encode one frame (I or P chosen by keyframe_rate / golden
-        interval); returns the packet bytes."""
+        """Push one display-order frame; returns the list of packets
+        ready (with B-frames, packets can lag or batch)."""
+        self._pending.append((self._display_idx, planes_u8))
+        self._display_idx += 1
+        out = []
+        delay = self.b_frames + 1
+        if self._display_idx == 1:
+            d, fr = self._pending.pop(0)
+            out.append(self._encode_one(fr, 0, d))
+        elif len(self._pending) == delay:
+            # Code the last frame of the group as I/P, then the ones in
+            # between as B (open-GOP batching, reference:
+            # src/encode.c:240-366).
+            d, fr = self._pending[-1]
+            out.append(self._encode_one(fr, self._closed_form_type(), d))
+            for d, fr in self._pending[:-1]:
+                out.append(self._encode_one(fr, 2, d))
+            self._pending = []
+        return out
+
+    def flush(self):
+        """Drain remaining queued frames (end of input)."""
+        out = []
+        if self._pending:
+            d, fr = self._pending[-1]
+            out.append(self._encode_one(fr, self._closed_form_type(), d))
+            for d, fr in self._pending[:-1]:
+                out.append(self._encode_one(fr, 2, d))
+            self._pending = []
+        return out
+
+    def _closed_form_type(self):
+        """I or P for the group-ending frame (open GOP: I every
+        keyframe_rate coded frames)."""
+        if self.keyframe_rate <= 1:
+            return 0
+        ft, _, _ = self.rc.frame_type(self.frame_count,
+                                      max(1, self.keyframe_rate),
+                                      self.b_frames + 1, self.b_frames)
+        return 0 if ft == 0 else 1
+
+    def _encode_one(self, planes_u8, frame_type, display_order):
         st = self.state
         info = self.info
         self._orig_coeff_luma = None
-        is_keyframe = (self.frame_count % max(1, self.keyframe_rate)) == 0 \
-            or self.ref_imgi[MC.OD_FRAME_PREV] < 0
-        frame_type = 0 if is_keyframe else 1
+        if self.ref_imgi[MC.OD_FRAME_PREV] < 0:
+            frame_type = 0
+        is_keyframe = frame_type == 0
         st.frame_type = frame_type
-        is_golden = is_keyframe or (self.ip_frame_count % 10 == 0)
+        is_golden = is_keyframe or (frame_type != 2
+                                    and self.ip_frame_count % 10 == 0)
         self._select_quantizers(frame_type, int(is_golden))
         use_haar_wavelet = st.quantizer == 0
         if use_haar_wavelet and not is_keyframe:
             raise NotImplementedError("lossless inter frames")
         num_refs = 0
-        if not is_keyframe:
+        if frame_type == 1:
             num_refs = 1
+        elif frame_type == 2:
+            num_refs = 2  # PREV + NEXT per-vertex selection
+        # Reference rotation before coding (reference:
+        # src/encode.c:2984-2990).
+        if self.b_frames != 0 and frame_type == 1:
+            self.ref_imgi[MC.OD_FRAME_PREV] = self.ref_imgi[MC.OD_FRAME_NEXT]
         # Select a free SELF slot (reference: src/encode.c:2999-3002).
         refi = 0
         while refi in (self.ref_imgi[MC.OD_FRAME_GOLD],
@@ -602,9 +652,9 @@ class Encoder:
         enc.encode_bool_q15(0, 16384)
         enc.encode_bool_q15(1 if is_keyframe else 0, 16384)
         if not is_keyframe:
-            enc.encode_bool_q15(0, 16384)  # not a B frame
+            enc.encode_bool_q15(1 if frame_type == 2 else 0, 16384)
             enc.encode_uint(num_refs - 1, 2)  # OD_MAX_CODED_REFS
-        enc.encode_uint(self.frame_count % OD_MAX_REORDER, OD_MAX_REORDER)
+        enc.encode_uint(display_order % OD_MAX_REORDER, OD_MAX_REORDER)
         enc.encode_bool_q15(1 if self.use_activity_masking else 0, 16384)
         enc.encode_bool_q15(self.qm_choice, 16384)
         enc.encode_bool_q15(1 if use_haar_wavelet else 0, 16384)
@@ -634,9 +684,14 @@ class Encoder:
                                                 pic_w, pic_h))
         if not is_keyframe:
             # Motion estimation + OBMC prediction into SELF.
-            mvest.estimate(self.mv_grid, padded_in[0],
-                           self.ref_imgs[self.ref_imgi[MC.OD_FRAME_PREV]],
-                           info, self.search_range)
+            refs = [(MC.OD_FRAME_PREV,
+                     self.ref_imgs[self.ref_imgi[MC.OD_FRAME_PREV]])]
+            if frame_type == 2:
+                refs.append((MC.OD_FRAME_NEXT,
+                             self.ref_imgs[self.ref_imgi[
+                                 MC.OD_FRAME_NEXT]]))
+            mvest.estimate_multi(self.mv_grid, padded_in[0], refs, info,
+                                 self.search_range)
             MC.mc_predict_frame(self.mv_grid, self.ref_imgs, self.ref_imgi,
                                 info, self_img)
             self._encode_mvs(enc, num_refs, mv_res=0)
@@ -718,10 +773,22 @@ class Encoder:
         self_img.edge_ext()
         if is_golden:
             self.ref_imgi[MC.OD_FRAME_GOLD] = refi
-        # b_frames == 0: PREV <- SELF (reference: src/encode.c:3152-3155).
-        self.ref_imgi[MC.OD_FRAME_PREV] = refi
+        # Reference updates after coding (reference:
+        # src/encode.c:3145-3178).
+        if self.b_frames == 0:
+            self.ref_imgi[MC.OD_FRAME_PREV] = refi
+        elif frame_type != 2:
+            if (self.ref_imgi[MC.OD_FRAME_PREV] < 0
+                    and self.ref_imgi[MC.OD_FRAME_NEXT] < 0):
+                self.ref_imgi[MC.OD_FRAME_PREV] = refi
+                self.ref_imgi[MC.OD_FRAME_NEXT] = refi
+            else:
+                self.ref_imgi[MC.OD_FRAME_PREV] = \
+                    self.ref_imgi[MC.OD_FRAME_NEXT]
+                self.ref_imgi[MC.OD_FRAME_NEXT] = refi
         self.frame_count += 1
-        self.ip_frame_count += 1
+        if frame_type != 2:
+            self.ip_frame_count += 1
         packet = enc.done()
         if self.rc.target_bitrate > 0:
             self.rc.update(len(packet) * 8, int(is_golden), frame_type,

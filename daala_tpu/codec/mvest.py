@@ -106,3 +106,47 @@ def estimate(grid: MC.MVGrid, cur_luma, ref_img, info, search_range=16,
             grid.ref[vy, vx] = ref_index
             grid.mv[vy, vx, 0] = int(np.clip(mv8[1], -clamp, clamp))
             grid.mv[vy, vx, 1] = int(np.clip(mv8[0], -clamp, clamp))
+
+
+def estimate_multi(grid: MC.MVGrid, cur_luma, refs, info, search_range=16):
+    """Multi-reference level-0 estimation: refs is a list of
+    (ref_index, RefImage); each vertex picks the reference with the best
+    refined SAD (B-frames pick between PREV and NEXT per vertex)."""
+    grid.clear()
+    h, w = cur_luma.shape
+    pad = MC.OD_BUFFER_PADDING
+    D0 = MC.OD_MVB_DELTA0
+    clamp = MC.OD_UMV_CLAMP * 8
+    for vy in range(0, grid.nvmvbs + 1, D0):
+        for vx in range(0, grid.nhmvbs + 1, D0):
+            y0 = vy << MC.OD_LOG_MVBSIZE_MIN
+            x0 = vx << MC.OD_LOG_MVBSIZE_MIN
+            best = None
+            for ref_index, ref_img in refs:
+                ref_pad = ref_img.planes[0]
+                dy, dx = full_pel_search(cur_luma, ref_pad, pad, y0, x0,
+                                         64, search_range, h, w)
+                mv8 = subpel_refine(cur_luma, ref_pad, pad, y0, x0, 64,
+                                    (dy * 8, dx * 8), h, w)
+                ya, xa, yb, xb = _block_window(None, pad, y0, x0, 64, h, w)
+                if yb <= ya or xb <= xa:
+                    sad = 0
+                else:
+                    pred = MC.predict1fmv(ref_pad, pad, ya, xa, mv8[1],
+                                          mv8[0], yb - ya, xb - xa)
+                    sad = int(np.abs(
+                        pred.astype(np.int32)
+                        - cur_luma[ya:yb, xa:xb].astype(np.int32)).sum())
+                if best is None or sad < best[0]:
+                    best = (sad, ref_index, mv8)
+            _, ref_index, mv8 = best
+            grid.valid[vy, vx] = 1
+            grid.ref[vy, vx] = ref_index
+            mvx = int(np.clip(mv8[1], -clamp, clamp))
+            mvy = int(np.clip(mv8[0], -clamp, clamp))
+            if ref_index == MC.OD_FRAME_NEXT:
+                grid.mv1[vy, vx, 0] = mvx
+                grid.mv1[vy, vx, 1] = mvy
+            else:
+                grid.mv[vy, vx, 0] = mvx
+                grid.mv[vy, vx, 1] = mvy

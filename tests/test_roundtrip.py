@@ -54,7 +54,7 @@ def test_encode_decode_roundtrip(w, h, quant, bsz):
     enc = Encoder(info, quant=quant)
     enc.fixed_bsize = bsz
     planes = synth(w, h, quant * 7 + w)
-    pkt = enc.encode_frame(planes)
+    pkt = enc.encode_frame(planes)[0]
     dec = Decoder(info)
     frames = dec.decode_packet(pkt)
     for p in range(3):
@@ -85,7 +85,7 @@ def test_lossless_byte_identical_to_reference():
                   plane_dec=((0, 0), (1, 1), (1, 1), (0, 0)),
                   keyframe_rate=1)
     enc = Encoder(info, quant=0)
-    pkt = enc.encode_frame([Y, Cb, Cr])
+    pkt = enc.encode_frame([Y, Cb, Cr])[0]
     assert pkt == ref_pkt
 
 
@@ -99,7 +99,7 @@ def test_lossless_roundtrip_own():
                   plane_dec=((0, 0), (1, 1), (1, 1), (0, 0)),
                   keyframe_rate=1)
     enc = Encoder(info, quant=0)
-    pkt = enc.encode_frame([Y, Cb, Cr])
+    pkt = enc.encode_frame([Y, Cb, Cr])[0]
     dec = Decoder(info)
     frames = dec.decode_packet(pkt)
     for p, plane in enumerate([Y, Cb, Cr]):
@@ -125,7 +125,7 @@ def test_inter_encode_roundtrip():
         Y = np.roll(np.roll(tex, t, 0), 2 * t, 1)
         Cb = np.full((h // 2, w // 2), 115, np.uint8)
         Cr = np.full((h // 2, w // 2), 135, np.uint8)
-        pkt = enc.encode_frame([Y, Cb, Cr])
+        pkt = enc.encode_frame([Y, Cb, Cr])[0]
         ours = dec.decode_packet(pkt)[0]
         refs = ref_dec.decode_packet(pkt)[0]
         for p in range(3):

@@ -27,6 +27,10 @@ def main():
     ap.add_argument("--limit", type=int, default=0,
                     help="max frames to encode (0 = all)")
     ap.add_argument("--no-dering", action="store_true")
+    ap.add_argument("-b", "--b-frames", type=int, default=0,
+                    help="number of B-frames between P-frames (0..4)")
+    ap.add_argument("--bitrate", type=int, default=0,
+                    help="target bitrate in bits/s (enables CBR)")
     args = ap.parse_args()
 
     rd = Y4MReader(args.input)
@@ -37,7 +41,9 @@ def main():
                   timebase_numerator=rd.fps[0],
                   timebase_denominator=rd.fps[1])
     enc = Encoder(info, quant=args.video_quality,
-                  use_dering=not args.no_dering)
+                  use_dering=not args.no_dering,
+                  bitrate=args.bitrate)
+    enc.b_frames = args.b_frames
     with open(args.output, "wb") as f:
         ogg = OggPageWriter(f, serial=0x0da1a)
         for hpkt in enc.flush_headers():
@@ -45,11 +51,13 @@ def main():
         n = 0
         t0 = time.time()
         for planes in rd:
-            pkt = enc.encode_frame(planes)
-            ogg.add_packet(pkt, n + 1, flush=True)
+            for pkt in enc.encode_frame(planes):
+                ogg.add_packet(pkt, n + 1, flush=True)
             n += 1
             if args.limit and n >= args.limit:
                 break
+        for pkt in enc.flush():
+            ogg.add_packet(pkt, n + 1, flush=True)
         ogg.close()
     dt = time.time() - t0
     print("encoded %d frames in %.2fs (%.2f fps, %.3f Mpix/s)"
