@@ -512,6 +512,9 @@ class Decoder:
             planes.append(full[:(info.pic_height + (1 << yd) - 1) >> yd,
                                :(info.pic_width + (1 << xd) - 1) >> xd]
                           .copy())
+        # Coding-order recon, exposed for the encoder's self-check
+        # (reference: src/encode.c:3231-3272 reads OD_FRAME_SELF).
+        self.last_recon = planes
         slot = frame_number % OD_MAX_REORDER
         assert self._out_slots[slot] is None
         self._out_slots[slot] = planes

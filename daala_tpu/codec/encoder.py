@@ -26,6 +26,7 @@ from daala_tpu.codec.state import (CodecState, OD_DC_QM, OD_QM_SIZE,
 from daala_tpu.codec.decoder import pvq_beta
 from daala_tpu.codec import mc as MC
 from daala_tpu.codec import mvest
+from daala_tpu.utils import logging as LOG
 from daala_tpu.entropy import ec as ec_mod
 from daala_tpu.entropy.adapt import encode_cdf_adapt
 from daala_tpu.ops import _tables as T
@@ -104,6 +105,11 @@ class Encoder:
         self.ref_imgi = [-1, -1, -1, -1]
         self.mv_grid = MC.MVGrid(info.frame_width >> 3,
                                  info.frame_height >> 3)
+        # --enable-encoder-check equivalent: an embedded decoder
+        # re-decodes every packet and the recon planes are compared
+        # (reference: src/encode.c:3231-3272).
+        self.enable_encoder_check = False
+        self._check_dec = None
 
     def flush_headers(self):
         return [headers.encode_info_header(self.info),
@@ -622,14 +628,18 @@ class Encoder:
         self._orig_coeff_luma = None
         if self.ref_imgi[MC.OD_FRAME_PREV] < 0:
             frame_type = 0
+        if self.quality == 0:
+            # Lossless: the Haar wavelet coder here covers intra only, so
+            # force all-intra (the reference additionally supports lossless
+            # inter via the same wavelet mode, src/encode.c:3024-3027;
+            # streams are valid either way).
+            frame_type = 0
         is_keyframe = frame_type == 0
         st.frame_type = frame_type
         is_golden = is_keyframe or (frame_type != 2
                                     and self.ip_frame_count % 10 == 0)
         self._select_quantizers(frame_type, int(is_golden))
         use_haar_wavelet = st.quantizer == 0
-        if use_haar_wavelet and not is_keyframe:
-            raise NotImplementedError("lossless inter frames")
         num_refs = 0
         if frame_type == 1:
             num_refs = 1
@@ -790,6 +800,10 @@ class Encoder:
         if frame_type != 2:
             self.ip_frame_count += 1
         packet = enc.done()
+        LOG.od_log(LOG.OD_LOG_ENCODER, LOG.OD_LOG_INFO,
+                   "frame %d type %d display %d quantizer %d bytes %d",
+                   self.frame_count, frame_type, display_order,
+                   st.quantizer, len(packet))
         if self.rc.target_bitrate > 0:
             self.rc.update(len(packet) * 8, int(is_golden), frame_type,
                            0, self.target_quantizer)
@@ -801,7 +815,25 @@ class Encoder:
             self.recon.append(
                 full[:(info.pic_height + (1 << yd) - 1) >> yd,
                      :(info.pic_width + (1 << xd) - 1) >> xd].copy())
+        if self.enable_encoder_check:
+            self._encoder_check(packet)
         return self._packet
+
+    def _encoder_check(self, packet):
+        """Re-decode the packet with an embedded decoder and compare its
+        coding-order recon to ours (reference: src/encode.c:3231-3272).
+        Raises on mismatch rather than printing like the reference."""
+        import numpy as np
+        if self._check_dec is None:
+            from daala_tpu.codec.decoder import Decoder
+            self._check_dec = Decoder(self.info)
+        self._check_dec.decode_packet(packet)
+        for pli, (ours, theirs) in enumerate(
+                zip(self.recon, self._check_dec.last_recon)):
+            if not np.array_equal(ours, theirs):
+                raise AssertionError(
+                    "encoder_check: pixel mismatch frame %d plane %d"
+                    % (self.frame_count - 1, pli))
 
     def _encode_dering(self, ctmp, planes_u8, is_keyframe):
         """Dering RDO + signaling (reference: src/encode.c:2680-2842).

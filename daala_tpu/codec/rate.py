@@ -493,3 +493,17 @@ class RateControl:
             self.reservoir_fullness = 0
         self.rate_bias -= bits
         return dropped
+
+    # -- 2-pass API (reference: src/rate.c:1199-1220) ------------------
+    # The reference ships these as unimplemented stubs returning
+    # OD_EIMPL; kept here for API parity.
+
+    def twopass_out(self):
+        """First-pass metrics output (reference: od_enc_rc_2pass_out,
+        src/rate.c:1199). Not implemented upstream either."""
+        raise NotImplementedError("2-pass rate control (OD_EIMPL)")
+
+    def twopass_in(self, buf):
+        """Second-pass metrics input (reference: od_enc_rc_2pass_in,
+        src/rate.c:1213). Not implemented upstream either."""
+        raise NotImplementedError("2-pass rate control (OD_EIMPL)")

@@ -31,6 +31,10 @@ def main():
                     help="number of B-frames between P-frames (0..4)")
     ap.add_argument("--bitrate", type=int, default=0,
                     help="target bitrate in bits/s (enables CBR)")
+    ap.add_argument("--check", action="store_true",
+                    help="re-decode every packet with an embedded decoder "
+                         "and verify the reconstruction matches "
+                         "(like the reference's --enable-encoder-check)")
     args = ap.parse_args()
 
     rd = Y4MReader(args.input)
@@ -44,6 +48,7 @@ def main():
                   use_dering=not args.no_dering,
                   bitrate=args.bitrate)
     enc.b_frames = args.b_frames
+    enc.enable_encoder_check = args.check
     with open(args.output, "wb") as f:
         ogg = OggPageWriter(f, serial=0x0da1a)
         for hpkt in enc.flush_headers():
