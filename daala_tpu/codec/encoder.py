@@ -185,6 +185,16 @@ class Encoder:
         adapt.skip_cdf = [list(r) for r in skip_cdf]
         adapt.pvq.restore(pvq_snap)
 
+    def _checkpoint_full(self):
+        """Full EC + adaptation checkpoint for block-size RDO, matching the
+        reference's od_encode_checkpoint (reference: src/encode.c:742-750),
+        which memcpys the whole od_adapt_ctx."""
+        return (self.enc.checkpoint(), self.state.adapt.snapshot())
+
+    def _rollback_full(self, cp):
+        self.enc.rollback(cp[0])
+        self.state.adapt.restore(cp[1])
+
     # -- MV mesh encode (reference: src/encode.c:1847-1896,2441-2527) ------
 
     def _encode_mv(self, enc, num_refs, vx, vy, level, mv_res, range_x,
@@ -429,7 +439,7 @@ class Encoder:
 
     # -- block encode (reference: src/encode.c:1229-1453) -------------------
 
-    def _block_encode(self, ctx, bs, pli, bx, by):
+    def _block_encode(self, ctx, bs, pli, bx, by, rdo_only=0):
         st = self.state
         enc = self.enc
         n = 1 << (bs + 2)
@@ -442,6 +452,14 @@ class Encoder:
         y0, x0 = by << 2, bx << 2
         is_keyframe = ctx["is_keyframe"]
         use_haar = ctx.get("use_haar_wavelet", False)
+        if is_keyframe and rdo_only and not use_haar:
+            # During the block-size RDO pass c is modified by the split
+            # pre/post filters, so refresh the transform while keeping the
+            # Haar-quantized DC (reference: src/encode.c:1301-1306).
+            qdc = d[y0, x0]
+            d[y0:y0 + n, x0:x0 + n] = dct.fdct2d(
+                c[y0:y0 + n, x0:x0 + n][None])[0]
+            d[y0, x0] = qdc
         if not is_keyframe:
             # Forward transform of source and MC prediction (reference:
             # src/encode.c:1296-1319).
@@ -490,11 +508,12 @@ class Encoder:
         slen = part.scan_length(n)
         out = np.zeros(slen, np.int64)
         beta = pvq_beta(ctx["use_activity_masking"], pli, bs)
+        speed = 1 if (rdo_only and self.complexity < 5) else 0
         skip = PC.pvq_encode_block(
             enc, st.adapt, self, predt, dblock, out, quant, pli, bs, beta,
             nodesync, is_keyframe, st.qm[off:off + slen],
             st.qm_inv[off:off + slen], st.pvq_qm_q4[pli],
-            self.pvq_norm_lambda, 0, (self._checkpoint, self._rollback))
+            self.pvq_norm_lambda, speed, (self._checkpoint, self._rollback))
         if not is_keyframe:
             # has_dc_skip DC coding (reference: src/encode.c:1363-1382).
             lossless = st.quantizer == 0
@@ -521,7 +540,8 @@ class Encoder:
 
     # -- recursive encode (reference: src/encode.c:1660-1845) ---------------
 
-    def _encode_recursive(self, ctx, pli, bx, by, bsi, xdec, hgrad, vgrad):
+    def _encode_recursive(self, ctx, pli, bx, by, bsi, xdec, hgrad, vgrad,
+                          rdo_only=0):
         st = self.state
         enc = self.enc
         obs = st.bsize4(bx << bsi, by << bsi) if pli == 0 else \
@@ -541,7 +561,7 @@ class Encoder:
                 ctx["l"] = intra.resample_luma_coeffs(
                     src, xdec, self.info.plane_dec[pli][1], bs, obs, n)
             # The leaf skip symbol is coded inside pvq_encode_block.
-            skip = self._block_encode(ctx, bs, pli, bx, by)
+            skip = self._block_encode(ctx, bs, pli, bx, by, rdo_only)
             sk = st.bskip[pli]
             val = 1 if (skip and not ctx["is_keyframe"]) else 0
             sk[(by << bs):(by << bs) + (1 << bs),
@@ -549,21 +569,45 @@ class Encoder:
             return skip
         else:
             bs = bsi - xdec
+            n = 4 << bs
             y0 = by << (2 + bs)
             x0 = bx << (2 + bs)
+            c = ctx["c"]
+            d = ctx["d"][pli]
+            skip_nosplit = 0
+            rate_nosplit = 0
+            nosplit = None
+            if rdo_only:
+                # Trial 1: code this whole block unsplit, measure rate and
+                # keep the reconstruction; then roll everything back
+                # (reference: src/encode.c:1723-1759).
+                tell = enc.tell_frac()
+                c_orig = c[y0:y0 + n, x0:x0 + n].copy()
+                mc_orig = None
+                if not ctx["is_keyframe"]:
+                    mc_orig = ctx["mc"][pli][y0:y0 + n,
+                                             x0:x0 + n].copy()
+                dc_orig = d[y0:y0 + n:4, x0:x0 + n:4].copy()
+                cp_pre = self._checkpoint_full()
+                skip_nosplit = self._block_encode(ctx, bs, pli, bx, by,
+                                                  rdo_only)
+                rate_nosplit = enc.tell_frac() - tell
+                cp_post = self._checkpoint_full()
+                self._rollback_full(cp_pre)
+                nosplit = c[y0:y0 + n, x0:x0 + n].copy()
+                c[y0:y0 + n, x0:x0 + n] = c_orig
+                d[y0:y0 + n:4, x0:x0 + n:4] = dc_orig
             hfilter = ((bx + 1) << (2 + bs)) <= self.info.pic_width
             vfilter = ((by + 1) << (2 + bs)) <= self.info.pic_height
             if not ctx["is_keyframe"]:
                 filt.prefilter_split(ctx["mc"][pli], y0, x0, bs, 0,
                                      hfilter, vfilter)
-            # Note: c was already prefiltered by _compute_dcts on keyframes;
-            # the reference prefilters again here for the reconstruction
-            # buffer ... actually od_encode_recursive prefilters ctx->c at
-            # split nodes (reference: src/encode.c:1795); for keyframes c
-            # still holds the prefiltered input from od_compute_dcts, and
-            # the reference DOES apply od_prefilter_split again here.
-            filt.prefilter_split(ctx["c"], y0, x0, bs, 0, hfilter, vfilter)
+            # od_prefilter_split on c at split nodes (reference:
+            # src/encode.c:1763); on keyframes c still holds the
+            # prefiltered input from od_compute_dcts.
+            filt.prefilter_split(c, y0, x0, bs, 0, hfilter, vfilter)
             if pli == 0:
+                # Code the "split this block" symbol (4).
                 encode_cdf_adapt(enc, 4, st.adapt.skip_cdf[2 * bs], 5,
                                  st.adapt.skip_increment)
             if ctx["is_keyframe"]:
@@ -574,9 +618,41 @@ class Encoder:
             for sub in ((0, 0), (1, 0), (0, 1), (1, 1)):
                 skip_split &= self._encode_recursive(
                     ctx, pli, 2 * bx + sub[0], 2 * by + sub[1], bsi - 1,
-                    xdec, hgrad, vgrad)
-            filt.postfilter_split(ctx["c"], y0, x0, bs, 0, hfilter, vfilter)
-            return 0
+                    xdec, hgrad, vgrad, rdo_only)
+            skip_block = skip_split
+            filt.postfilter_split(c, y0, x0, bs, 0, hfilter, vfilter)
+            if rdo_only:
+                # Decide split vs no-split on distortion + lambda*rate
+                # (reference: src/encode.c:1792-1841).
+                split = c[y0:y0 + n, x0:x0 + n]
+                rate_split = enc.tell_frac() - tell
+                from daala_tpu.codec import dist as dist_mod
+                flat = self.qm_choice == 0
+                dist_split = dist_mod.compute_dist(
+                    c_orig, split, n, self.use_activity_masking,
+                    st.coded_quantizer, flat)
+                dist_nosplit = dist_mod.compute_dist(
+                    c_orig, nosplit, n, self.use_activity_masking,
+                    st.coded_quantizer, flat)
+                lam = self.bs_rdo_lambda
+                if skip_split or (dist_nosplit + lam * rate_nosplit
+                                  < dist_split + lam * rate_split):
+                    self._rollback_full(cp_post)
+                    c[y0:y0 + n, x0:x0 + n] = nosplit
+                    # Merge: record this block size in the map (8x8
+                    # granularity) and the skip map.
+                    b8y = (by << bsi) >> 1
+                    b8x = (bx << bsi) >> 1
+                    m = 1 << (bs - 1)
+                    st.bsize[b8y:b8y + m, b8x:b8x + m] = bs
+                    val = 1 if (skip_nosplit
+                                and not ctx["is_keyframe"]) else 0
+                    st.bskip[pli][(by << bs):(by << bs) + (1 << bs),
+                                  (bx << bs):(bx << bs) + (1 << bs)] = val
+                    skip_block = skip_nosplit
+                if not ctx["is_keyframe"]:
+                    ctx["mc"][pli][y0:y0 + n, x0:x0 + n] = mc_orig
+            return skip_block if rdo_only else 0
 
     # -- frame encode -------------------------------------------------------
 
@@ -621,6 +697,97 @@ class Encoder:
                                       max(1, self.keyframe_rate),
                                       self.b_frames + 1, self.b_frames)
         return 0 if ft == 0 else 1
+
+    def _encode_coefficients(self, padded_in, self_img, is_keyframe,
+                             use_haar_wavelet, planes_u8, rdo_only=0):
+        """od_encode_coefficients (reference: src/encode.c:2539-2855).
+
+        With rdo_only=1, runs the luma-only block-size RDO pass: coeffs
+        are coded for rate measurement and all coded state is rolled
+        back by the caller; the merged bsize/bskip maps persist as the
+        pass's output (reference: od_split_superblocks_rdo,
+        src/encode.c:2942-2948)."""
+        st = self.state
+        info = self.info
+        enc = self.enc
+        nplanes = 1 if rdo_only else info.nplanes
+        enc.encode_uint(st.coded_quantizer, quantizer.N_CODED_QUANTIZERS)
+        lossless = st.quantizer == 0
+        ctmp = []
+        mctmp = [None] * nplanes
+        mdtmp = [None] * nplanes
+        for pli in range(nplanes):
+            xd, yd = info.plane_dec[pli]
+            coeffs = ref_plane_to_coeff(padded_in[pli], lossless)
+            if not use_haar_wavelet:
+                filt.apply_prefilter_frame_sbs(coeffs, st.nhsb, st.nvsb,
+                                               xd, yd)
+            ctmp.append(coeffs)
+            if not is_keyframe:
+                mc_coeffs = ref_plane_to_coeff(self_img.plane_view(pli),
+                                               lossless)
+                if not use_haar_wavelet:
+                    filt.apply_prefilter_frame_sbs(mc_coeffs, st.nhsb,
+                                                   st.nvsb, xd, yd)
+                mctmp[pli] = mc_coeffs
+                mdtmp[pli] = np.zeros_like(mc_coeffs)
+                # Make the padding identical to the reference so no bits
+                # are wasted there (reference: src/encode.c:2662-2686).
+                pic_w = (info.pic_width + (1 << xd) - 1) >> xd
+                pic_h = (info.pic_height + (1 << yd) - 1) >> yd
+                coeffs[:, pic_w:] = mc_coeffs[:, pic_w:]
+                coeffs[pic_h:, :] = mc_coeffs[pic_h:, :]
+        dtmp = [np.zeros_like(ctmp[p]) for p in range(nplanes)]
+        ctx = {"is_keyframe": bool(is_keyframe),
+               "use_activity_masking": self.use_activity_masking,
+               "d": dtmp, "l": None,
+               "use_haar_wavelet": use_haar_wavelet,
+               "mc": mctmp, "md": mdtmp}
+        for sby in range(st.nvsb):
+            for sbx in range(st.nhsb):
+                for pli in range(nplanes):
+                    xdec = info.plane_dec[pli][0]
+                    ctx["c"] = ctmp[pli]
+                    ctx["l"] = (np.zeros((64, 64), np.int32) if pli > 0
+                                else None)
+                    hgrad = vgrad = 0
+                    if is_keyframe:
+                        if rdo_only:
+                            # The SB DC quantization below is only run to
+                            # seed hgrad/vgrad and the quantized DCs in d;
+                            # its symbols and coeff edits are undone
+                            # (reference: src/encode.c:2633-2650).
+                            cp = self._checkpoint_full()
+                            sb = 64 >> xdec
+                            c_orig_sb = ctmp[pli][
+                                sb * sby:sb * (sby + 1),
+                                sb * sbx:sb * (sbx + 1)].copy()
+                        self._compute_dcts(ctx, pli, sbx, sby,
+                                           OD_NBSIZES - 1, xdec)
+                        hgrad, vgrad = self._quantize_haar_dc_sb(
+                            pli, sbx, sby, xdec,
+                            sby > 0 and sbx < st.nhsb - 1, dtmp[pli])
+                        if rdo_only:
+                            self._rollback_full(cp)
+                            ctmp[pli][sb * sby:sb * (sby + 1),
+                                      sb * sbx:sb * (sbx + 1)] = c_orig_sb
+                    self._encode_recursive(ctx, pli, sbx, sby,
+                                           OD_NBSIZES - 1, xdec, hgrad,
+                                           vgrad, rdo_only)
+        if rdo_only:
+            # The RDO pass's reconstruction is discarded; skip the frame
+            # postfilter and dering (the reference runs the postfilter
+            # here too, but its output is unused, src/encode.c:2670-2678).
+            return ctmp
+        if not use_haar_wavelet:
+            for pli in range(nplanes):
+                xdec = info.plane_dec[pli][0]
+                filt.apply_postfilter_frame_sbs(ctmp[pli], st.nhsb,
+                                                st.nvsb, xdec,
+                                                info.plane_dec[pli][1])
+        if st.quantizer != 0:
+            self._encode_dering(ctmp, planes_u8, is_keyframe)
+        return ctmp
 
     def _encode_one(self, planes_u8, frame_type, display_order):
         st = self.state
@@ -705,12 +872,21 @@ class Encoder:
             MC.mc_predict_frame(self.mv_grid, self.ref_imgs, self.ref_imgi,
                                 info, self_img)
             self._encode_mvs(enc, num_refs, mv_res=0)
-        # Block size decision: open-loop variance splitter by default
-        # (reference complexity 0-1 path); fixed_bsize overrides for tests.
+        # Block size decision (reference: src/encode.c:3086-3096):
+        # complexity >= 2 runs the full trial-encode RDO merge pass from
+        # an all-4x4 map; complexity 0-1 uses the open-loop variance
+        # splitter; fixed_bsize overrides for tests.
         if use_haar_wavelet:
             st.init_superblock_split(4)
         elif hasattr(self, "fixed_bsize"):
             st.init_superblock_split(self.fixed_bsize)
+        elif self.complexity >= 2:
+            st.init_superblock_split(0)
+            cp = self._checkpoint_full()
+            self._encode_coefficients(padded_in, self_img, is_keyframe,
+                                      use_haar_wavelet, planes_u8,
+                                      rdo_only=1)
+            self._rollback_full(cp)
         else:
             from daala_tpu.codec import blocksize
             pred_luma = None
@@ -718,68 +894,13 @@ class Encoder:
                 pred_luma = self_img.plane_view(0)
             blocksize.split_superblocks(st, padded_in[0], pred_luma,
                                         st.quantizer)
-        # -- od_encode_coefficients ----------------------------------------
-        enc.encode_uint(st.coded_quantizer, quantizer.N_CODED_QUANTIZERS)
-        lossless = st.quantizer == 0
-        ctmp = []
-        mctmp = [None] * nplanes
-        mdtmp = [None] * nplanes
-        for pli in range(nplanes):
-            xd, yd = info.plane_dec[pli]
-            coeffs = ref_plane_to_coeff(padded_in[pli], lossless)
-            if not use_haar_wavelet:
-                filt.apply_prefilter_frame_sbs(coeffs, st.nhsb, st.nvsb,
-                                               xd, yd)
-            ctmp.append(coeffs)
-            if not is_keyframe:
-                mc_coeffs = ref_plane_to_coeff(self_img.plane_view(pli),
-                                               lossless)
-                if not use_haar_wavelet:
-                    filt.apply_prefilter_frame_sbs(mc_coeffs, st.nhsb,
-                                                   st.nvsb, xd, yd)
-                mctmp[pli] = mc_coeffs
-                mdtmp[pli] = np.zeros_like(mc_coeffs)
-                # Make the padding identical to the reference so no bits
-                # are wasted there (reference: src/encode.c:2662-2686).
-                pic_w = (info.pic_width + (1 << xd) - 1) >> xd
-                pic_h = (info.pic_height + (1 << yd) - 1) >> yd
-                coeffs[:, pic_w:] = mc_coeffs[:, pic_w:]
-                coeffs[pic_h:, :] = mc_coeffs[pic_h:, :]
-        dtmp = [np.zeros_like(ctmp[p]) for p in range(nplanes)]
-        ctx = {"is_keyframe": bool(is_keyframe),
-               "use_activity_masking": self.use_activity_masking,
-               "d": dtmp, "l": None,
-               "use_haar_wavelet": use_haar_wavelet,
-               "mc": mctmp, "md": mdtmp}
-        for sby in range(st.nvsb):
-            for sbx in range(st.nhsb):
-                for pli in range(nplanes):
-                    xdec = info.plane_dec[pli][0]
-                    ctx["c"] = ctmp[pli]
-                    ctx["l"] = (np.zeros((64, 64), np.int32) if pli > 0
-                                else None)
-                    hgrad = vgrad = 0
-                    if is_keyframe:
-                        self._compute_dcts(ctx, pli, sbx, sby,
-                                           OD_NBSIZES - 1, xdec)
-                        hgrad, vgrad = self._quantize_haar_dc_sb(
-                            pli, sbx, sby, xdec,
-                            sby > 0 and sbx < st.nhsb - 1, dtmp[pli])
-                    self._encode_recursive(ctx, pli, sbx, sby,
-                                           OD_NBSIZES - 1, xdec, hgrad,
-                                           vgrad)
-        if not use_haar_wavelet:
-            for pli in range(nplanes):
-                xdec = info.plane_dec[pli][0]
-                filt.apply_postfilter_frame_sbs(ctmp[pli], st.nhsb,
-                                                st.nvsb, xdec,
-                                                info.plane_dec[pli][1])
-        if st.quantizer != 0:
-            self._encode_dering(ctmp, planes_u8, is_keyframe)
+        ctmp = self._encode_coefficients(padded_in, self_img, is_keyframe,
+                                         use_haar_wavelet, planes_u8,
+                                         rdo_only=0)
         # Store the reconstruction into SELF + rotate references.
         for pli in range(nplanes):
             self_img.plane_view(pli)[:, :] = coeff_to_ref_plane(
-                ctmp[pli], lossless)
+                ctmp[pli], st.quantizer == 0)
         self_img.edge_ext()
         if is_golden:
             self.ref_imgi[MC.OD_FRAME_GOLD] = refi

@@ -131,3 +131,35 @@ def test_inter_encode_roundtrip():
         for p in range(3):
             np.testing.assert_array_equal(ours[p], enc.recon[p])
             np.testing.assert_array_equal(refs[p], enc.recon[p])
+
+
+def test_bsize_rdo_roundtrip():
+    """Block-size RDO (complexity >= 2): full trial-encode merge pass
+    (reference: od_split_superblocks_rdo, src/encode.c:2942-2948); the
+    resulting stream must decode identically everywhere and the map must
+    actually contain merged (non-4x4) blocks."""
+    w = h = 128
+    info = H.Info(pic_width=w, pic_height=h, nplanes=3,
+                  plane_dec=((0, 0), (1, 1), (1, 1), (0, 0)),
+                  keyframe_rate=64)
+    enc = Encoder(info, quant=18, complexity=7)
+    enc.enable_encoder_check = True
+    planes = synth(w, h, 3)
+    pkt = enc.encode_frame(planes)[0]
+    assert enc.state.bsize[:h // 8, :w // 8].max() > 0, \
+        "RDO never merged any block"
+    dec = Decoder(info)
+    frames = dec.decode_packet(pkt)
+    for p in range(3):
+        np.testing.assert_array_equal(frames[0][p], enc.recon[p])
+    if HAVE_ORACLE:
+        ref = co.RefDecoder(enc.flush_headers())
+        ref_frames = ref.decode_packet(pkt)
+        for p in range(3):
+            np.testing.assert_array_equal(ref_frames[0][p], enc.recon[p])
+    # And one P frame through the same path.
+    planes2 = [np.roll(planes[0], 3, axis=1), planes[1], planes[2]]
+    pkt2 = enc.encode_frame(planes2)[0]
+    frames2 = dec.decode_packet(pkt2)
+    for p in range(3):
+        np.testing.assert_array_equal(frames2[0][p], enc.recon[p])
