@@ -271,11 +271,23 @@ class Encoder:
                 self.error)
 
     def rollback(self, cp):
-        """od_ec_enc_rollback (reference: src/entenc.c:684)."""
+        """od_ec_enc_rollback (reference: src/entenc.c:684).
+
+        The reference copies the whole coder struct, so the buffer FILL
+        COUNTS are restored exactly even when "rolling forward" to a
+        checkpoint past the current position (block-size RDO does this;
+        the bytes are then stale but the rate accounting is exact,
+        reference: src/encode.c:1808-1812)."""
         (self.low, self.rng, self.cnt, np_, self.end_window,
          self.nend_bits, ne, self.error) = cp
-        del self.precarry[np_:]
-        del self.end_bytes[ne:]
+        if len(self.precarry) >= np_:
+            del self.precarry[np_:]
+        else:
+            self.precarry.extend([0] * (np_ - len(self.precarry)))
+        if len(self.end_bytes) >= ne:
+            del self.end_bytes[ne:]
+        else:
+            self.end_bytes.extend([0] * (ne - len(self.end_bytes)))
 
 
 class Decoder:
@@ -449,3 +461,20 @@ class Decoder:
 
     def tell_frac(self) -> int:
         return tell_frac(self.tell(), self.rng)
+
+
+# -- native engine selection -------------------------------------------------
+# The C++ engine (daala_tpu/native/ec_core.cc) is the production path; the
+# classes above remain the reference implementation and fallback.  Set
+# DAALA_TPU_NATIVE=0 to force pure Python.
+PyEncoder = Encoder
+PyDecoder = Decoder
+try:
+    from daala_tpu import native as _native
+    if _native.available():
+        from daala_tpu.entropy.ec_native import (NativeEncoder,
+                                                 NativeDecoder)
+        Encoder = NativeEncoder
+        Decoder = NativeDecoder
+except Exception:  # pragma: no cover - toolchain missing
+    pass

@@ -1,0 +1,104 @@
+"""Native (C++) runtime components.
+
+The hot host-side loops — currently the range coder — are implemented in
+C++ (ec_core.cc) and loaded via ctypes.  The library self-builds with g++
+on first import and is cached next to the source; set DAALA_TPU_NATIVE=0
+to force the pure-Python fallbacks.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "ec_core.cc")
+_LIB = os.path.join(_DIR, "_ec_core.so")
+
+_lib = None
+_tried = False
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def get_lib():
+    """Build (if stale) and load the native library; returns None when
+    disabled or the toolchain is unavailable."""
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("DAALA_TPU_NATIVE", "1") == "0":
+        return None
+    try:
+        if (not os.path.exists(_LIB)
+                or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+            subprocess.run(
+                ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", _SRC,
+                 "-o", _LIB + ".tmp"],
+                check=True, capture_output=True)
+            os.replace(_LIB + ".tmp", _LIB)
+        lib = ctypes.CDLL(_LIB)
+    except Exception:
+        return None
+    _configure(lib)
+    _lib = lib
+    return _lib
+
+
+def _configure(lib):
+    c = ctypes
+    i32p = c.POINTER(c.c_int32)
+    i64p = c.POINTER(c.c_int64)
+    u8p = c.POINTER(c.c_uint8)
+    lib.ec_set_uniform_cdfs.argtypes = [i32p]
+    lib.ec_enc_new.restype = c.c_void_p
+    lib.ec_enc_free.argtypes = [c.c_void_p]
+    lib.ec_enc_reset.argtypes = [c.c_void_p]
+    lib.ec_encode.argtypes = [c.c_void_p, c.c_int, c.c_int, c.c_int]
+    lib.ec_encode_q15.argtypes = [c.c_void_p, c.c_int, c.c_int]
+    lib.ec_encode_unscaled.argtypes = [c.c_void_p, c.c_int, c.c_int,
+                                       c.c_int]
+    lib.ec_encode_bool_q15.argtypes = [c.c_void_p, c.c_int, c.c_int]
+    lib.ec_encode_cdf_q15.argtypes = [c.c_void_p, c.c_int, i32p]
+    lib.ec_encode_cdf_unscaled.argtypes = [c.c_void_p, c.c_int, i32p,
+                                           c.c_int]
+    lib.ec_enc_uint.argtypes = [c.c_void_p, c.c_uint, c.c_uint]
+    lib.ec_enc_bits.argtypes = [c.c_void_p, c.c_uint, c.c_int]
+    lib.ec_enc_patch_initial_bits.argtypes = [c.c_void_p, c.c_uint,
+                                              c.c_int]
+    for fn in ("ec_enc_tell", "ec_enc_tell_frac", "ec_enc_done_size",
+               "ec_enc_error"):
+        getattr(lib, fn).argtypes = [c.c_void_p]
+        getattr(lib, fn).restype = c.c_int
+    lib.ec_enc_done.argtypes = [c.c_void_p, u8p]
+    lib.ec_enc_done.restype = c.c_int
+    lib.ec_enc_checkpoint.argtypes = [c.c_void_p, i64p]
+    lib.ec_enc_rollback.argtypes = [c.c_void_p, i64p]
+    lib.ec_dec_new.argtypes = [u8p, c.c_int]
+    lib.ec_dec_new.restype = c.c_void_p
+    lib.ec_dec_free.argtypes = [c.c_void_p]
+    lib.ec_decode_bool_q15.argtypes = [c.c_void_p, c.c_int]
+    lib.ec_decode_bool_q15.restype = c.c_int
+    lib.ec_decode_cdf_q15.argtypes = [c.c_void_p, i32p]
+    lib.ec_decode_cdf_q15.restype = c.c_int
+    lib.ec_decode_cdf.argtypes = [c.c_void_p, i32p, c.c_int]
+    lib.ec_decode_cdf.restype = c.c_int
+    lib.ec_decode_cdf_unscaled.argtypes = [c.c_void_p, i32p, c.c_int]
+    lib.ec_decode_cdf_unscaled.restype = c.c_int
+    lib.ec_dec_uint.argtypes = [c.c_void_p, c.c_uint]
+    lib.ec_dec_uint.restype = c.c_uint
+    lib.ec_dec_bits.argtypes = [c.c_void_p, c.c_int]
+    lib.ec_dec_bits.restype = c.c_uint
+    for fn in ("ec_dec_tell", "ec_dec_tell_frac", "ec_dec_error"):
+        getattr(lib, fn).argtypes = [c.c_void_p]
+        getattr(lib, fn).restype = c.c_int
+    lib.ec_tell_frac.argtypes = [c.c_int, c.c_uint]
+    lib.ec_tell_frac.restype = c.c_int
+    # Install the normative uniform CDF table.
+    from daala_tpu.ops import _tables
+    flat = _tables.UNIFORM_CDFS_Q15.astype("int32")
+    lib.ec_set_uniform_cdfs(flat.ctypes.data_as(i32p))
