@@ -869,6 +869,16 @@ class Encoder:
                                  MC.OD_FRAME_NEXT]]))
             mvest.estimate_multi(self.mv_grid, padded_in[0], refs, info,
                                  self.search_range)
+            if self.complexity >= 2:
+                # Adaptive mesh subdivision (reference: the decimation +
+                # refinement stages of od_mv_est, src/mcenc.c:4019,5211;
+                # here redesigned as greedy splitting, see
+                # mvest.refine_mesh).  Threshold models the split-flag +
+                # MV-delta cost at the reference's mv lambda
+                # (src/rate.c:1072-1075).
+                lam_sad = max(64, (self.target_quantizer * 11) >> 5)
+                mvest.refine_mesh(self.mv_grid, padded_in[0], dict(refs),
+                                  info, lam_sad)
             MC.mc_predict_frame(self.mv_grid, self.ref_imgs, self.ref_imgi,
                                 info, self_img)
             self._encode_mvs(enc, num_refs, mv_res=0)

@@ -150,3 +150,150 @@ def estimate_multi(grid: MC.MVGrid, cur_luma, refs, info, search_range=16):
             else:
                 grid.mv[vy, vx, 0] = mvx
                 grid.mv[vy, vx, 1] = mvy
+
+
+def _block_sad(cur, pred_plane, y0, x0, n_y, n_x):
+    a = cur[y0:y0 + n_y, x0:x0 + n_x].astype(np.int32)
+    b = pred_plane[y0:y0 + n_y, x0:x0 + n_x].astype(np.int32)
+    return int(np.abs(a - b).sum())
+
+
+def _affected_l0_blocks(vx, vy, mvb_sz, nh, nv):
+    """Level-0 (64px) mesh blocks overlapping the squares adjacent to the
+    vertex; pred_block is re-run on these to evaluate a candidate."""
+    D0 = MC.OD_MVB_DELTA0
+    bx0 = max(0, (vx - mvb_sz) // D0 * D0)
+    by0 = max(0, (vy - mvb_sz) // D0 * D0)
+    bx1 = min(nh, vx + mvb_sz)
+    by1 = min(nv, vy + mvb_sz)
+    out = []
+    by = by0
+    while by < by1:
+        bx = bx0
+        while bx < bx1:
+            out.append((bx, by))
+            bx += D0
+        by += D0
+    return out
+
+
+def _majority_ref(grid, vx, vy, mvb_sz, nh, nv):
+    refs = []
+    for dy, dx in ((-1, -1), (-1, 1), (1, 1), (1, -1), (-1, 0), (1, 0),
+                   (0, -1), (0, 1)):
+        cy = vy + dy * mvb_sz
+        cx = vx + dx * mvb_sz
+        if 0 <= cy <= nv and 0 <= cx <= nh and grid.valid[cy, cx]:
+            refs.append(int(grid.ref[cy, cx]))
+    if not refs:
+        return MC.OD_FRAME_PREV
+    return max(set(refs), key=refs.count)
+
+
+def refine_mesh(grid: MVGrid, cur_luma, ref_images, info, lam_sad,
+                search_range=8, max_level=2):
+    """Encoder-side adaptive mesh subdivision.
+
+    TPU-friendly replacement for the reference's decimation-heap + Viterbi
+    refinement (reference: src/mcenc.c:4019,5211): instead of starting
+    from the finest mesh and merging, we start from the level-0 mesh
+    (already estimated) and greedily SPLIT where the true OBMC prediction
+    SAD improves by more than lam_sad (an RD threshold covering the split
+    flag + MV delta cost).  Candidate order and validity exactly mirror
+    the bitstream's mesh coding order, so every accepted vertex is
+    codeable.
+
+    ref_images: {ref_index: RefImage} — used both for MV search and for
+    the OBMC re-prediction.
+    """
+    h, w = cur_luma.shape
+    pad = MC.OD_BUFFER_PADDING
+    nv, nh = grid.nvmvbs, grid.nhmvbs
+    clamp = MC.OD_UMV_CLAMP * 8
+    ref_imgs = [None] * 4
+    ref_imgi = [-1] * 4
+    slots = {}
+    for i, (ridx, rimg) in enumerate(ref_images.items()):
+        ref_imgs[i] = rimg
+        slots[ridx] = i
+    for ridx, i in slots.items():
+        ref_imgi[ridx] = i
+    if ref_imgi[MC.OD_FRAME_PREV] < 0 and MC.OD_FRAME_NEXT in slots:
+        ref_imgi[MC.OD_FRAME_PREV] = slots[MC.OD_FRAME_NEXT]
+    if ref_imgi[MC.OD_FRAME_NEXT] < 0 and MC.OD_FRAME_PREV in slots:
+        ref_imgi[MC.OD_FRAME_NEXT] = slots[MC.OD_FRAME_PREV]
+    ref_imgi[MC.OD_FRAME_GOLD] = ref_imgi[MC.OD_FRAME_PREV]
+    scratch = np.zeros((h, w), np.uint8)
+
+    def eval_blocks(blocks):
+        sad = 0
+        for bx, by in blocks:
+            MC.pred_block(grid, ref_imgs, ref_imgi, info, scratch, 0,
+                          bx, by, MC.OD_LOG_MVB_DELTA0)
+            y0 = by << MC.OD_LOG_MVBSIZE_MIN
+            x0 = bx << MC.OD_LOG_MVBSIZE_MIN
+            n = MC.OD_MVB_DELTA0 << MC.OD_LOG_MVBSIZE_MIN
+            sad += _block_sad(cur_luma, scratch, y0, x0,
+                              min(n, h - y0), min(n, w - x0))
+        return sad
+
+    def try_vertex(vx, vy, mvb_sz):
+        blocks = _affected_l0_blocks(vx, vy, mvb_sz, nh, nv)
+        sad0 = eval_blocks(blocks)
+        ridx = _majority_ref(grid, vx, vy, mvb_sz, nh, nv)
+        rimg = ref_images.get(ridx)
+        if rimg is None:
+            ridx = next(iter(ref_images))
+            rimg = ref_images[ridx]
+        y0 = vy << MC.OD_LOG_MVBSIZE_MIN
+        x0 = vx << MC.OD_LOG_MVBSIZE_MIN
+        n = (2 * mvb_sz) << MC.OD_LOG_MVBSIZE_MIN
+        dy, dx = full_pel_search(cur_luma, rimg.planes[0], pad, y0, x0, n,
+                                 search_range, h, w)
+        mv8 = subpel_refine(cur_luma, rimg.planes[0], pad, y0, x0, n,
+                            (dy * 8, dx * 8), h, w)
+        grid.valid[vy, vx] = 1
+        grid.ref[vy, vx] = ridx
+        mvx = int(np.clip(mv8[1], -clamp, clamp))
+        mvy = int(np.clip(mv8[0], -clamp, clamp))
+        if ridx == MC.OD_FRAME_NEXT:
+            grid.mv1[vy, vx] = (mvx, mvy)
+        else:
+            grid.mv[vy, vx] = (mvx, mvy)
+        sad1 = eval_blocks(blocks)
+        if sad0 - sad1 > lam_sad:
+            return True
+        grid.valid[vy, vx] = 0
+        grid.ref[vy, vx] = 0
+        grid.mv[vy, vx] = (0, 0)
+        grid.mv1[vy, vx] = (0, 0)
+        return False
+
+    level = 1
+    log_mvb_sz = MC.OD_LOG_MVB_DELTA0 - 1
+    while log_mvb_sz >= 0 and level <= max_level:
+        mvb_sz = 1 << log_mvb_sz
+        # Odd level: square centers, all 4 diagonal corners must be valid.
+        for vy in range(mvb_sz, nv + 1, 2 * mvb_sz):
+            for vx in range(mvb_sz, nh + 1, 2 * mvb_sz):
+                if (grid.valid[vy - mvb_sz, vx - mvb_sz]
+                        and grid.valid[vy - mvb_sz, vx + mvb_sz]
+                        and grid.valid[vy + mvb_sz, vx + mvb_sz]
+                        and grid.valid[vy + mvb_sz, vx - mvb_sz]):
+                    try_vertex(vx, vy, mvb_sz)
+        level += 1
+        if level > max_level:
+            break
+        # Even level: edge midpoints, axial neighbors (clipped) valid.
+        for vy in range(0, nv + 1, mvb_sz):
+            vx0 = mvb_sz if not (vy & mvb_sz) else 0
+            for vx in range(vx0, nh + 1, 2 * mvb_sz):
+                ok = ((vy - mvb_sz < 0 or grid.valid[vy - mvb_sz, vx])
+                      and (vx - mvb_sz < 0 or grid.valid[vy, vx - mvb_sz])
+                      and (vy + mvb_sz > nv or grid.valid[vy + mvb_sz, vx])
+                      and (vx + mvb_sz > nh
+                           or grid.valid[vy, vx + mvb_sz]))
+                if ok:
+                    try_vertex(vx, vy, mvb_sz)
+        level += 1
+        log_mvb_sz -= 1
