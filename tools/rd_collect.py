@@ -1,0 +1,99 @@
+#!/usr/bin/env python3
+"""RD-curve collection harness.
+
+Python counterpart of the reference's tools/rd_collect.sh +
+rd_collect_daala.sh: encode a clip across a quantizer sweep, decode,
+measure quality, and emit one JSON line per point:
+  {"quant": Q, "bytes": N, "bits_per_pixel": ..., "psnr": ...,
+   "psnrhvs": ..., "ssim": ..., "msssim": ...}
+
+Compare two runs with tools/bd_rate.py.
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
+
+from daala_tpu.utils import metrics as M
+from daala_tpu.utils.y4m import Y4MReader
+
+DEFAULT_QUANTS = [5, 8, 12, 18, 27, 40, 60, 90]
+
+
+def measure(orig, recon, limit):
+    ra = Y4MReader(orig)
+    rb = Y4MReader(recon)
+    acc = {"psnr": [], "psnrhvs": [], "ssim": [], "msssim": []}
+    n = 0
+    npix = 0
+    for fa, fb in zip(ra, rb):
+        a = fa[0].astype(np.float64)
+        b = fb[0].astype(np.float64)
+        acc["psnr"].append(M.psnr(a, b))
+        acc["psnrhvs"].append(M.psnr_hvs(a, b))
+        acc["ssim"].append(M.ssim(a, b))
+        if min(a.shape) >= 176:
+            acc["msssim"].append(M.ms_ssim(a, b))
+        npix += a.size
+        n += 1
+        if limit and n >= limit:
+            break
+    return {k: round(float(np.mean(v)), 6) if v else None
+            for k, v in acc.items()}, n, npix
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("input", help="input .y4m")
+    ap.add_argument("-o", "--output", default=None,
+                    help="output .json (default: <input>.rd.json)")
+    ap.add_argument("-q", "--quants", default=None,
+                    help="comma-separated -v values")
+    ap.add_argument("--limit", type=int, default=0)
+    ap.add_argument("-b", "--b-frames", type=int, default=0)
+    ap.add_argument("--extra", default="",
+                    help="extra args passed to tools/encode.py")
+    args = ap.parse_args()
+
+    quants = ([int(q) for q in args.quants.split(",")] if args.quants
+              else DEFAULT_QUANTS)
+    here = os.path.dirname(os.path.abspath(__file__))
+    out_path = args.output or (args.input + ".rd.json")
+    results = []
+    with tempfile.TemporaryDirectory() as td:
+        for q in quants:
+            ogv = os.path.join(td, "q%d.ogv" % q)
+            y4m = os.path.join(td, "q%d.y4m" % q)
+            cmd = [sys.executable, os.path.join(here, "encode.py"),
+                   args.input, ogv, "-v", str(q), "-b",
+                   str(args.b_frames)]
+            if args.limit:
+                cmd += ["--limit", str(args.limit)]
+            cmd += [a for a in args.extra.split() if a]
+            subprocess.run(cmd, check=True, capture_output=True)
+            subprocess.run([sys.executable,
+                            os.path.join(here, "decode.py"), ogv, y4m],
+                           check=True, capture_output=True)
+            vals, n, npix = measure(args.input, y4m, args.limit)
+            nbytes = os.path.getsize(ogv)
+            point = {"quant": q, "bytes": nbytes, "frames": n,
+                     "bits_per_pixel": round(nbytes * 8.0 / npix, 6)}
+            point.update(vals)
+            results.append(point)
+            print(json.dumps(point))
+    with open(out_path, "w") as f:
+        for p in results:
+            f.write(json.dumps(p) + "\n")
+    print("wrote %s" % out_path, file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
