@@ -174,15 +174,14 @@ class Encoder:
         saved (the reference memcpys the whole adapt ctx because that is
         cheap in C, reference: src/encode.c:742-750)."""
         adapt = self.state.adapt
-        return (self.enc.checkpoint(),
-                [list(r) for r in adapt.skip_cdf],
+        return (self.enc.checkpoint(), adapt.skip_cdf.copy(),
                 adapt.pvq.snapshot())
 
     def _rollback(self, cp):
         ec_cp, skip_cdf, pvq_snap = cp
         self.enc.rollback(ec_cp)
         adapt = self.state.adapt
-        adapt.skip_cdf = [list(r) for r in skip_cdf]
+        np.copyto(adapt.skip_cdf, skip_cdf)
         adapt.pvq.restore(pvq_snap)
 
     def _checkpoint_full(self):

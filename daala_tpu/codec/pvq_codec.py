@@ -118,8 +118,28 @@ def decode_band_pvq_splits(dec, cw_ctx, y, n, k, level, base=0):
                                level + 1, base + mid)
 
 
+try:
+    import ctypes as _ct
+    from daala_tpu import native as _native
+    _NLIB = _native.get_lib()
+    _I32P = _ct.POINTER(_ct.c_int32)
+except Exception:  # pragma: no cover
+    _NLIB = None
+
+
+def _nptr(arr):
+    return arr.ctypes.data_as(_I32P)
+
+
 def encode_pvq_codeword(enc, cw_ctx, y, n, k):
     """Reference: src/pvq_encoder.c:44-49."""
+    if _NLIB is not None and hasattr(enc, "_h"):
+        ya = np.ascontiguousarray(y[:n], np.int32)
+        _NLIB.ec_pvq_codeword_encode(
+            enc._h, _nptr(ya), n, k, _nptr(cw_ctx.pvq_k1_cdf),
+            _nptr(cw_ctx.pvq_split_cdf), cw_ctx.pvq_k1_increment,
+            cw_ctx.pvq_split_increment)
+        return
     encode_band_pvq_splits(enc, cw_ctx, y, n, k, 0)
     for i in range(n):
         if y[i]:
@@ -305,13 +325,24 @@ def pvq_rate(qg, icgr, theta, ts, adapt, y0, k, n, is_keyframe, pli, speed):
     else:
         # Exact rate: run the codeword coder into a scratch encoder with a
         # cloned adaptation context (reference: src/pvq_encoder.c:268-277).
-        from daala_tpu.entropy.adapt import PvqCodewordCtx
-        enc = ec_mod.Encoder()
-        cd = PvqCodewordCtx()
-        cd.restore(adapt.pvq.pvq_codeword_ctx.snapshot())
-        tell = enc.tell_frac()
-        encode_pvq_codeword(enc, cd, y0, n - (1 if theta != -1 else 0), k)
-        rate = (enc.tell_frac() - tell) / 8.0
+        lim = n - (1 if theta != -1 else 0)
+        cw = adapt.pvq.pvq_codeword_ctx
+        if _NLIB is not None:
+            # Single native call: scratch coder + scratch CDF copies live
+            # entirely in C (daala_tpu/native/ec_core.cc).
+            ya = np.ascontiguousarray(y0[:lim], np.int32)
+            rate = _NLIB.ec_pvq_codeword_rate_q3(
+                _nptr(ya), lim, k, _nptr(cw.pvq_k1_cdf),
+                _nptr(cw.pvq_split_cdf), cw.pvq_k1_increment,
+                cw.pvq_split_increment) / 8.0
+        else:
+            from daala_tpu.entropy.adapt import PvqCodewordCtx
+            enc = ec_mod.Encoder()
+            cd = PvqCodewordCtx()
+            cd.restore(cw.snapshot())
+            tell = enc.tell_frac()
+            encode_pvq_codeword(enc, cd, y0, lim, k)
+            rate = (enc.tell_frac() - tell) / 8.0
     if qg > 0 and theta >= 0:
         rate += 0.9 * math.log2(ts)
         if is_keyframe and pli == 0:

@@ -5,10 +5,14 @@ Mirrors od_adapt_ctx / od_pvq_adapt_ctx and their reset functions
 (reference: src/state.h:141-175, src/state.c:535-578, src/pvq.c:275-320).
 This state is host-side: the range coder replays adaptation while
 serializing (encoder) or parsing (decoder), exactly as the reference does.
-CDFs are plain Python lists for fast scalar mutation.
+CDFs live in contiguous numpy int32 arrays: snapshots (taken at every
+RDO checkpoint, like the reference's struct memcpy) are single memcpys,
+and the native coder adapts rows in place through their buffer pointers.
 """
 
 from __future__ import annotations
+
+import numpy as np
 
 from daala_tpu.entropy.models import GenericModel, cdf_init
 from daala_tpu.ops import _tables as T
@@ -43,6 +47,7 @@ class Snapshottable:
 
     _ROW_LISTS = ()    # attributes that are lists of lists of ints
     _FLAT_LISTS = ()   # attributes that are flat lists of ints
+    _ARRAYS = ()       # attributes that are numpy arrays (memcpy clone)
     _SCALARS = ()      # attributes that are plain ints
     _CHILDREN = ()     # attributes that are Snapshottable (or lists of)
 
@@ -52,6 +57,8 @@ class Snapshottable:
             snap[a] = _clone_rows(getattr(self, a))
         for a in self._FLAT_LISTS:
             snap[a] = list(getattr(self, a))
+        for a in self._ARRAYS:
+            snap[a] = getattr(self, a).copy()
         for a in self._SCALARS:
             snap[a] = getattr(self, a)
         for a in self._CHILDREN:
@@ -67,6 +74,12 @@ class Snapshottable:
             setattr(self, a, _clone_rows(snap[a]))
         for a in self._FLAT_LISTS:
             setattr(self, a, list(snap[a]))
+        for a in self._ARRAYS:
+            cur = getattr(self, a, None)
+            if isinstance(cur, np.ndarray) and cur.shape == snap[a].shape:
+                np.copyto(cur, snap[a])  # keep row views valid
+            else:
+                setattr(self, a, snap[a].copy())
         for a in self._SCALARS:
             setattr(self, a, snap[a])
         for a in self._CHILDREN:
@@ -79,123 +92,118 @@ class Snapshottable:
 
 
 class PvqCodewordCtx(Snapshottable):
-    """od_pvq_codeword_ctx (reference: src/pvq.h:125-133)."""
+    """od_pvq_codeword_ctx (reference: src/pvq.h:125-133).
 
-    _ROW_LISTS = ("pvq_k1_cdf", "pvq_split_cdf")
-    _FLAT_LISTS = ("pvq_adapt",)
+    The CDF tables are contiguous numpy int32 arrays (not lists like the
+    other contexts): the codeword coder is the encoder's innermost RDO
+    loop and the native engine reads/adapts these rows in place through
+    their buffer pointers (daala_tpu/native/ec_core.cc)."""
+
+    _ARRAYS = ("pvq_adapt", "pvq_k1_cdf", "pvq_split_cdf")
     _SCALARS = ("pvq_k1_increment", "pvq_split_increment")
 
     def reset(self):
-        self.pvq_adapt = [0] * (2 * OD_NBSIZES * OD_NSB_ADAPT_CTXS)
+        self.pvq_adapt = np.zeros(2 * OD_NBSIZES * OD_NSB_ADAPT_CTXS,
+                                  np.int32)
         for i in range(2 * OD_NBSIZES):
             self.pvq_adapt[4 * i + OD_ADAPT_K_Q8] = 384
             self.pvq_adapt[4 * i + OD_ADAPT_SUM_EX_Q8] = 256
             self.pvq_adapt[4 * i + OD_ADAPT_COUNT_Q8] = 104
             self.pvq_adapt[4 * i + OD_ADAPT_COUNT_EX_Q8] = 128
         self.pvq_k1_increment = 128
-        self.pvq_k1_cdf = _cdfs(12, 16, self.pvq_k1_increment)
+        self.pvq_k1_cdf = np.array(_cdfs(12, 16, self.pvq_k1_increment),
+                                   np.int32)
         self.pvq_split_increment = 128
-        self.pvq_split_cdf = _cdfs(14 * 7, 8, self.pvq_split_increment >> 1)
+        self.pvq_split_cdf = np.array(
+            _cdfs(14 * 7, 8, self.pvq_split_increment >> 1), np.int32)
 
 
 class PvqAdaptCtx(Snapshottable):
     """od_pvq_adapt_ctx (reference: src/pvq.h:135-146)."""
 
-    _ROW_LISTS = ("pvq_gaintheta_cdf", "pvq_skip_dir_cdf")
-    _FLAT_LISTS = ("pvq_ext",)
+    _ARRAYS = ("pvq_gaintheta_cdf", "pvq_skip_dir_cdf", "pvq_ext",
+               "pvq_exg")
     _SCALARS = ("pvq_gaintheta_increment", "pvq_skip_dir_increment")
     _CHILDREN = ("pvq_codeword_ctx", "pvq_param_model")
-
-    def snapshot(self):
-        snap = super().snapshot()
-        snap["pvq_exg"] = [[list(b) for b in p] for p in self.pvq_exg]
-        return snap
-
-    def restore(self, snap):
-        super().restore(snap)
-        self.pvq_exg = [[list(b) for b in p] for p in snap["pvq_exg"]]
 
     def reset(self, is_keyframe: bool):
         self.pvq_codeword_ctx = PvqCodewordCtx()
         self.pvq_codeword_ctx.reset()
         self.pvq_param_model = [GenericModel() for _ in range(3)]
-        self.pvq_exg = [[[2 << 16 for _ in range(PVQ_MAX_PARTITIONS)]
-                         for _ in range(OD_NBSIZES)]
-                        for _ in range(OD_NPLANES_MAX)]
-        self.pvq_ext = [(24576 if is_keyframe else 2 << 16)
-                        for _ in range(OD_NBSIZES * PVQ_MAX_PARTITIONS)]
+        self.pvq_exg = np.full(
+            (OD_NPLANES_MAX, OD_NBSIZES, PVQ_MAX_PARTITIONS), 2 << 16,
+            np.int64)
+        self.pvq_ext = np.full(OD_NBSIZES * PVQ_MAX_PARTITIONS,
+                               24576 if is_keyframe else 2 << 16, np.int64)
         self.pvq_gaintheta_increment = 128
-        self.pvq_gaintheta_cdf = _cdfs(2 * OD_NBSIZES * PVQ_MAX_PARTITIONS,
-                                       16, self.pvq_gaintheta_increment >> 2)
+        self.pvq_gaintheta_cdf = np.array(
+            _cdfs(2 * OD_NBSIZES * PVQ_MAX_PARTITIONS, 16,
+                  self.pvq_gaintheta_increment >> 2), np.int32)
         self.pvq_skip_dir_increment = 128
-        self.pvq_skip_dir_cdf = _cdfs(2 * (OD_NBSIZES - 1), 7,
-                                      self.pvq_skip_dir_increment >> 2)
+        self.pvq_skip_dir_cdf = np.array(
+            _cdfs(2 * (OD_NBSIZES - 1), 7,
+                  self.pvq_skip_dir_increment >> 2), np.int32)
 
 
 class AdaptCtx(Snapshottable):
     """od_adapt_ctx (reference: src/state.h:141-175)."""
 
-    _ROW_LISTS = ("mv_ref_cdf", "mv_small_cdf", "skip_cdf",
-                  "haar_coeff_cdf", "haar_split_cdf", "haar_bits_cdf",
-                  "dering_cdf", "q_cdf")
-    _FLAT_LISTS = ("mv_ex", "mv_ey", "ex_sb_dc")
+    _ARRAYS = ("mv_ref_cdf", "mv_small_cdf", "skip_cdf",
+               "haar_coeff_cdf", "haar_split_cdf", "haar_bits_cdf",
+               "dering_cdf", "q_cdf", "mv_ex", "mv_ey", "ex_sb_dc",
+               "split_flag_cdf", "ex_dc", "ex_g")
     _SCALARS = ("mv_small_increment", "split_flag_increment",
                 "skip_increment", "haar_coeff_increment",
                 "haar_split_increment", "haar_bits_increment",
                 "dering_increment", "q_increment")
     _CHILDREN = ("pvq", "mv_model", "model_dc")
 
-    def snapshot(self):
-        snap = super().snapshot()
-        snap["split_flag_cdf"] = [
-            [list(r) for r in lvl] for lvl in self.split_flag_cdf]
-        snap["ex_dc"] = [[list(b) for b in p] for p in self.ex_dc]
-        snap["ex_g"] = [list(p) for p in self.ex_g]
-        return snap
-
-    def restore(self, snap):
-        super().restore(snap)
-        self.split_flag_cdf = [
-            [list(r) for r in lvl] for lvl in snap["split_flag_cdf"]]
-        self.ex_dc = [[list(b) for b in p] for p in snap["ex_dc"]]
-        self.ex_g = [list(p) for p in snap["ex_g"]]
-
     def reset(self, is_keyframe: bool):
         self.pvq = PvqAdaptCtx()
         self.pvq.reset(is_keyframe)
         self.mv_model = GenericModel()
-        self.mv_ref_cdf = _cdfs(5, 16, 128)
-        self.mv_ex = [0] * OD_MC_NLEVELS
-        self.mv_ey = [0] * OD_MC_NLEVELS
+        self.mv_ref_cdf = np.array(_cdfs(5, 16, 128), np.int32)
+        self.mv_ex = np.zeros(OD_MC_NLEVELS, np.int64)
+        self.mv_ey = np.zeros(OD_MC_NLEVELS, np.int64)
         self.mv_small_increment = 128
-        self.mv_small_cdf = _cdfs(5, 16, self.mv_small_increment,
-                                  10 * self.mv_small_increment)
+        self.mv_small_cdf = np.array(
+            _cdfs(5, 16, self.mv_small_increment,
+                  10 * self.mv_small_increment), np.int32)
         self.split_flag_increment = 128
-        self.split_flag_cdf = [
-            [[self.split_flag_increment >> 1, self.split_flag_increment]
-             for _ in range(9)] for _ in range(OD_MC_LEVEL_MAX)]
+        self.split_flag_cdf = np.array(
+            [[[self.split_flag_increment >> 1, self.split_flag_increment]
+              for _ in range(9)] for _ in range(OD_MC_LEVEL_MAX)],
+            np.int32)
         self.model_dc = [GenericModel() for _ in range(OD_NPLANES_MAX)]
-        self.ex_sb_dc = [32768 if pli == 0 else 8
-                         for pli in range(OD_NPLANES_MAX)]
-        self.ex_dc = [[[32768 if pli == 0 else 8 for _ in range(3)]
-                       for _ in range(OD_NBSIZES)]
-                      for pli in range(OD_NPLANES_MAX)]
-        self.ex_g = [[8] * OD_NBSIZES for _ in range(OD_NPLANES_MAX)]
+        self.ex_sb_dc = np.array(
+            [32768 if pli == 0 else 8 for pli in range(OD_NPLANES_MAX)],
+            np.int64)
+        self.ex_dc = np.array(
+            [[[32768 if pli == 0 else 8 for _ in range(3)]
+              for _ in range(OD_NBSIZES)]
+             for pli in range(OD_NPLANES_MAX)], np.int64)
+        self.ex_g = np.full((OD_NPLANES_MAX, OD_NBSIZES), 8, np.int64)
         self.skip_increment = 128
-        self.skip_cdf = _cdfs(OD_NBSIZES * 2, 5, self.skip_increment >> 2)
+        self.skip_cdf = np.array(
+            _cdfs(OD_NBSIZES * 2, 5, self.skip_increment >> 2), np.int32)
         self.haar_coeff_increment = 128
-        self.haar_coeff_cdf = _cdfs(15 * 3 * (OD_NBSIZES + 1), 16,
-                                    self.haar_coeff_increment >> 2)
+        self.haar_coeff_cdf = np.array(
+            _cdfs(15 * 3 * (OD_NBSIZES + 1), 16,
+                  self.haar_coeff_increment >> 2), np.int32)
         self.haar_split_increment = 128
-        self.haar_split_cdf = _cdfs(15 * 2 * 5, 16,
-                                    self.haar_split_increment >> 2)
+        self.haar_split_cdf = np.array(
+            _cdfs(15 * 2 * 5, 16, self.haar_split_increment >> 2),
+            np.int32)
         self.haar_bits_increment = 128
-        self.haar_bits_cdf = _cdfs(3, 16, self.haar_bits_increment >> 2)
+        self.haar_bits_cdf = np.array(
+            _cdfs(3, 16, self.haar_bits_increment >> 2), np.int32)
         self.dering_increment = 128
-        self.dering_cdf = _cdfs(2 * OD_DERING_LEVELS - 1, OD_DERING_LEVELS,
-                                self.dering_increment >> 2)
+        self.dering_cdf = np.array(
+            _cdfs(2 * OD_DERING_LEVELS - 1, OD_DERING_LEVELS,
+                  self.dering_increment >> 2), np.int32)
         self.q_increment = 128
-        self.q_cdf = _cdfs(4 * 4, 4, self.q_increment >> 2)
+        self.q_cdf = np.array(_cdfs(4 * 4, 4, self.q_increment >> 2),
+                              np.int32)
 
     def set_mv_res(self, mv_res: int):
         """od_state_set_mv_res (reference: src/state.c:579-585)."""
@@ -219,7 +227,15 @@ def decode_cdf_adapt(dec, cdf, n, increment):
     return val
 
 
+_ADAPT_ARANGE = np.arange(1, 64, dtype=np.int32)
+
+
 def _cdf_adapt_increment(val, cdf, n, increment):
+    if isinstance(cdf, np.ndarray):
+        if int(cdf[n - 1]) + increment > 32767:
+            cdf[:n] = (cdf[:n] >> 1) + _ADAPT_ARANGE[:n]
+        cdf[val:n] += increment
+        return
     if cdf[n - 1] + increment > 32767:
         for i in range(n):
             cdf[i] = (cdf[i] >> 1) + i + 1

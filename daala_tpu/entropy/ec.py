@@ -26,7 +26,7 @@ LOTS_OF_BITS = 0x4000
 
 
 def _ilog(x: int) -> int:
-    return x.bit_length()
+    return int(x).bit_length()
 
 
 def _build_uniform():
@@ -158,11 +158,12 @@ class Encoder:
 
     def encode_cdf_q15(self, s: int, cdf):
         assert cdf[len(cdf) - 1] == 32768
-        self.encode_q15(cdf[s - 1] if s > 0 else 0, cdf[s])
+        self.encode_q15(int(cdf[s - 1]) if s > 0 else 0, int(cdf[s]))
 
     def encode_cdf_unscaled(self, s: int, cdf):
-        self.encode_unscaled(cdf[s - 1] if s > 0 else 0, cdf[s],
-                             cdf[len(cdf) - 1])
+        # int() casts: cdf rows may be numpy (adaptation tables).
+        self.encode_unscaled(int(cdf[s - 1]) if s > 0 else 0, int(cdf[s]),
+                             int(cdf[len(cdf) - 1]))
 
     def encode_uint(self, fl: int, ft: int):
         """od_ec_enc_uint: <=4 range-coded MSBs + raw LSBs (reference:
@@ -351,7 +352,7 @@ class Decoder:
         while True:
             u = v
             ret += 1
-            v = (cdf[ret] * r) >> ftb
+            v = (int(cdf[ret]) * r) >> ftb
             if v > c:
                 break
         return self._normalize(dif - (u << (WINDOW_SIZE - 16)), v - u, ret)
@@ -361,7 +362,7 @@ class Decoder:
         src/entdec.c:262)."""
         dif = self.dif
         r = self.rng
-        ft = cdf[len(cdf) - 1]
+        ft = int(cdf[len(cdf) - 1])
         s = int(r - ft >= ft)
         ft <<= s
         d = r - ft
@@ -372,11 +373,11 @@ class Decoder:
         q >>= s
         fl = 0
         ret = 0
-        fh = cdf[0]
+        fh = int(cdf[0])
         while fh <= q:
             fl = fh
             ret += 1
-            fh = cdf[ret]
+            fh = int(cdf[ret])
         fl <<= s
         fh <<= s
         u = _partition(fl, d, e)
@@ -387,7 +388,7 @@ class Decoder:
         """od_ec_decode_cdf_unscaled (reference: src/entdec.c:331)."""
         dif = self.dif
         r = self.rng
-        ft = cdf[len(cdf) - 1]
+        ft = int(cdf[len(cdf) - 1])
         s = 15 - _ilog(ft - 1)
         ft <<= s
         if r - ft >= ft:
@@ -401,11 +402,11 @@ class Decoder:
         q >>= s
         fl = 0
         ret = 0
-        fh = cdf[0]
+        fh = int(cdf[0])
         while fh <= q:
             fl = fh
             ret += 1
-            fh = cdf[ret]
+            fh = int(cdf[ret])
         fl <<= s
         fh <<= s
         u = _partition(fl, d, e)

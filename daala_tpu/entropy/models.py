@@ -122,7 +122,7 @@ class AdaptiveCDFIncrement:
 
 def log_ex(ex_q16: int) -> int:
     """2*log2(ex_q16 / 2^16) in Q1 (reference: src/generic_code.c:112-127)."""
-    lg = ex_q16.bit_length()
+    lg = int(ex_q16).bit_length()
     if lg < 15:
         odd = int(ex_q16 * ex_q16 > 2 << (2 * lg))
     else:
@@ -141,15 +141,17 @@ class GenericModel:
 
     def __init__(self):
         self.increment = 64
-        self.cdf = [[(j + 1) * self.increment for j in range(16)]
-                    for _ in range(GENERIC_TABLES)]
+        # Contiguous numpy storage: snapshots become one memcpy and the
+        # rows can be handed to the native coder by pointer.
+        self.cdf = np.array([[(j + 1) * self.increment for j in range(16)]
+                             for _ in range(GENERIC_TABLES)], np.int32)
 
     def snapshot(self):
-        return (self.increment, [list(r) for r in self.cdf])
+        return (self.increment, self.cdf.copy())
 
     def restore(self, snap):
         self.increment = snap[0]
-        self.cdf = [list(r) for r in snap[1]]
+        np.copyto(self.cdf, snap[1])
 
     def _params(self, ex_q16: int):
         lg_q1 = log_ex(ex_q16)
@@ -318,7 +320,7 @@ def laplace_decode_special(dec, decay: int, max_val: int) -> int:
 def laplace_encode(enc, x: int, ex_q8: int, k: int):
     """PVQ pulse-magnitude Laplace coder (reference:
     src/laplace_encoder.c:138-180)."""
-    shift = max(0, ex_q8.bit_length() - 11)
+    shift = max(0, int(ex_q8).bit_length() - 11)
     ex_q8 = (ex_q8 + (1 << shift >> 1)) >> shift
     k = (k + (1 << shift >> 1)) >> shift
     xs = (x + (1 << shift >> 1)) >> shift
@@ -341,7 +343,7 @@ def laplace_encode(enc, x: int, ex_q8: int, k: int):
 
 def laplace_decode(dec, ex_q8: int, k: int) -> int:
     """Mirror of laplace_encode (reference: src/laplace_decoder.c:163-198)."""
-    shift = max(0, ex_q8.bit_length() - 11)
+    shift = max(0, int(ex_q8).bit_length() - 11)
     ex_q8 = (ex_q8 + (1 << shift >> 1)) >> shift
     k = (k + (1 << shift >> 1)) >> shift
     decay = min(254, 256 * ex_q8 // (ex_q8 + 256))

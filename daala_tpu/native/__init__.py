@@ -98,6 +98,12 @@ def _configure(lib):
         getattr(lib, fn).restype = c.c_int
     lib.ec_tell_frac.argtypes = [c.c_int, c.c_uint]
     lib.ec_tell_frac.restype = c.c_int
+    lib.ec_pvq_codeword_encode.argtypes = [c.c_void_p, i32p, c.c_int,
+                                           c.c_int, i32p, i32p, c.c_int,
+                                           c.c_int]
+    lib.ec_pvq_codeword_rate_q3.argtypes = [i32p, c.c_int, c.c_int, i32p,
+                                            i32p, c.c_int, c.c_int]
+    lib.ec_pvq_codeword_rate_q3.restype = c.c_int
     # Install the normative uniform CDF table.
     from daala_tpu.ops import _tables
     flat = _tables.UNIFORM_CDFS_Q15.astype("int32")

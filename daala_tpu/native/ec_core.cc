@@ -491,4 +491,101 @@ int ec_tell_frac(int nbits_total, unsigned rng) {
   return tell_frac_impl(nbits_total, rng);
 }
 
+// ---- PVQ codeword coder -----------------------------------------------
+// Recursive binary pulse-count splitting with adaptive CDFs; written from
+// this project's Python implementation (daala_tpu/codec/pvq_codec.py:39-131,
+// behavioral parity: src/laplace_encoder.c:38-80).  The rate entry point
+// runs the whole measurement (scratch coder + scratch CDFs) in one call —
+// this is the encoder's innermost RDO loop.
+
+static void cdf_adapt_enc(EcEnc *e, int val, int32_t *cdf, int n,
+                          int inc) {
+  e->encode_unscaled(val > 0 ? (uint32_t)cdf[val - 1] : 0,
+                     (uint32_t)cdf[val], (uint32_t)cdf[n - 1]);
+  if (cdf[n - 1] + inc > 32767) {
+    for (int i = 0; i < n; i++) cdf[i] = (cdf[i] >> 1) + i + 1;
+  }
+  for (int i = val; i < n; i++) cdf[i] += inc;
+}
+
+static inline int pvq_size_ctx(int n) {
+  int logn = ilog_z((uint32_t)(n - 1));
+  int odd = n & 1;
+  return 2 * logn - 1 - odd - 7 * (n == 14);
+}
+
+static inline int pvq_k1_ctx(int n, int orig) {
+  return orig ? 8 + 2 * (n > 8) + (n & 1) : pvq_size_ctx(n);
+}
+
+struct PvqCwCtx {
+  int32_t *k1_cdf;     // 12 rows x 16
+  int32_t *split_cdf;  // 98 rows x 8
+  int32_t k1_inc, split_inc;
+};
+
+static void enc_pvq_split(EcEnc *e, PvqCwCtx *c, int count, int total,
+                          int ctx) {
+  if (total == 0) return;
+  int shift = ilog_z((uint32_t)total) - 3;
+  if (shift < 0) shift = 0;
+  int rest = 0;
+  if (shift) {
+    rest = count & ((1 << shift) - 1);
+    count >>= shift;
+    total >>= shift;
+  }
+  int fctx = 7 * ctx + total - 1;
+  cdf_adapt_enc(e, count, c->split_cdf + 8 * fctx, total + 1,
+                c->split_inc);
+  if (shift) e->encode_bits((uint32_t)rest, shift);
+}
+
+static void enc_band_splits(EcEnc *e, PvqCwCtx *c, const int32_t *y,
+                            int n, int k, int level) {
+  if (n <= 1 || k == 0) return;
+  if (k == 1 && n <= 16) {
+    int cdf_id = pvq_k1_ctx(n, level == 0);
+    int pos = 0;
+    while (!y[pos]) pos++;
+    cdf_adapt_enc(e, pos, c->k1_cdf + 16 * cdf_id, n, c->k1_inc);
+  } else {
+    int mid = n >> 1;
+    int cr = k;
+    for (int i = 0; i < mid; i++) cr -= y[i] < 0 ? -y[i] : y[i];
+    enc_pvq_split(e, c, cr, k, pvq_size_ctx(n));
+    enc_band_splits(e, c, y, mid, k - cr, level + 1);
+    enc_band_splits(e, c, y + mid, n - mid, cr, level + 1);
+  }
+}
+
+void ec_pvq_codeword_encode(void *h, const int32_t *y, int n, int k,
+                            int32_t *k1_cdf, int32_t *split_cdf,
+                            int k1_inc, int split_inc) {
+  EcEnc *e = (EcEnc *)h;
+  PvqCwCtx c{k1_cdf, split_cdf, k1_inc, split_inc};
+  enc_band_splits(e, &c, y, n, k, 0);
+  for (int i = 0; i < n; i++) {
+    if (y[i]) e->encode_bits(y[i] < 0 ? 1 : 0, 1);
+  }
+}
+
+int ec_pvq_codeword_rate_q3(const int32_t *y, int n, int k,
+                            const int32_t *k1_cdf,
+                            const int32_t *split_cdf, int k1_inc,
+                            int split_inc) {
+  EcEnc e;
+  int32_t k1[12 * 16];
+  int32_t sp[98 * 8];
+  std::memcpy(k1, k1_cdf, sizeof(k1));
+  std::memcpy(sp, split_cdf, sizeof(sp));
+  PvqCwCtx c{k1, sp, k1_inc, split_inc};
+  int tell = tell_frac_impl(e.tell(), e.rng);
+  enc_band_splits(&e, &c, y, n, k, 0);
+  for (int i = 0; i < n; i++) {
+    if (y[i]) e.encode_bits(y[i] < 0 ? 1 : 0, 1);
+  }
+  return tell_frac_impl(e.tell(), e.rng) - tell;
+}
+
 }  // extern "C"
