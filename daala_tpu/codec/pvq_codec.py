@@ -218,6 +218,7 @@ _RSQRT_TABLE = [1.000000, 0.707107, 0.577350, 0.500000,
                 0.447214, 0.408248, 0.377964, 0.353553,
                 0.333333, 0.316228, 0.301511, 0.288675,
                 0.277350, 0.267261, 0.258199, 0.250000]
+_RSQRT_ARR = np.array(_RSQRT_TABLE, np.float64)
 
 
 def _rsqrt_tab(i):
@@ -228,36 +229,34 @@ def _rsqrt_tab(i):
 
 def pvq_search_rdo_double(xcoeff, n, k, ypulse, g2, pvq_norm_lambda, prev_k):
     """Reference: src/pvq_encoder.c:93-227.  ypulse is modified in place
-    (list of ints); returns the cosine distance."""
-    x = [abs(float(xcoeff[j])) for j in range(n)]
-    xx = 0.0
-    for j in range(n):
-        xx += x[j] * x[j]
+    (list of ints); returns the cosine distance.
+
+    Vectorized: each greedy pulse placement evaluates all n candidate
+    positions at once.  Scores match the scalar form to double precision
+    (the first-index tie-break of np.argmax matches the reference's
+    strict-greater scan)."""
+    xc = np.asarray(xcoeff[:n], np.float64)
+    x = np.abs(xc)
+    xx = float(x @ x)
     xy = 0.0
     yy = 0.0
     norm_1 = 1.0 / math.sqrt(1e-30 + xx)
     lam = pvq_norm_lambda / (1e-30 + g2)
     i = 0
     if 0 < prev_k <= k:
-        for j in range(n):
-            ypulse[j] = abs(ypulse[j])
-            xy += x[j] * ypulse[j]
-            yy += ypulse[j] * ypulse[j]
-            i += ypulse[j]
+        yp = np.abs(np.asarray(ypulse[:n], np.int64))
+        xy = float(x @ yp)
+        yy = float(yp @ yp)
+        i = int(yp.sum())
     elif k > 2:
-        l1_norm = 0.0
-        for j in range(n):
-            l1_norm += x[j]
-        l1_inv = 1.0 / max(l1_norm, 1e-100)
-        for j in range(n):
-            tmp = k * x[j] * l1_inv
-            ypulse[j] = max(0, int(math.floor(tmp)))
-            xy += x[j] * ypulse[j]
-            yy += ypulse[j] * ypulse[j]
-            i += ypulse[j]
+        l1_norm = float(x.sum())
+        yp = np.floor(k * x * (1.0 / max(l1_norm, 1e-100)))
+        yp = np.maximum(yp, 0.0).astype(np.int64)
+        xy = float(x @ yp)
+        yy = float(yp @ yp)
+        i = int(yp.sum())
     else:
-        for j in range(n):
-            ypulse[j] = 0
+        yp = np.zeros(n, np.int64)
     rdo_pulses = 1 + k // 4
     delta_rate = 3.0 / n
     accel_rate = 0.0
@@ -268,45 +267,32 @@ def pvq_search_rdo_double(xcoeff, n, k, ypulse, g2, pvq_norm_lambda, prev_k):
         elif n == 8:
             accel_rate = 5.7 / n
             delta_rate = 9.3 / n - accel_rate
+    jidx = np.arange(n, dtype=np.float64)
     while i < k - rdo_pulses:
-        pos = 0
-        best_xy = -10.0
-        best_yy = 1.0
-        for j in range(n):
-            tmp_xy = xy + x[j]
-            tmp_yy = yy + 2 * ypulse[j] + 1
-            tmp_xy *= tmp_xy
-            if j == 0 or tmp_xy * best_yy > best_xy * tmp_yy:
-                best_xy = tmp_xy
-                best_yy = tmp_yy
-                pos = j
-        xy += x[pos]
-        yy += 2 * ypulse[pos] + 1
-        ypulse[pos] += 1
+        txy = xy + x
+        txy = txy * txy
+        tyy = yy + 2.0 * yp + 1.0
+        pos = int(np.argmax(txy / tyy))
+        xy += float(x[pos])
+        yy += 2 * int(yp[pos]) + 1
+        yp[pos] += 1
         i += 1
+    rate_pen = lam * jidx * (delta_rate + jidx * accel_rate)
     while i < k:
-        rsqrt_table = [_rsqrt_tab(int(yy) + 2 * ii + 1) for ii in range(4)]
-        pos = 0
-        best_cost = -1e5
-        for j in range(n):
-            tmp_xy = xy + x[j]
-            yj = ypulse[j]
-            if yj < 4:
-                tmp_yy = rsqrt_table[yj]
-            else:
-                tmp_yy = _rsqrt_tab(int(yy) + 2 * yj + 1)
-            tmp_xy = 2 * tmp_xy * norm_1 * tmp_yy \
-                - lam * j * (delta_rate + j * accel_rate)
-            if j == 0 or tmp_xy > best_cost:
-                best_cost = tmp_xy
-                pos = j
-        xy += x[pos]
-        yy += 2 * ypulse[pos] + 1
-        ypulse[pos] += 1
+        idx = int(yy) + 2 * yp + 1
+        small = idx <= 16
+        tyy_r = np.where(
+            small, _RSQRT_ARR[np.minimum(idx, 16) - 1],
+            1.0 / np.sqrt(np.maximum(idx, 1).astype(np.float64)))
+        cost = 2.0 * (xy + x) * norm_1 * tyy_r - rate_pen
+        pos = int(np.argmax(cost))
+        xy += float(x[pos])
+        yy += 2 * int(yp[pos]) + 1
+        yp[pos] += 1
         i += 1
+    out = np.where(xc < 0, -yp, yp)
     for j in range(n):
-        if xcoeff[j] < 0:
-            ypulse[j] = -ypulse[j]
+        ypulse[j] = int(out[j])
     return xy / (1e-100 + math.sqrt(xx * yy))
 
 
