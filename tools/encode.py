@@ -35,6 +35,10 @@ def main():
                     help="re-decode every packet with an embedded decoder "
                          "and verify the reconstruction matches "
                          "(like the reference's --enable-encoder-check)")
+    ap.add_argument("--workers", type=int, default=0,
+                    help="encode keyframe-aligned segments in N parallel "
+                         "processes (keyframe rate is capped to the "
+                         "segment length, a multiple of 16)")
     args = ap.parse_args()
 
     rd = Y4MReader(args.input)
@@ -44,6 +48,41 @@ def main():
                   keyframe_rate=args.keyframe_rate,
                   timebase_numerator=rd.fps[0],
                   timebase_denominator=rd.fps[1])
+    if args.workers > 1:
+        # Segment-parallel: read the clip, fan segments out to processes
+        # (daala_tpu/parallel/mesh.py), then mux in order.
+        from daala_tpu.parallel.mesh import encode_clip_parallel
+        seg = max(16, min(args.keyframe_rate, 64) // 16 * 16)
+        info_kwargs = dict(pic_width=rd.width, pic_height=rd.height,
+                           nplanes=rd.nplanes, plane_dec=dec,
+                           keyframe_rate=min(args.keyframe_rate, seg),
+                           timebase_numerator=rd.fps[0],
+                           timebase_denominator=rd.fps[1])
+        frames = []
+        for planes in rd:
+            frames.append(planes)
+            if args.limit and len(frames) >= args.limit:
+                break
+        t0 = time.time()
+        pkts = encode_clip_parallel(
+            frames, info_kwargs,
+            dict(quant=args.video_quality,
+                 use_dering=not args.no_dering, bitrate=args.bitrate),
+            b_frames=args.b_frames, segment_len=seg,
+            workers=args.workers)
+        enc = Encoder(H.Info(**info_kwargs), quant=args.video_quality)
+        with open(args.output, "wb") as f:
+            ogg = OggPageWriter(f, serial=0x0da1a)
+            for hpkt in enc.flush_headers():
+                ogg.add_packet(hpkt, 0, flush=True)
+            for i, pkt in enumerate(pkts):
+                ogg.add_packet(pkt, i + 1, flush=True)
+            ogg.close()
+        n = len(frames)
+        dt = time.time() - t0
+        print("encoded %d frames in %.2fs (%.2f fps, %.3f Mpix/s)"
+              % (n, dt, n / dt, n * rd.width * rd.height / dt / 1e6))
+        return
     enc = Encoder(info, quant=args.video_quality,
                   use_dering=not args.no_dering,
                   bitrate=args.bitrate)
