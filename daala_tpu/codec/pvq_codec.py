@@ -291,8 +291,7 @@ def pvq_search_rdo_double(xcoeff, n, k, ypulse, g2, pvq_norm_lambda, prev_k):
         yp[pos] += 1
         i += 1
     out = np.where(xc < 0, -yp, yp)
-    for j in range(n):
-        ypulse[j] = int(out[j])
+    ypulse[:n] = out.tolist()
     return xy / (1e-100 + math.sqrt(xx * yy))
 
 
@@ -349,13 +348,12 @@ def pvq_theta(out, x0, r0, n, q0, y, beta, nodesync, is_keyframe, pli,
     assert n > 1
     xshift = max(0, vector_log_mag(x0, n) - 15)
     rshift = max(0, vector_log_mag(r0, n) - 14)
-    x16 = np.empty(n, np.int64)
-    r16 = np.empty(n, np.int64)
-    corr = 0
-    for i in range(n):
-        x16[i] = P.shr_round(int(x0[i]) * int(qm[i]), P.OD_QM_SHIFT + xshift)
-        r16[i] = P.shr_round(int(r0[i]) * int(qm[i]), P.OD_QM_SHIFT + rshift)
-        corr += int(x16[i]) * int(r16[i])
+    x0a = np.asarray(x0[:n], np.int64)
+    r0a = np.asarray(r0[:n], np.int64)
+    qma = np.asarray(qm[:n], np.int64)
+    x16 = P.shr_round_arr(x0a * qma, P.OD_QM_SHIFT + xshift)
+    r16 = P.shr_round_arr(r0a * qma, P.OD_QM_SHIFT + rshift)
+    corr = int(x16 @ r16)
     cfl_enabled = is_keyframe and pli != 0
     cg, g = P.compute_gain(x16, q0, beta, xshift)
     cgr, gr = P.compute_gain(r16, q0, beta, rshift)
@@ -442,8 +440,7 @@ def pvq_theta(out, x0, r0, n, q0, y, beta, nodesync, is_keyframe, pli,
                 * (P.pvq_sin(qtheta) / P.OD_TRIG_SCALE)
             if k == 0:
                 cos_dist = 0.0
-                for ii in range(n - 1):
-                    y_tmp[ii] = 0
+                y_tmp[:n - 1] = [0] * (n - 1)
             elif k != prev_k:
                 cos_dist = pvq_search_rdo_double(
                     xr, n - 1, k, y_tmp,
@@ -466,8 +463,7 @@ def pvq_theta(out, x0, r0, n, q0, y, beta, nodesync, is_keyframe, pli,
                 itheta = j
                 max_theta = ts
                 noref = False
-                for ii in range(n - 1):
-                    y[ii] = y_tmp[ii]
+                y[:n - 1] = y_tmp[:n - 1]
     if n <= OD_MAX_PVQ_SIZE and (
             (is_keyframe and pli == 0) or corr < 0.5
             or cg < P._shl32(2, P.OD_CGAIN_SHIFT)):
