@@ -579,8 +579,14 @@ class Decoder:
 
 def _install_accounting(dec):
     """Wrap the EC decoder's symbol methods to record per-symbol bit usage
-    (equivalent of OD_ACCOUNTING builds, reference: src/accounting.c)."""
+    (equivalent of OD_ACCOUNTING builds, reference: src/accounting.c).
+    Sets dec._accounting so batched native decode paths fall back to
+    per-symbol Python calls (otherwise their symbols would be missed)."""
     records = []
+    try:
+        dec._accounting = True
+    except Exception:
+        pass
     for name in ("decode_bool_q15", "decode_cdf_q15", "decode_cdf",
                  "decode_cdf_unscaled", "decode_uint", "decode_bits",
                  "decode_cdf_dyadic"):

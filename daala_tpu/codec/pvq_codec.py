@@ -148,6 +148,14 @@ def encode_pvq_codeword(enc, cw_ctx, y, n, k):
 
 def decode_pvq_codeword(dec, cw_ctx, n, k):
     """Reference: src/pvq_decoder.c:38-45."""
+    if (_NLIB is not None and hasattr(dec, "_h")
+            and not getattr(dec, "_accounting", False)):
+        ya = np.zeros(n, np.int32)
+        _NLIB.ec_pvq_codeword_decode(
+            dec._h, _nptr(ya), n, k, _nptr(cw_ctx.pvq_k1_cdf),
+            _nptr(cw_ctx.pvq_split_cdf), cw_ctx.pvq_k1_increment,
+            cw_ctx.pvq_split_increment)
+        return ya.tolist()
     y = [0] * n
     decode_band_pvq_splits(dec, cw_ctx, y, n, k, 0)
     for i in range(n):

@@ -178,10 +178,16 @@ class AdaptCtx(Snapshottable):
         self.ex_sb_dc = np.array(
             [32768 if pli == 0 else 8 for pli in range(OD_NPLANES_MAX)],
             np.int64)
-        self.ex_dc = np.array(
-            [[[32768 if pli == 0 else 8 for _ in range(3)]
-              for _ in range(OD_NBSIZES)]
-             for pli in range(OD_NPLANES_MAX)], np.int64)
+        # ex_dc: the reference resets only block sizes 0..3 (the loop in
+        # od_adapt_ctx_reset is hardcoded `i < 4`, reference:
+        # src/state.c:566-571), so the 64x64 slot starts at 0 (state
+        # calloc) and PERSISTS across frames. Normative: affects the DC
+        # generic-model cdf/shift selection for 64x64 blocks.
+        if not hasattr(self, "ex_dc"):
+            self.ex_dc = np.zeros((OD_NPLANES_MAX, OD_NBSIZES, 3),
+                                  np.int64)
+        for pli in range(OD_NPLANES_MAX):
+            self.ex_dc[pli, :4, :] = 32768 if pli == 0 else 8
         self.ex_g = np.full((OD_NPLANES_MAX, OD_NBSIZES), 8, np.int64)
         self.skip_increment = 128
         self.skip_cdf = np.array(
@@ -211,17 +217,40 @@ class AdaptCtx(Snapshottable):
             self.mv_ex[i] = self.mv_ey[i] = (24 << 16) >> mv_res
 
 
+try:
+    import ctypes as _ct
+    from daala_tpu import native as _native_mod
+    _NLIB = _native_mod.get_lib()
+    _I32P = _ct.POINTER(_ct.c_int32)
+except Exception:  # pragma: no cover
+    _NLIB = None
+
+
 def encode_cdf_adapt(enc, val, cdf, n, increment):
-    """od_encode_cdf_adapt on a raw list CDF (reference:
-    src/generic_encoder.c:65-86).  cdf may be longer than n; only the
-    first n entries are coded and adapted (matching the reference, which
-    passes n smaller than the allocated row)."""
+    """od_encode_cdf_adapt (reference: src/generic_encoder.c:65-86).
+    cdf may be longer than n; only the first n entries are coded and
+    adapted (matching the reference, which passes n smaller than the
+    allocated row).  Symbol coding + adaptation run in one native call
+    when both the coder and the CDF row are native-backed."""
+    if (_NLIB is not None and hasattr(enc, "_h")
+            and isinstance(cdf, np.ndarray) and cdf.dtype == np.int32
+            and cdf.flags.c_contiguous):
+        _NLIB.ec_cdf_adapt_enc(enc._h, val, cdf.ctypes.data_as(_I32P),
+                               n, increment)
+        return
     enc.encode_cdf_unscaled(val, cdf[:n])
     _cdf_adapt_increment(val, cdf, n, increment)
 
 
 def decode_cdf_adapt(dec, cdf, n, increment):
     """od_decode_cdf_adapt (reference: src/generic_decoder.c)."""
+    if (_NLIB is not None and hasattr(dec, "_h")
+            and not getattr(dec, "_accounting", False)
+            and isinstance(cdf, np.ndarray) and cdf.dtype == np.int32
+            and cdf.flags.c_contiguous):
+        return _NLIB.ec_cdf_adapt_dec(dec._h,
+                                      cdf.ctypes.data_as(_I32P), n,
+                                      increment)
     val = dec.decode_cdf_unscaled(cdf[:n])
     _cdf_adapt_increment(val, cdf, n, increment)
     return val

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 import ctypes
 
+import numpy as np
+
 from daala_tpu import native as _native
 
 _c_int32 = ctypes.c_int32
@@ -17,6 +19,18 @@ _I32P = ctypes.POINTER(_c_int32)
 _U8P = ctypes.POINTER(ctypes.c_uint8)
 _CP = ctypes.c_int64 * 8
 _SCRATCH_LEN = 64
+
+
+def _cdf_arg(scratch, cdf):
+    """CDF rows that already live in contiguous int32 numpy memory (the
+    adaptation tables) are passed zero-copy by pointer; lists go through
+    the scratch buffer."""
+    n = len(cdf)
+    if isinstance(cdf, np.ndarray) and cdf.dtype == np.int32 \
+            and cdf.flags.c_contiguous:
+        return cdf.ctypes.data_as(_I32P), n
+    scratch[:n] = [int(v) for v in cdf]
+    return scratch, n
 
 
 class NativeEncoder:
@@ -37,9 +51,7 @@ class NativeEncoder:
         self._lib.ec_enc_reset(self._h)
 
     def _cdf(self, cdf):
-        n = len(cdf)
-        self._scratch[:n] = cdf
-        return self._scratch, n
+        return _cdf_arg(self._scratch, cdf)
 
     def encode(self, fl, fh, ft):
         self._lib.ec_encode(self._h, fl, fh, ft)
@@ -98,7 +110,8 @@ class NativeEncoder:
 class NativeDecoder:
     __slots__ = ("_lib", "_h", "_buf", "_scratch", "decode_bool_q15",
                  "decode_cdf_q15", "decode_cdf", "decode_cdf_unscaled",
-                 "decode_uint", "decode_bits", "decode_cdf_dyadic")
+                 "decode_uint", "decode_bits", "decode_cdf_dyadic",
+                 "_accounting")
 
     def __init__(self, buf: bytes):
         self._lib = _native.get_lib()
@@ -123,9 +136,7 @@ class NativeDecoder:
             pass
 
     def _cdf(self, cdf):
-        n = len(cdf)
-        self._scratch[:n] = cdf
-        return self._scratch, n
+        return _cdf_arg(self._scratch, cdf)
 
     def _decode_bool_q15(self, fz):
         return self._lib.ec_decode_bool_q15(self._h, fz)

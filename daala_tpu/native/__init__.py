@@ -104,6 +104,13 @@ def _configure(lib):
     lib.ec_pvq_codeword_rate_q3.argtypes = [i32p, c.c_int, c.c_int, i32p,
                                             i32p, c.c_int, c.c_int]
     lib.ec_pvq_codeword_rate_q3.restype = c.c_int
+    lib.ec_pvq_codeword_decode.argtypes = [c.c_void_p, i32p, c.c_int,
+                                           c.c_int, i32p, i32p, c.c_int,
+                                           c.c_int]
+    lib.ec_cdf_adapt_enc.argtypes = [c.c_void_p, c.c_int, i32p, c.c_int,
+                                     c.c_int]
+    lib.ec_cdf_adapt_dec.argtypes = [c.c_void_p, i32p, c.c_int, c.c_int]
+    lib.ec_cdf_adapt_dec.restype = c.c_int
     # Install the normative uniform CDF table.
     from daala_tpu.ops import _tables
     flat = _tables.UNIFORM_CDFS_Q15.astype("int32")

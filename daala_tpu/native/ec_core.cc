@@ -570,6 +570,73 @@ void ec_pvq_codeword_encode(void *h, const int32_t *y, int n, int k,
   }
 }
 
+void ec_cdf_adapt_enc(void *h, int val, int32_t *cdf, int n, int inc) {
+  cdf_adapt_enc((EcEnc *)h, val, cdf, n, inc);
+}
+
+static int cdf_adapt_dec(EcDec *d, int32_t *cdf, int n, int inc) {
+  int val = d->decode_cdf_unscaled(cdf, n);
+  if (cdf[n - 1] + inc > 32767) {
+    for (int i = 0; i < n; i++) cdf[i] = (cdf[i] >> 1) + i + 1;
+  }
+  for (int i = val; i < n; i++) cdf[i] += inc;
+  return val;
+}
+
+static int dec_pvq_split(EcDec *d, PvqCwCtx *c, int total, int ctx) {
+  if (total == 0) return 0;
+  int shift = ilog_z((uint32_t)total) - 3;
+  if (shift < 0) shift = 0;
+  int fctx = 7 * ctx + (total >> shift) - 1;
+  int msbs = cdf_adapt_dec(d, c->split_cdf + 8 * fctx,
+                           (total >> shift) + 1, c->split_inc);
+  int count = shift ? (int)d->decode_bits(shift) : 0;
+  count += msbs << shift;
+  if (count > total) {
+    count = total;
+    d->error = 1;
+  }
+  return count;
+}
+
+static void dec_band_splits(EcDec *d, PvqCwCtx *c, int32_t *y, int n,
+                            int k, int level) {
+  if (n == 1) {
+    y[0] = k;
+    return;
+  }
+  if (k == 0) {
+    for (int i = 0; i < n; i++) y[i] = 0;
+    return;
+  }
+  if (k == 1 && n <= 16) {
+    for (int i = 0; i < n; i++) y[i] = 0;
+    int pos = cdf_adapt_dec(d, c->k1_cdf + 16 * pvq_k1_ctx(n, level == 0),
+                            n, c->k1_inc);
+    y[pos] = 1;
+    return;
+  }
+  int mid = n >> 1;
+  int cr = dec_pvq_split(d, c, k, pvq_size_ctx(n));
+  dec_band_splits(d, c, y, mid, k - cr, level + 1);
+  dec_band_splits(d, c, y + mid, n - mid, cr, level + 1);
+}
+
+int ec_cdf_adapt_dec(void *h, int32_t *cdf, int n, int inc) {
+  return cdf_adapt_dec((EcDec *)h, cdf, n, inc);
+}
+
+void ec_pvq_codeword_decode(void *h, int32_t *y, int n, int k,
+                            int32_t *k1_cdf, int32_t *split_cdf,
+                            int k1_inc, int split_inc) {
+  EcDec *d = (EcDec *)h;
+  PvqCwCtx c{k1_cdf, split_cdf, k1_inc, split_inc};
+  dec_band_splits(d, &c, y, n, k, 0);
+  for (int i = 0; i < n; i++) {
+    if (y[i] && d->decode_bits(1)) y[i] = -y[i];
+  }
+}
+
 int ec_pvq_codeword_rate_q3(const int32_t *y, int n, int k,
                             const int32_t *k1_cdf,
                             const int32_t *split_cdf, int k1_inc,

@@ -163,3 +163,38 @@ def test_bsize_rdo_roundtrip():
     frames2 = dec.decode_packet(pkt2)
     for p in range(3):
         np.testing.assert_array_equal(frames2[0][p], enc.recon[p])
+
+
+def test_inter_64x64_dc_ex_persistence():
+    """64x64 inter blocks with coded DC: the reference resets ex_dc only
+    for block sizes 0..3 (od_adapt_ctx_reset loops `i < 4`, reference:
+    src/state.c:566-571), so the 64x64 expectation persists across
+    frames starting from 0.  Our encoder once reset it to 32768,
+    producing streams the reference decoder parsed differently (wrong
+    generic-model cdf selection for dc:mag).  Regression: encode
+    forced-64x64 inter frames and require bit-exact agreement between
+    our decoder and the reference's."""
+    if not HAVE_ORACLE:
+        pytest.skip("codec oracle unavailable")
+    w, h = 100, 76
+    rng = np.random.default_rng(9)
+    yy, xx = np.mgrid[0:h, 0:w]
+    f0 = np.clip(128 + 60 * np.sin(xx / 17.0) + 40 * np.cos(yy / 13.0)
+                 + rng.normal(0, 6, (h, w)), 0, 255).astype(np.uint8)
+    cb = np.full(((h + 1) // 2, (w + 1) // 2), 120, np.uint8)
+    cr = np.full(((h + 1) // 2, (w + 1) // 2), 135, np.uint8)
+    info = H.Info(pic_width=w, pic_height=h, nplanes=3,
+                  plane_dec=((0, 0), (1, 1), (1, 1), (0, 0)),
+                  keyframe_rate=256)
+    enc = Encoder(info, quant=16)
+    enc.fixed_bsize = 4
+    pkts = [enc.encode_frame([np.roll(f0, 2 * i, axis=1), cb, cr])[0]
+            for i in range(3)]
+    ref = co.RefDecoder(enc.flush_headers())
+    ours = Decoder(info)
+    for p in pkts:
+        rf = ref.decode_packet(p)
+        of = ours.decode_packet(p)
+        for fa, fb in zip(rf, of):
+            for a, b in zip(fa, fb):
+                np.testing.assert_array_equal(a, b)

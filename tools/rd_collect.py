@@ -28,6 +28,37 @@ from daala_tpu.utils.y4m import Y4MReader
 DEFAULT_QUANTS = [5, 8, 12, 18, 27, 40, 60, 90]
 
 
+def _encode_ref(inp, out_y4m, quant, limit, b_frames):
+    """Anchor curve: encode + decode with the reference C codec via the
+    test oracle; returns the total packet bytes."""
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tests"))
+    import codec_oracle as co
+    from daala_tpu.utils.y4m import Y4MWriter
+    rd = Y4MReader(inp)
+    enc = co.RefEncoder(rd.width, rd.height, quant=quant,
+                        keyframe_rate=256, b_frames=b_frames or None)
+    headers = enc.flush_headers()
+    frames = []
+    for planes in rd:
+        frames.append(planes)
+        if limit and len(frames) >= limit:
+            break
+    pkts = []
+    for i, planes in enumerate(frames):
+        pkts.extend(enc.encode_frame(planes, last=(i == len(frames) - 1)))
+    nbytes = sum(len(p[0]) for p in pkts)
+    dec = co.RefDecoder(headers)
+    wr = Y4MWriter(out_y4m, rd.width, rd.height, fps=rd.fps,
+                   chroma="420")
+    for p, _gp in pkts:
+        for fr in dec.decode_packet(p):
+            wr.write_frame(fr)
+    wr.close()
+    return nbytes
+
+
 def measure(orig, recon, limit):
     ra = Y4MReader(orig)
     rb = Y4MReader(recon)
@@ -61,6 +92,10 @@ def main():
     ap.add_argument("-b", "--b-frames", type=int, default=0)
     ap.add_argument("--extra", default="",
                     help="extra args passed to tools/encode.py")
+    ap.add_argument("--codec", default="daala_tpu",
+                    choices=["daala_tpu", "ref"],
+                    help="'ref' encodes with the reference C encoder "
+                         "(compiled oracle) for anchor curves")
     args = ap.parse_args()
 
     quants = ([int(q) for q in args.quants.split(",")] if args.quants
@@ -72,18 +107,23 @@ def main():
         for q in quants:
             ogv = os.path.join(td, "q%d.ogv" % q)
             y4m = os.path.join(td, "q%d.y4m" % q)
-            cmd = [sys.executable, os.path.join(here, "encode.py"),
-                   args.input, ogv, "-v", str(q), "-b",
-                   str(args.b_frames)]
-            if args.limit:
-                cmd += ["--limit", str(args.limit)]
-            cmd += [a for a in args.extra.split() if a]
-            subprocess.run(cmd, check=True, capture_output=True)
-            subprocess.run([sys.executable,
-                            os.path.join(here, "decode.py"), ogv, y4m],
-                           check=True, capture_output=True)
+            if args.codec == "ref":
+                nbytes = _encode_ref(args.input, y4m, q, args.limit,
+                                     args.b_frames)
+            else:
+                cmd = [sys.executable, os.path.join(here, "encode.py"),
+                       args.input, ogv, "-v", str(q), "-b",
+                       str(args.b_frames)]
+                if args.limit:
+                    cmd += ["--limit", str(args.limit)]
+                cmd += [a for a in args.extra.split() if a]
+                subprocess.run(cmd, check=True, capture_output=True)
+                subprocess.run([sys.executable,
+                                os.path.join(here, "decode.py"), ogv,
+                                y4m],
+                               check=True, capture_output=True)
+                nbytes = os.path.getsize(ogv)
             vals, n, npix = measure(args.input, y4m, args.limit)
-            nbytes = os.path.getsize(ogv)
             point = {"quant": q, "bytes": nbytes, "frames": n,
                      "bits_per_pixel": round(nbytes * 8.0 / npix, 6)}
             point.update(vals)
