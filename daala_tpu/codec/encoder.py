@@ -148,19 +148,33 @@ class Encoder:
             st.quantizer = 0
             return
         self.base_quantizer = quantizer.quality_to_quantizer(self.quality)
-        # I-frame modulation: mqp = 1.0, dqp = -2 on the coded quantizer
-        # (reference: src/rate.c:826-838, src/encint.h:68-73).
-        cq = quantizer.quantizer_to_codedquantizer(self.base_quantizer)
-        cq = min(max(1, cq - 2), quantizer.N_CODED_QUANTIZERS - 1)
-        st.coded_quantizer = cq
-        st.quantizer = quantizer.codedquantizer_to_quantizer(cq)
-        # Target quantizer (float approximation of the Q57 fixed-point
-        # path; encoder-side only, feeds the lambdas).
-        lq = math.log2(self.base_quantizer) - OD_COEFF_SHIFT
-        lq = lq * (0x0064EB / 4096.0) + (0x0000C7851EB851EC / float(1 << 45))
-        lq = lq * 1.0 + (-2.0 / 4096.0 * (0x289 / 1.0)) / 8  # dqp path
-        # Keep it simple: use the modulated coded quantizer's value.
-        self.target_quantizer = st.quantizer
+        # Per-frame-type quantizer modulation, exact Q57/Q45/Q33
+        # fixed-point path (reference: src/rate.c:796-838; constants
+        # src/encint.h:68-73: MQP I/P/B = 1.0/1.05/1.1, DQP = -2/0/+1,
+        # golden P modulated like I).
+        from daala_tpu.codec.rate import blog64, bexp64
+        MQP_Q12 = (4096, int(1.05 * 4096), int(1.1 * 4096), 4096)
+        DQP_Q45 = ((-2) << 45, 0, 1 << 45, (-2) << 45)
+        subtype = 3 if (is_golden and frame_type == 1) else frame_type
+        lossy_q_min = quantizer.codedquantizer_to_quantizer(1)
+        lossy_q_max = quantizer.codedquantizer_to_quantizer(
+            quantizer.N_CODED_QUANTIZERS - 1)
+        log_q = blog64(self.base_quantizer) - (OD_COEFF_SHIFT << 57)
+        log_q >>= 36                                       # Q21
+        log_q *= 0x0064EB                                  # Q33
+        log_q += 0x0000C7851EB851EC >> 12                  # Q33
+        log_q *= MQP_Q12[subtype]                          # Q45
+        log_q += DQP_Q45[subtype]
+        log_q = (log_q - 0x0000C7851EB851EC) * 0x000289 \
+            + (OD_COEFF_SHIFT << 57)
+        self.target_quantizer = min(max(lossy_q_min, bexp64(log_q)),
+                                    lossy_q_max)
+        cq45 = (quantizer.quantizer_to_codedquantizer(self.base_quantizer)
+                << 33) * MQP_Q12[subtype] + DQP_Q45[subtype]
+        st.coded_quantizer = min(max(1, cq45 >> 45),
+                                 quantizer.N_CODED_QUANTIZERS - 1)
+        st.quantizer = quantizer.codedquantizer_to_quantizer(
+            st.coded_quantizer)
         self.bs_rdo_lambda = OD_PVQ_LAMBDA * (1.0 / (1 << 3)) * \
             self.target_quantizer ** 2
         self.dering_lambda = 0.67 * OD_PVQ_LAMBDA * self.target_quantizer ** 2
@@ -193,6 +207,49 @@ class Encoder:
     def _rollback_full(self, cp):
         self.enc.rollback(cp[0])
         self.state.adapt.restore(cp[1])
+
+    def _select_mv_res(self, cur_luma):
+        """Choose the frame's MV resolution (0 = 1/8 pel .. 2 = 1/2 pel)
+        by RD over the whole-frame OBMC prediction, mirroring the intent
+        of od_mv_subpel_refine's resolution loop (reference:
+        src/mcenc.c:6349-6380): start coarse, keep refining only while
+        the prediction gain beats the MV rate cost.  The grid's MVs are
+        rounded in place to the chosen resolution."""
+        grid = self.mv_grid
+        info = self.info
+        h, w = cur_luma.shape
+        cur = cur_luma.astype(np.int32)
+        # Reference mv lambda (src/rate.c:1072-1075), Q22 constant.
+        lam = max(40, (145000 * self.target_quantizer) >> 20)
+        saved_mv = grid.mv.copy()
+        saved_mv1 = grid.mv1.copy()
+        scratch = MC.RefImage(info)
+        vm = grid.valid > 0
+        nvert = int(vm.sum())
+        best = None
+        for res in (2, 1, 0):
+            if res:
+                half = 1 << (res - 1)
+                grid.mv[:] = ((saved_mv + half) >> res) << res
+                grid.mv1[:] = ((saved_mv1 + half) >> res) << res
+            else:
+                np.copyto(grid.mv, saved_mv)
+                np.copyto(grid.mv1, saved_mv1)
+            MC.mc_predict_frame(grid, self.ref_imgs, self.ref_imgi, info,
+                                scratch)
+            pred = scratch.plane_view(0)
+            sad = int(np.abs(pred[:h, :w].astype(np.int32) - cur).sum())
+            use1 = grid.ref[..., None] == MC.OD_FRAME_NEXT
+            mv_r = np.where(use1, grid.mv1, grid.mv) >> res
+            mags = (np.abs(mv_r[..., 0]) + np.abs(mv_r[..., 1]))[vm]
+            rate8 = 8 * (3 * nvert + int(2 * np.log2(1.0 + mags).sum()))
+            cost = (sad << 5) + lam * rate8
+            if best is None or cost < best[0]:
+                best = (cost, res, grid.mv.copy(), grid.mv1.copy())
+        _, res, mv, mv1 = best
+        np.copyto(grid.mv, mv)
+        np.copyto(grid.mv1, mv1)
+        return res
 
     # -- MV mesh encode (reference: src/encode.c:1847-1896,2441-2527) ------
 
@@ -878,9 +935,10 @@ class Encoder:
                 lam_sad = max(64, (self.target_quantizer * 11) >> 5)
                 mvest.refine_mesh(self.mv_grid, padded_in[0], dict(refs),
                                   info, lam_sad)
+            mv_res = self._select_mv_res(padded_in[0])
             MC.mc_predict_frame(self.mv_grid, self.ref_imgs, self.ref_imgi,
                                 info, self_img)
-            self._encode_mvs(enc, num_refs, mv_res=0)
+            self._encode_mvs(enc, num_refs, mv_res=mv_res)
         # Block size decision (reference: src/encode.c:3086-3096):
         # complexity >= 2 runs the full trial-encode RDO merge pass from
         # an all-4x4 map; complexity 0-1 uses the open-loop variance
