@@ -932,7 +932,7 @@ class Encoder:
                 # mvest.refine_mesh).  Threshold models the split-flag +
                 # MV-delta cost at the reference's mv lambda
                 # (src/rate.c:1072-1075).
-                lam_sad = max(64, (self.target_quantizer * 11) >> 5)
+                lam_sad = max(16, (self.target_quantizer * 11) >> 7)
                 mvest.refine_mesh(self.mv_grid, padded_in[0], dict(refs),
                                   info, lam_sad)
             mv_res = self._select_mv_res(padded_in[0])
