@@ -935,6 +935,13 @@ class Encoder:
                 lam_sad = max(16, (self.target_quantizer * 11) >> 7)
                 mvest.refine_mesh(self.mv_grid, padded_in[0], dict(refs),
                                   info, lam_sad)
+                if self.complexity >= 9:
+                    # OBMC-aware local refinement: currently roughly
+                    # RD-neutral on test content (the SAD objective does
+                    # not track PVQ rate well enough), so reserved for
+                    # the highest complexity tier.
+                    mvest.refine_mvs(self.mv_grid, padded_in[0],
+                                     dict(refs), info, lam_sad)
             mv_res = self._select_mv_res(padded_in[0])
             MC.mc_predict_frame(self.mv_grid, self.ref_imgs, self.ref_imgi,
                                 info, self_img)

@@ -297,3 +297,107 @@ def refine_mesh(grid: MVGrid, cur_luma, ref_images, info, lam_sad,
                     try_vertex(vx, vy, mvb_sz)
         level += 1
         log_mvb_sz -= 1
+
+
+def refine_mvs(grid: MVGrid, cur_luma, ref_images, info, lam_sad,
+               iters=2):
+    """Iterated local MV refinement against the true OBMC objective.
+
+    Lightweight counterpart of the reference's row/column Viterbi passes
+    (reference: od_mv_est_refine_row/col, src/mcenc.c:5211,5875): visit
+    every valid vertex in raster order and try a small candidate set —
+    neighbors' MVs, the zero MV, and +-{1,2} 1/8-pel perturbations — and
+    keep a candidate only if the OBMC SAD over the blocks the vertex
+    influences improves by more than a small rate bias.  Unlike a
+    template-matching search, this accounts for the overlapped blending
+    with neighboring vertices, which is what the greedy per-vertex
+    estimate misses.
+    """
+    h, w = cur_luma.shape
+    nv, nh = grid.nvmvbs, grid.nhmvbs
+    clamp = MC.OD_UMV_CLAMP * 8
+    ref_imgs = [None] * 4
+    ref_imgi = [-1] * 4
+    slots = {}
+    for i, (ridx, rimg) in enumerate(ref_images.items()):
+        ref_imgs[i] = rimg
+        slots[ridx] = i
+    for ridx, i in slots.items():
+        ref_imgi[ridx] = i
+    if ref_imgi[MC.OD_FRAME_PREV] < 0 and MC.OD_FRAME_NEXT in slots:
+        ref_imgi[MC.OD_FRAME_PREV] = slots[MC.OD_FRAME_NEXT]
+    if ref_imgi[MC.OD_FRAME_NEXT] < 0 and MC.OD_FRAME_PREV in slots:
+        ref_imgi[MC.OD_FRAME_NEXT] = slots[MC.OD_FRAME_PREV]
+    ref_imgi[MC.OD_FRAME_GOLD] = ref_imgi[MC.OD_FRAME_PREV]
+    scratch = np.zeros((h, w), np.uint8)
+    D0 = MC.OD_MVB_DELTA0
+    cur32 = cur_luma.astype(np.int32)
+
+    def eval_blocks(blocks):
+        sad = 0
+        for bx, by in blocks:
+            MC.pred_block(grid, ref_imgs, ref_imgi, info, scratch, 0,
+                          bx, by, MC.OD_LOG_MVB_DELTA0)
+            y0 = by << MC.OD_LOG_MVBSIZE_MIN
+            x0 = bx << MC.OD_LOG_MVBSIZE_MIN
+            n = D0 << MC.OD_LOG_MVBSIZE_MIN
+            ny = min(n, h - y0)
+            nx = min(n, w - x0)
+            a = cur32[y0:y0 + ny, x0:x0 + nx]
+            b = scratch[y0:y0 + ny, x0:x0 + nx].astype(np.int32)
+            sad += int(np.abs(a - b).sum())
+        return sad
+
+    def affected(vx, vy):
+        out = []
+        for by in range((max(0, vy - D0) // D0) * D0, min(vy + 1, nv), D0):
+            for bx in range((max(0, vx - D0) // D0) * D0,
+                            min(vx + 1, nh), D0):
+                out.append((bx, by))
+        return out
+
+    verts = [(vy, vx) for vy in range(0, nv + 1)
+             for vx in range(0, nh + 1) if grid.valid[vy, vx]]
+    for _ in range(iters):
+        changed = 0
+        for vy, vx in verts:
+            use1 = grid.ref[vy, vx] == MC.OD_FRAME_NEXT
+            mvarr = grid.mv1 if use1 else grid.mv
+            cur_mv = (int(mvarr[vy, vx, 0]), int(mvarr[vy, vx, 1]))
+            blocks = affected(vx, vy)
+            best_sad = eval_blocks(blocks)
+            best_mv = cur_mv
+            cands = {(0, 0)}
+            neigh_cands = set()
+            for dy, dx in ((-D0, 0), (D0, 0), (0, -D0), (0, D0)):
+                ny_, nx_ = vy + dy, vx + dx
+                if 0 <= ny_ <= nv and 0 <= nx_ <= nh \
+                        and grid.valid[ny_, nx_]:
+                    narr = grid.mv1 if use1 else grid.mv
+                    c = (int(narr[ny_, nx_, 0]), int(narr[ny_, nx_, 1]))
+                    cands.add(c)
+                    neigh_cands.add(c)
+            for step in (1, 2):
+                for ddy, ddx in ((0, step), (0, -step), (step, 0),
+                                 (-step, 0)):
+                    cands.add((cur_mv[0] + ddx, cur_mv[1] + ddy))
+            cands.discard(cur_mv)
+            for cand in cands:
+                cx = int(np.clip(cand[0], -clamp, clamp))
+                cy = int(np.clip(cand[1], -clamp, clamp))
+                mvarr[vy, vx] = (cx, cy)
+                sad = eval_blocks(blocks)
+                # Require the prediction gain to clear the same RD bar
+                # as subdivision (MV-delta bits), with a small bonus for
+                # candidates copied from neighbors (cheaper to code and
+                # they smooth the field).
+                margin = lam_sad
+                if cand in neigh_cands:
+                    margin = -(lam_sad >> 1)
+                if sad + margin < best_sad:
+                    best_sad = sad
+                    best_mv = (cx, cy)
+                    changed += 1
+            mvarr[vy, vx] = best_mv
+        if not changed:
+            break
