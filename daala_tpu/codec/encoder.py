@@ -999,6 +999,9 @@ class Encoder:
                    "frame %d type %d display %d quantizer %d bytes %d",
                    self.frame_count, frame_type, display_order,
                    st.quantizer, len(packet))
+        if getattr(self, "record_pass1", False):
+            self.rc.record_pass1(frame_type, int(is_golden),
+                                 len(packet) * 8, st.quantizer)
         if self.rc.target_bitrate > 0:
             self.rc.update(len(packet) * 8, int(is_golden), frame_type,
                            0, self.target_quantizer)

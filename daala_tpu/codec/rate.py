@@ -347,6 +347,9 @@ class RateControl:
                          keyframe_rate, frame_delay, b_frames, quality,
                          cur_time, lossy_q_min, lossy_q_max):
         """Returns (target_quantizer, base_quantizer) for bitrate mode."""
+        if getattr(self, "tp_model", None) is not None:
+            return self._twopass_select(frame_type, is_golden,
+                                        lossy_q_min, lossy_q_max)
         frame_subtype = OD_GOLDEN_P_FRAME \
             if (is_golden and frame_type == OD_P_FRAME) else frame_type
         mqp_q12 = [_f_q12(v) for v in OD_MQP]
@@ -442,6 +445,9 @@ class RateControl:
         dropped = 0
         if self.target_bitrate <= 0:
             return 0
+        if getattr(self, "tp_model", None) is not None:
+            self._twopass_update(bits)
+            return 0
         frame_subtype = OD_GOLDEN_P_FRAME \
             if (is_golden and frame_type == OD_P_FRAME) else frame_type
         if bits <= 0:
@@ -494,16 +500,92 @@ class RateControl:
         self.rate_bias -= bits
         return dropped
 
-    # -- 2-pass API (reference: src/rate.c:1199-1220) ------------------
-    # The reference ships these as unimplemented stubs returning
-    # OD_EIMPL; kept here for API parity.
+    # -- 2-pass rate control -------------------------------------------
+    # The reference only stubs this API (od_enc_rc_2pass_out/in return
+    # OD_EIMPL, reference: src/rate.c:1199-1220); this is a working
+    # implementation.  Pass 1 records per-frame (subtype, bits,
+    # quantizer); pass 2 converts each record into the RC model's
+    # per-frame scale (log2 bits = log_scale + log2 npixels -
+    # exp/64 * log2 q, mirroring the 1-pass update model) and allocates
+    # a base quantizer each frame by bisection so the predicted bits of
+    # ALL remaining frames hit the remaining budget exactly, with
+    # closed-loop drift correction from actual spend.
+
+    def record_pass1(self, frame_type, is_golden, bits, quantizer):
+        frame_subtype = OD_GOLDEN_P_FRAME \
+            if (is_golden and frame_type == OD_P_FRAME) else frame_type
+        if not hasattr(self, "pass1_frames"):
+            self.pass1_frames = []
+        self.pass1_frames.append([int(frame_subtype), int(bits),
+                                  int(quantizer)])
 
     def twopass_out(self):
-        """First-pass metrics output (reference: od_enc_rc_2pass_out,
-        src/rate.c:1199). Not implemented upstream either."""
-        raise NotImplementedError("2-pass rate control (OD_EIMPL)")
+        """Serialize first-pass metrics (our extension; the reference
+        returns OD_EIMPL here)."""
+        import json
+        if not getattr(self, "pass1_frames", None):
+            raise ValueError("no pass-1 metrics recorded")
+        return json.dumps({"daala_tpu_2pass": 1,
+                           "frames": self.pass1_frames}).encode()
 
     def twopass_in(self, buf):
-        """Second-pass metrics input (reference: od_enc_rc_2pass_in,
-        src/rate.c:1213). Not implemented upstream either."""
-        raise NotImplementedError("2-pass rate control (OD_EIMPL)")
+        """Load first-pass metrics and switch to 2-pass allocation."""
+        import json
+        import math
+        data = json.loads(buf)
+        assert data.get("daala_tpu_2pass") == 1
+        if self.target_bitrate <= 0:
+            raise ValueError("pass 2 needs a target bitrate")
+        info = self.enc.info
+        npix = info.frame_width * info.frame_height
+        # Per-frame model scales from pass-1 measurements.  Frames that
+        # spent ~nothing (full skips) keep a tiny floor.
+        self.tp_model = []
+        for st_, bits, q in data["frames"]:
+            ex = self.exp[st_] / 64.0
+            ls = (math.log2(max(bits, 32)) - math.log2(npix)
+                  + ex * math.log2(max(q, 1)))
+            self.tp_model.append((st_, ls, self.exp[st_]))
+        self.tp_index = 0
+        self.tp_spent = 0
+        self.tp_total_budget = self.bits_per_frame * len(self.tp_model)
+
+    _TP_MQP = (1.0, 1.05, 1.1, 1.0)
+
+    def _twopass_select(self, frame_type, is_golden, lossy_q_min,
+                        lossy_q_max):
+        import math
+        st_now = OD_GOLDEN_P_FRAME \
+            if (is_golden and frame_type == OD_P_FRAME) else frame_type
+        info = self.enc.info
+        npix = info.frame_width * info.frame_height
+        i = min(self.tp_index, len(self.tp_model) - 1)
+        remaining = self.tp_model[i:]
+        budget = self.tp_total_budget - self.tp_spent
+        budget = max(budget, 32 * max(1, len(remaining)))
+
+        def pred_total(lq):
+            t = 0.0
+            for st_, ls, ex in remaining:
+                t += npix * 2.0 ** (ls - (ex / 64.0)
+                                    * (lq * self._TP_MQP[st_]))
+            return t
+
+        lo, hi = 0.0, math.log2(lossy_q_max)
+        for _ in range(48):
+            mid = 0.5 * (lo + hi)
+            if pred_total(mid) > budget:
+                lo = mid
+            else:
+                hi = mid
+        base_lq = 0.5 * (lo + hi)
+        q = 2.0 ** (base_lq * self._TP_MQP[st_now])
+        target = int(min(max(lossy_q_min, round(q)), lossy_q_max))
+        self.base_quantizer = int(min(max(lossy_q_min,
+                                          round(2.0 ** base_lq)),
+                                      lossy_q_max))
+        return target, self.base_quantizer
+
+    def _twopass_update(self, bits):
+        self.tp_spent += bits
+        self.tp_index += 1

@@ -198,3 +198,45 @@ def test_inter_64x64_dc_ex_persistence():
         for fa, fb in zip(rf, of):
             for a, b in zip(fa, fb):
                 np.testing.assert_array_equal(a, b)
+
+
+def test_two_pass_rate_control():
+    """Two-pass RC (a working implementation of the API the reference
+    stubs, src/rate.c:1199-1220): pass 1 records per-frame metrics,
+    pass 2 must land near the target and decode everywhere."""
+    w = h = 64
+    rng = np.random.default_rng(7)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = np.clip(128 + 50 * np.sin(xx / 7.0) + 40 * np.cos(yy / 5.0)
+                   + rng.normal(size=(h, w)) * 8, 0, 255).astype(np.uint8)
+    frames = [[np.roll(base, 2 * i, axis=1),
+               np.full((32, 32), 120, np.uint8),
+               np.full((32, 32), 130, np.uint8)] for i in range(8)]
+    info = H.Info(pic_width=w, pic_height=h, nplanes=3,
+                  plane_dec=((0, 0), (1, 1), (1, 1), (0, 0)),
+                  keyframe_rate=64, timebase_numerator=30)
+    enc1 = Encoder(info, quant=16)
+    enc1.record_pass1 = True
+    for f in frames:
+        enc1.encode_frame(f)
+    stats = enc1.rc.twopass_out()
+    bitrate = 120000
+    enc2 = Encoder(info, quant=16, bitrate=bitrate)
+    enc2.rc.twopass_in(stats)
+    enc2.enable_encoder_check = True
+    pkts = []
+    for f in frames:
+        pkts.extend(enc2.encode_frame(f))
+    total_bits = sum(len(p) * 8 for p in pkts)
+    target_bits = bitrate * len(frames) // 30
+    assert 0.7 * target_bits < total_bits < 1.35 * target_bits, \
+        (total_bits, target_bits)
+    dec = Decoder(info)
+    n = 0
+    for p in pkts:
+        n += len(dec.decode_packet(p))
+    assert n == len(frames)
+    if HAVE_ORACLE:
+        ref = co.RefDecoder(enc2.flush_headers())
+        for p in pkts:
+            ref.decode_packet(p)

@@ -35,6 +35,12 @@ def main():
                     help="re-decode every packet with an embedded decoder "
                          "and verify the reconstruction matches "
                          "(like the reference's --enable-encoder-check)")
+    ap.add_argument("--two-pass", metavar="STATS", default=None,
+                    help="two-pass rate control: first run (stats file "
+                         "absent) records per-frame metrics to STATS; "
+                         "second run (file present, with --bitrate) "
+                         "allocates bits using them. The reference "
+                         "only stubs this API.")
     ap.add_argument("--workers", type=int, default=0,
                     help="encode keyframe-aligned segments in N parallel "
                          "processes (keyframe rate is capped to the "
@@ -83,11 +89,22 @@ def main():
         print("encoded %d frames in %.2fs (%.2f fps, %.3f Mpix/s)"
               % (n, dt, n / dt, n * rd.width * rd.height / dt / 1e6))
         return
+    two_pass_writing = False
+    if args.two_pass and os.path.exists(args.two_pass):
+        if not args.bitrate:
+            sys.exit("--two-pass second run requires --bitrate")
+    elif args.two_pass:
+        two_pass_writing = True
     enc = Encoder(info, quant=args.video_quality,
                   use_dering=not args.no_dering,
-                  bitrate=args.bitrate)
+                  bitrate=args.bitrate if not two_pass_writing else 0)
     enc.b_frames = args.b_frames
     enc.enable_encoder_check = args.check
+    if args.two_pass and not two_pass_writing:
+        with open(args.two_pass, "rb") as f:
+            enc.rc.twopass_in(f.read())
+    elif two_pass_writing:
+        enc.record_pass1 = True
     with open(args.output, "wb") as f:
         ogg = OggPageWriter(f, serial=0x0da1a)
         for hpkt in enc.flush_headers():
@@ -103,6 +120,10 @@ def main():
         for pkt in enc.flush():
             ogg.add_packet(pkt, n + 1, flush=True)
         ogg.close()
+    if two_pass_writing:
+        with open(args.two_pass, "wb") as f:
+            f.write(enc.rc.twopass_out())
+        print("wrote first-pass stats to %s" % args.two_pass)
     dt = time.time() - t0
     print("encoded %d frames in %.2fs (%.2f fps, %.3f Mpix/s)"
           % (n, dt, n / dt, n * rd.width * rd.height / dt / 1e6))
