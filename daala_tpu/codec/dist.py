@@ -20,24 +20,20 @@ _COEFF_SHIFT = 4
 
 def _var_4x4_grid(x):
     """od_compute_var_4x4 at the 9 overlapping (stride-2) positions of
-    each 8x8 block: x is (nby, nbx, 8, 8); returns (nby, nbx, 3, 3)."""
-    t = x >> 2
-    # cumulative-sum trick over the 8x8 tile for all 4x4 windows at
-    # offsets {0,2,4}x{0,2,4}
-    cs = np.cumsum(np.cumsum(t, axis=-1), axis=-2)
-    cs = np.pad(cs, [(0, 0)] * (t.ndim - 2) + [(1, 0), (1, 0)])
-    cs2 = np.cumsum(np.cumsum(t.astype(np.int64) ** 2, axis=-1), axis=-2)
-    cs2 = np.pad(cs2, [(0, 0)] * (t.ndim - 2) + [(1, 0), (1, 0)])
+    each 8x8 block: x is (nby, nbx, 8, 8); returns (nby, nbx, 3, 3).
 
-    def win(c, i, j):
-        return (c[..., i + 4, j + 4] - c[..., i + 4, j]
-                - c[..., i, j + 4] + c[..., i, j])
-    idx = [0, 2, 4]
-    s = np.stack([np.stack([win(cs, i, j) for j in idx], -1)
-                  for i in idx], -2)
-    s2 = np.stack([np.stack([win(cs2, i, j) for j in idx], -1)
-                   for i in idx], -2)
-    return s2 - (s.astype(np.int64) ** 2 >> 4)
+    Each 4x4 window at a stride-2 offset is the sum of a 2x2 patch of
+    2x2-aggregated cells — exact integer decomposition, no cumsums."""
+    t = (x >> 2).astype(np.int64)
+    t2 = t * t
+    # 2x2 cell aggregation -> (..., 4, 4)
+    c = t.reshape(t.shape[:-2] + (4, 2, 4, 2)).sum(axis=(-3, -1))
+    c2 = t2.reshape(t.shape[:-2] + (4, 2, 4, 2)).sum(axis=(-3, -1))
+    s = (c[..., :3, :3] + c[..., 1:, :3]
+         + c[..., :3, 1:] + c[..., 1:, 1:])
+    s2 = (c2[..., :3, :3] + c2[..., 1:, :3]
+          + c2[..., :3, 1:] + c2[..., 1:, 1:])
+    return s2 - (s * s >> 4)
 
 
 def _lp_filter(e, n):
