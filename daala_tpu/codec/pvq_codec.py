@@ -127,6 +127,9 @@ except Exception:  # pragma: no cover
     _NLIB = None
 
 
+_F64P = _ct.POINTER(_ct.c_double) if _NLIB is not None else None
+
+
 def _nptr(arr):
     return arr.ctypes.data_as(_I32P)
 
@@ -239,10 +242,18 @@ def pvq_search_rdo_double(xcoeff, n, k, ypulse, g2, pvq_norm_lambda, prev_k):
     """Reference: src/pvq_encoder.c:93-227.  ypulse is modified in place
     (list of ints); returns the cosine distance.
 
-    Vectorized: each greedy pulse placement evaluates all n candidate
-    positions at once.  Scores match the scalar form to double precision
-    (the first-index tie-break of np.argmax matches the reference's
-    strict-greater scan)."""
+    Production path: one native call running the scalar search in the
+    reference's exact floating-point operation order
+    (daala_tpu/native/ec_core.cc).  The numpy fallback vectorizes each
+    greedy pulse placement over all n candidate positions."""
+    if _NLIB is not None:
+        xa = np.ascontiguousarray(xcoeff[:n], np.float64)
+        ya = np.ascontiguousarray(ypulse[:n], np.int32)
+        cd = _NLIB.ec_pvq_search_rdo_double(
+            xa.ctypes.data_as(_F64P), n, k, _nptr(ya), float(g2),
+            float(pvq_norm_lambda), int(prev_k))
+        ypulse[:n] = ya.tolist()
+        return cd
     xc = np.asarray(xcoeff[:n], np.float64)
     x = np.abs(xc)
     xx = float(x @ x)
@@ -308,10 +319,9 @@ def pvq_rate(qg, icgr, theta, ts, adapt, y0, k, n, is_keyframe, pli, speed):
     if k == 0:
         rate = 0.0
     elif speed > 0:
-        total = 0
         lim = n - (1 if theta != -1 else 0)
-        for i in range(lim):
-            total += i * abs(int(y0[i]))
+        ya = np.abs(np.asarray(y0[:lim], np.int64))
+        total = int(np.arange(lim) @ ya)
         f = total / float(k * n)
         rate = (1 + 0.4 * f) * n * math.log2(
             1 + max(0.0, math.log(n * 2 * (1 * f + 0.025)) * k / n)) + 3

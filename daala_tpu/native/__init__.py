@@ -111,6 +111,11 @@ def _configure(lib):
                                      c.c_int]
     lib.ec_cdf_adapt_dec.argtypes = [c.c_void_p, i32p, c.c_int, c.c_int]
     lib.ec_cdf_adapt_dec.restype = c.c_int
+    f64p = c.POINTER(c.c_double)
+    lib.ec_pvq_search_rdo_double.argtypes = [f64p, c.c_int, c.c_int,
+                                             i32p, c.c_double,
+                                             c.c_double, c.c_int]
+    lib.ec_pvq_search_rdo_double.restype = c.c_double
     # Install the normative uniform CDF table.
     from daala_tpu.ops import _tables
     flat = _tables.UNIFORM_CDFS_Q15.astype("int32")

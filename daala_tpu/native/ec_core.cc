@@ -655,4 +655,118 @@ int ec_pvq_codeword_rate_q3(const int32_t *y, int n, int k,
   return tell_frac_impl(e.tell(), e.rng) - tell;
 }
 
+// ---- PVQ greedy pulse search ------------------------------------------
+// Scalar port of the RDO pulse search (written from this project's
+// Python implementation, daala_tpu/codec/pvq_codec.py
+// pvq_search_rdo_double; behavioral parity: src/pvq_encoder.c:93-227).
+// Plain double arithmetic in the reference's loop order so decisions
+// match the C encoder bit for bit.
+
+static const double kRsqrtTab[16] = {
+    1.000000, 0.707107, 0.577350, 0.500000, 0.447214, 0.408248,
+    0.377964, 0.353553, 0.333333, 0.316228, 0.301511, 0.288675,
+    0.277350, 0.267261, 0.258199, 0.250000};
+
+static inline double rsqrt_tab(int i) {
+  if (i <= 16) return kRsqrtTab[i - 1];
+  return 1.0 / __builtin_sqrt((double)i);
+}
+
+double ec_pvq_search_rdo_double(const double *xcoeff, int n, int k,
+                                int32_t *ypulse, double g2,
+                                double pvq_norm_lambda, int prev_k) {
+  double x[1024];
+  double xx = 0, xy = 0, yy = 0;
+  int i, j;
+  for (j = 0; j < n; j++) {
+    x[j] = xcoeff[j] < 0 ? -xcoeff[j] : xcoeff[j];
+    xx += x[j] * x[j];
+  }
+  double norm_1 = 1.0 / __builtin_sqrt(1e-30 + xx);
+  double lambda = pvq_norm_lambda / (1e-30 + g2);
+  i = 0;
+  if (0 < prev_k && prev_k <= k) {
+    for (j = 0; j < n; j++) {
+      ypulse[j] = ypulse[j] < 0 ? -ypulse[j] : ypulse[j];
+      xy += x[j] * ypulse[j];
+      yy += (double)ypulse[j] * ypulse[j];
+      i += ypulse[j];
+    }
+  } else if (k > 2) {
+    double l1_norm = 0;
+    for (j = 0; j < n; j++) l1_norm += x[j];
+    double l1_inv = 1.0 / (l1_norm > 1e-100 ? l1_norm : 1e-100);
+    for (j = 0; j < n; j++) {
+      double tmp = k * x[j] * l1_inv;
+      double fl = __builtin_floor(tmp);
+      int v = (int)fl;
+      if (v < 0) v = 0;
+      ypulse[j] = v;
+      xy += x[j] * ypulse[j];
+      yy += (double)ypulse[j] * ypulse[j];
+      i += ypulse[j];
+    }
+  } else {
+    for (j = 0; j < n; j++) ypulse[j] = 0;
+  }
+  int rdo_pulses = 1 + k / 4;
+  double delta_rate = 3.0 / n;
+  double accel_rate = 0.0;
+  if (k == 1) {
+    if (n == 15) {
+      accel_rate = -8.0 / n;
+      delta_rate = 4.5 / n - accel_rate;
+    } else if (n == 8) {
+      accel_rate = 5.7 / n;
+      delta_rate = 9.3 / n - accel_rate;
+    }
+  }
+  while (i < k - rdo_pulses) {
+    int pos = 0;
+    double best_xy = -10.0, best_yy = 1.0;
+    for (j = 0; j < n; j++) {
+      double tmp_xy = xy + x[j];
+      double tmp_yy = yy + 2 * ypulse[j] + 1;
+      tmp_xy *= tmp_xy;
+      if (j == 0 || tmp_xy * best_yy > best_xy * tmp_yy) {
+        best_xy = tmp_xy;
+        best_yy = tmp_yy;
+        pos = j;
+      }
+    }
+    xy += x[pos];
+    yy += 2 * ypulse[pos] + 1;
+    ypulse[pos]++;
+    i++;
+  }
+  while (i < k) {
+    double rst[4];
+    for (int ii = 0; ii < 4; ii++) {
+      rst[ii] = rsqrt_tab((int)yy + 2 * ii + 1);
+    }
+    int pos = 0;
+    double best_cost = -1e5;
+    for (j = 0; j < n; j++) {
+      double tmp_xy = xy + x[j];
+      int yj = ypulse[j];
+      double tmp_yy = yj < 4 ? rst[yj]
+                             : rsqrt_tab((int)yy + 2 * yj + 1);
+      tmp_xy = 2 * tmp_xy * norm_1 * tmp_yy
+               - lambda * j * (delta_rate + j * accel_rate);
+      if (j == 0 || tmp_xy > best_cost) {
+        best_cost = tmp_xy;
+        pos = j;
+      }
+    }
+    xy += x[pos];
+    yy += 2 * ypulse[pos] + 1;
+    ypulse[pos]++;
+    i++;
+  }
+  for (j = 0; j < n; j++) {
+    if (xcoeff[j] < 0) ypulse[j] = -ypulse[j];
+  }
+  return xy / (1e-100 + __builtin_sqrt(xx * yy));
+}
+
 }  // extern "C"
