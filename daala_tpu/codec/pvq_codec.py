@@ -131,7 +131,7 @@ _F64P = _ct.POINTER(_ct.c_double) if _NLIB is not None else None
 
 
 def _nptr(arr):
-    return arr.ctypes.data_as(_I32P)
+    return arr.ctypes.data
 
 
 def encode_pvq_codeword(enc, cw_ctx, y, n, k):
@@ -250,7 +250,7 @@ def pvq_search_rdo_double(xcoeff, n, k, ypulse, g2, pvq_norm_lambda, prev_k):
         xa = np.ascontiguousarray(xcoeff[:n], np.float64)
         ya = np.ascontiguousarray(ypulse[:n], np.int32)
         cd = _NLIB.ec_pvq_search_rdo_double(
-            xa.ctypes.data_as(_F64P), n, k, _nptr(ya), float(g2),
+            xa.ctypes.data, n, k, ya.ctypes.data, float(g2),
             float(pvq_norm_lambda), int(prev_k))
         ypulse[:n] = ya.tolist()
         return cd

@@ -235,7 +235,7 @@ def encode_cdf_adapt(enc, val, cdf, n, increment):
     if (_NLIB is not None and hasattr(enc, "_h")
             and isinstance(cdf, np.ndarray) and cdf.dtype == np.int32
             and cdf.flags.c_contiguous):
-        _NLIB.ec_cdf_adapt_enc(enc._h, val, cdf.ctypes.data_as(_I32P),
+        _NLIB.ec_cdf_adapt_enc(enc._h, val, cdf.ctypes.data,
                                n, increment)
         return
     enc.encode_cdf_unscaled(val, cdf[:n])
@@ -248,8 +248,7 @@ def decode_cdf_adapt(dec, cdf, n, increment):
             and not getattr(dec, "_accounting", False)
             and isinstance(cdf, np.ndarray) and cdf.dtype == np.int32
             and cdf.flags.c_contiguous):
-        return _NLIB.ec_cdf_adapt_dec(dec._h,
-                                      cdf.ctypes.data_as(_I32P), n,
+        return _NLIB.ec_cdf_adapt_dec(dec._h, cdf.ctypes.data, n,
                                       increment)
     val = dec.decode_cdf_unscaled(cdf[:n])
     _cdf_adapt_increment(val, cdf, n, increment)

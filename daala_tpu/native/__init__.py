@@ -98,23 +98,28 @@ def _configure(lib):
         getattr(lib, fn).restype = c.c_int
     lib.ec_tell_frac.argtypes = [c.c_int, c.c_uint]
     lib.ec_tell_frac.restype = c.c_int
-    lib.ec_pvq_codeword_encode.argtypes = [c.c_void_p, i32p, c.c_int,
-                                           c.c_int, i32p, i32p, c.c_int,
-                                           c.c_int]
-    lib.ec_pvq_codeword_rate_q3.argtypes = [i32p, c.c_int, c.c_int, i32p,
-                                            i32p, c.c_int, c.c_int]
+    # Hot per-symbol entry points take raw addresses (c_void_p accepts
+    # plain ints from ndarray.ctypes.data) to avoid per-call ctypes
+    # pointer-object construction.
+    lib.ec_pvq_codeword_encode.argtypes = [c.c_void_p, c.c_void_p,
+                                           c.c_int, c.c_int, c.c_void_p,
+                                           c.c_void_p, c.c_int, c.c_int]
+    lib.ec_pvq_codeword_rate_q3.argtypes = [c.c_void_p, c.c_int, c.c_int,
+                                            c.c_void_p, c.c_void_p,
+                                            c.c_int, c.c_int]
     lib.ec_pvq_codeword_rate_q3.restype = c.c_int
-    lib.ec_pvq_codeword_decode.argtypes = [c.c_void_p, i32p, c.c_int,
-                                           c.c_int, i32p, i32p, c.c_int,
-                                           c.c_int]
-    lib.ec_cdf_adapt_enc.argtypes = [c.c_void_p, c.c_int, i32p, c.c_int,
+    lib.ec_pvq_codeword_decode.argtypes = [c.c_void_p, c.c_void_p,
+                                           c.c_int, c.c_int, c.c_void_p,
+                                           c.c_void_p, c.c_int, c.c_int]
+    lib.ec_cdf_adapt_enc.argtypes = [c.c_void_p, c.c_int, c.c_void_p,
+                                     c.c_int, c.c_int]
+    lib.ec_cdf_adapt_dec.argtypes = [c.c_void_p, c.c_void_p, c.c_int,
                                      c.c_int]
-    lib.ec_cdf_adapt_dec.argtypes = [c.c_void_p, i32p, c.c_int, c.c_int]
     lib.ec_cdf_adapt_dec.restype = c.c_int
-    f64p = c.POINTER(c.c_double)
-    lib.ec_pvq_search_rdo_double.argtypes = [f64p, c.c_int, c.c_int,
-                                             i32p, c.c_double,
-                                             c.c_double, c.c_int]
+    lib.ec_pvq_search_rdo_double.argtypes = [c.c_void_p, c.c_int,
+                                             c.c_int, c.c_void_p,
+                                             c.c_double, c.c_double,
+                                             c.c_int]
     lib.ec_pvq_search_rdo_double.restype = c.c_double
     # Install the normative uniform CDF table.
     from daala_tpu.ops import _tables
