@@ -361,7 +361,32 @@ def pvq_theta(out, x0, r0, n, q0, y, beta, nodesync, is_keyframe, pli,
 
     out, y: int lists/arrays modified in place (length n).
     Returns (qg_coded, itheta, max_theta, k, skip_diff_delta).
-    """
+
+    Production path: the entire band search runs as one native call
+    (ec_pvq_theta in daala_tpu/native/ec_core.cc, differentially fuzzed
+    against this Python implementation)."""
+    if _NLIB is not None:
+        cw = adapt.pvq.pvq_codeword_ctx
+        out_c = np.zeros(n, np.int32)
+        y_c = np.zeros(n, np.int32)
+        x0a = np.ascontiguousarray(x0[:n], np.int32)
+        r0a = np.ascontiguousarray(r0[:n], np.int32)
+        qma = np.ascontiguousarray(qm[:n], np.int32)
+        qmia = np.ascontiguousarray(qm_inv[:n], np.int32)
+        resi = np.zeros(4, np.int32)
+        sdd = _ct.c_double()
+        _NLIB.ec_pvq_theta(
+            out_c.ctypes.data, x0a.ctypes.data, r0a.ctypes.data, n,
+            int(q0), y_c.ctypes.data, int(beta), int(is_keyframe),
+            int(pli), qma.ctypes.data, qmia.ctypes.data,
+            float(pvq_norm_lambda), int(speed),
+            cw.pvq_k1_cdf.ctypes.data, cw.pvq_split_cdf.ctypes.data,
+            cw.pvq_k1_increment, cw.pvq_split_increment,
+            resi.ctypes.data, _ct.byref(sdd))
+        out[:n] = out_c.tolist()
+        y[:n] = y_c.tolist()
+        return (int(resi[0]), int(resi[1]), int(resi[2]), int(resi[3]),
+                sdd.value)
     gain_weight = 1.4
     assert n > 1
     xshift = max(0, vector_log_mag(x0, n) - 15)

@@ -121,6 +121,12 @@ def _configure(lib):
                                              c.c_double, c.c_double,
                                              c.c_int]
     lib.ec_pvq_search_rdo_double.restype = c.c_double
+    lib.ec_pvq_theta.argtypes = [c.c_void_p, c.c_void_p, c.c_void_p,
+                                 c.c_int, c.c_int, c.c_void_p, c.c_int,
+                                 c.c_int, c.c_int, c.c_void_p,
+                                 c.c_void_p, c.c_double, c.c_int,
+                                 c.c_void_p, c.c_void_p, c.c_int,
+                                 c.c_int, c.c_void_p, c.c_void_p]
     # Install the normative uniform CDF table.
     from daala_tpu.ops import _tables
     flat = _tables.UNIFORM_CDFS_Q15.astype("int32")

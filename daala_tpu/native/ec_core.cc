@@ -655,6 +655,337 @@ int ec_pvq_codeword_rate_q3(const int32_t *y, int n, int k,
   return tell_frac_impl(e.tell(), e.rng) - tell;
 }
 
+}  // extern "C"
+
+// ---- PVQ fixed-point math core ----------------------------------------
+// Ported from this project's validated Python implementation
+// (daala_tpu/ops/pvq.py; behavioral parity: src/pvq.c).  int64
+// intermediates reproduce Python's arbitrary-precision results for
+// in-range inputs; OD_SHL wraps to 32 bits explicitly.
+
+namespace pvqm {
+
+constexpr int kCgainShift = 8;
+constexpr int64_t kCgainScale = 1 << kCgainShift;
+constexpr int kThetaShift = 15;
+constexpr int64_t kMaxThetaScale = 1 << kThetaShift;
+constexpr int64_t kTrigScale = 32768;
+constexpr int kBetaShift = 12;
+constexpr int kCompandShift = 12;  // 8 + OD_COEFF_SHIFT(4)
+constexpr int kQmShift = 11;
+constexpr int kQmInvShift = 12;
+constexpr int kRcpInShift = 15, kRcpOutShift = 14;
+constexpr int kRsqrtInShift = 16, kRsqrtOutShift = 14;
+constexpr int kSqrtInShift = 16, kSqrtOutShift = 15;
+constexpr int kExp2InShift = 15;
+constexpr int kLog2InShift = 15, kLog2OutShift = 15;
+constexpr int64_t kLog2OutScale = 1 << kLog2OutShift;
+constexpr int64_t kBeta1 = 1 << kBetaShift;          // OD_BETA(1.0)
+constexpr int64_t kBeta15 = (int64_t)(0.5 + 1.5 * (1 << kBetaShift));
+
+inline int ilog(int64_t x) {
+  if (x <= 0) return 0;
+  int n = 0;
+  uint64_t u = (uint64_t)x;
+  while (u) { n++; u >>= 1; }
+  return n;
+}
+
+inline int64_t shr_round(int64_t x, int shift) {
+  return (x + ((int64_t)1 << shift >> 1)) >> shift;
+}
+
+inline int64_t shl32(int64_t a, int shift) {
+  uint32_t v = (uint32_t)((uint64_t)a << shift);
+  return (int64_t)(int32_t)v;
+}
+
+inline int64_t vshr(int64_t x, int shift) {
+  return shift > 0 ? x >> shift : shl32(x, -shift);
+}
+
+inline int64_t vshr_round(int64_t x, int shift) {
+  return shift > 0 ? shr_round(x, shift) : shl32(x, -shift);
+}
+
+inline int64_t q15mul(int64_t a, int64_t b) { return (a * b) >> 15; }
+inline int64_t q16mul(int64_t a, int64_t b) { return (a * b) >> 16; }
+inline int64_t qbmul(int64_t a, int64_t b) { return (a * b) >> kBetaShift; }
+
+inline int64_t cos_pi_2(int64_t x) {
+  int64_t x2 = q15mul(x, x);
+  int64_t v = (1073758164 - x * x
+               + x2 * (-7654 + q16mul(x2, 16573 + q16mul(-2529, x2))))
+              >> 15;
+  return v < 32767 ? v : 32767;
+}
+
+inline int64_t pvq_cos(int64_t x) {
+  x = x & 0x1FFFF;
+  if (x > (1 << 16)) x = (1 << 17) - x;
+  if (x & 0x7FFF) {
+    if (x < (1 << 15)) return cos_pi_2(x);
+    return -cos_pi_2(65536 - x);
+  }
+  if (x & 0xFFFF) return 0;
+  if (x & 0x1FFFF) return -32767;
+  return 32767;
+}
+
+inline int64_t pvq_sin(int64_t x) { return pvq_cos(32768 - x); }
+
+inline int64_t od_rcp(int64_t x) {
+  int i = ilog(x) - 1;
+  int64_t n = vshr_round(x, i - kRcpInShift) - ((int64_t)1 << kRcpInShift);
+  int64_t r = 30840 + q15mul(-15420, n);
+  r = r - q15mul(r, q15mul(r, n) + r - 32768);
+  r = r - (1 + q15mul(r, q15mul(r, n) + r - 32768));
+  return vshr_round(r, i - kRcpOutShift);
+}
+
+inline int64_t rsqrt_norm(int64_t t) {
+  int64_t n = t - 32768;
+  int64_t r = 23565 + q15mul(n, -13481 + q15mul(n, 6711));
+  int64_t r2 = r * r;
+  int64_t y = (((r2 >> 15) * n + r2) >> 12) - 131077;
+  int64_t ry = r * y;
+  return r + ((((ry >> 16) * (3 * y) >> 3) - ry) >> 18);
+}
+
+inline int64_t od_rsqrt(int64_t x, int *shift) {
+  int k = (ilog(x) - 1) >> 1;
+  int s = 2 * k - (kRsqrtInShift - 2);
+  int64_t t = vshr(x, s);
+  *shift = kRsqrtOutShift + ((s + kRsqrtInShift) >> 1);
+  return rsqrt_norm(t);
+}
+
+inline int64_t sqrt_norm(int64_t x) {
+  int64_t v = shr_round(x * rsqrt_norm(x), kSqrtOutShift);
+  return v < 32767 ? v : 32767;
+}
+
+inline int64_t od_sqrt(int64_t x, int *shift) {
+  if (x == 0) { *shift = 0; return 0; }
+  int k = (ilog(x) - 1) >> 1;
+  int s = 2 * k - (kSqrtInShift - 2);
+  int64_t t = vshr(x, s);
+  *shift = kSqrtOutShift - ((s + kSqrtInShift) >> 1);
+  return sqrt_norm(t);
+}
+
+inline int64_t od_exp2(int64_t x) {
+  int64_t integer = x >> kExp2InShift;
+  if (integer > 14) return 0x7F000000;
+  if (integer < -15) return 0;
+  int64_t xf = x - shl32(integer, kExp2InShift);
+  int64_t frac = q15mul(xf, 22709 + q15mul(xf, 7913 + q15mul(
+      xf, 1704 + q15mul(xf, 443))));
+  return vshr_round(32768 + frac, (int)-integer) + 1;
+}
+
+inline int64_t od_log2(int64_t x) {
+  return x + q15mul(x, 14482 + q15mul(x, -23234 + q15mul(
+      x, 13643 + q15mul(x, -6403 + q15mul(x, 1515)))));
+}
+
+inline int64_t od_pow(int64_t x, int64_t beta) {
+  if (x == 0) return 0;
+  int log2_x = ilog(x) - 1;
+  int xshift = log2_x - kLog2InShift;
+  int64_t t = vshr(x, xshift) - ((int64_t)1 << kLog2InShift);
+  int64_t logr = od_log2(t) + (int64_t)(log2_x - kCompandShift)
+                                * kLog2OutScale;
+  logr = qbmul(beta, logr);
+  return od_exp2(logr);
+}
+
+inline int64_t beta_rcp(int64_t beta) {
+  if (beta == kBeta1) return kBeta1;
+  if (beta == kBeta15)
+    return (int64_t)(0.5 + (1.0 / 1.5) * (1 << kBetaShift));
+  int64_t rcp_b = od_rcp(beta << (kRcpInShift - 1 - kBetaShift));
+  return shr_round(rcp_b, kRcpOutShift + 1 - kBetaShift);
+}
+
+inline int64_t gain_compand(int64_t g, int64_t q0, int64_t beta) {
+  if (beta == kBeta1) return (kCgainScale * g + (q0 >> 1)) / q0;
+  int64_t expr = od_pow(g, beta_rcp(beta));
+  expr <<= kCgainShift + kCompandShift - 15;  // OD_EXP2_OUTSHIFT = 15
+  return (expr + (q0 >> 1)) / q0;
+}
+
+inline int64_t gain_expand(int64_t cg0, int64_t q0, int64_t beta) {
+  if (beta == kBeta1) return shr_round(cg0 * q0, kCgainShift);
+  if (beta == kBeta15) {
+    int sqrt_outshift;
+    int64_t irt = od_sqrt(cg0 * q0, &sqrt_outshift);
+    int sqrt_inshift = (kCgainShift + kCompandShift) >> 1;
+    int64_t tmp = cg0 * q0 * irt;
+    return vshr_round(tmp, kCgainShift + sqrt_outshift + sqrt_inshift);
+  }
+  int64_t cg = shr_round(cg0 * q0, kCgainShift);
+  int64_t expr = od_pow(cg, beta);
+  return shr_round(expr, 15 - kCompandShift);
+}
+
+inline int64_t compute_gain(const int64_t *x, int n, int64_t q0,
+                            int64_t beta, int bshift, int64_t *g_out) {
+  int64_t acc = 0;
+  for (int i = 0; i < n; i++) acc += x[i] * x[i];
+  int sqrt_shift;
+  int64_t irt = od_sqrt(acc, &sqrt_shift);
+  int64_t g = vshr_round(irt, sqrt_shift - bshift);
+  *g_out = g;
+  return gain_compand(g, q0, beta);
+}
+
+inline int64_t compute_max_theta(int64_t qcg, int64_t beta) {
+  int64_t qconst_pi_2 = (int64_t)(0.5 + (3.141592653589793 / 2)
+                                  * (1 << kCgainShift));
+  int64_t ts = shr_round(qcg * qbmul(beta_rcp(beta), qconst_pi_2),
+                         kCgainShift * 2);
+  if (qcg < (int64_t)(0.5 + 1.4 * (1 << kCgainShift))) ts = 1;
+  return ts;
+}
+
+inline int64_t compute_theta(int64_t t, int64_t max_theta) {
+  if (max_theta != 0) {
+    int64_t tm = t < max_theta - 1 ? t : max_theta - 1;
+    return (kMaxThetaScale * tm + (max_theta >> 1)) / max_theta;
+  }
+  return 0;
+}
+
+static const int kSqrtTable[2][13] = {
+    {0, 0, 0, 0, 2290, 2985, 4222, 0, 8256, 0, 16416, 0, 32767},
+    {0, 0, 0, 0, 2401, 3072, 4284, 0, 8287, 0, 16432, 0, 32767}};
+constexpr int kSqrtTblShift = 10;
+constexpr int kIthetaShift = 15;
+
+inline int64_t compute_k(int64_t qcg, int64_t itheta, int noref, int n,
+                         int64_t beta) {
+  if (noref) {
+    if (qcg == 0) return 0;
+    if (n == 15 && qcg == kCgainScale
+        && beta > (int64_t)(0.5 + 1.25 * (1 << kBetaShift)))
+      return 1;
+    int64_t rt = kSqrtTable[1][ilog(n + 1)];
+    int64_t v = shr_round(
+        (qcg - (int64_t)(0.5 + 0.2 * (1 << kCgainShift)))
+            * qbmul(beta_rcp(beta), rt),
+        kCgainShift + kSqrtTblShift);
+    return v > 1 ? v : 1;
+  }
+  if (itheta == 0) return 0;
+  int64_t rt = kSqrtTable[0][ilog(n + 1)];
+  int64_t v = vshr_round(
+      (shl32(itheta, kIthetaShift)
+       - (int64_t)(0.5 + 0.2 * (1 << kIthetaShift))) * rt,
+      kSqrtTblShift + kIthetaShift);
+  return v > 1 ? v : 1;
+}
+
+inline void compute_householder(int64_t *r, int n, int64_t gr, int shift,
+                                int *m_out, int *s_out) {
+  int m = 0;
+  int64_t best = -1;
+  for (int i = 0; i < n; i++) {
+    int64_t a = r[i] < 0 ? -r[i] : r[i];
+    if (a > best) { best = a; m = i; }
+  }
+  int s = r[m] > 0 ? 1 : -1;
+  r[m] += shr_round(gr * s, shift);
+  *m_out = m;
+  *s_out = s;
+}
+
+inline void apply_householder(int64_t *x, const int64_t *r, int n) {
+  int64_t l2r = 0, proj = 0;
+  for (int i = 0; i < n; i++) {
+    l2r += r[i] * r[i];
+    proj += r[i] * x[i];
+  }
+  int l2r_shift = (ilog(l2r) - 1) - 14;
+  int64_t l2r_norm = vshr_round(l2r, l2r_shift);
+  int64_t rcp = od_rcp(l2r_norm);
+  int64_t pabs = proj < 0 ? -proj : proj;
+  int proj_shift = (ilog(pabs) - 1) - 14;
+  int64_t proj_norm = vshr_round(proj, proj_shift);
+  int64_t proj_1 = q15mul(proj_norm, rcp);
+  int outshift = kRcpOutShift - proj_shift - 1 + l2r_shift;
+  if (outshift > 30) outshift = 30;
+  for (int i = 0; i < n; i++) {
+    int64_t tmp;
+    if (outshift >= 0) {
+      tmp = r[i] * proj_1;
+      tmp = (tmp + ((int64_t)1 << outshift >> 1)) >> outshift;
+    } else {
+      tmp = (r[i] * proj_1) << -outshift;
+    }
+    x[i] -= tmp;
+  }
+}
+
+inline void synthesis_partial(const int32_t *ypulse, const int64_t *r16,
+                              int n, int noref, int64_t g, int64_t theta,
+                              int m, int s, const int32_t *qm_inv,
+                              int32_t *out) {
+  int nn = n - (noref ? 0 : 1);
+  int64_t yy = 0;
+  for (int i = 0; i < nn; i++) yy += (int64_t)ypulse[i] * ypulse[i];
+  int gshift = ilog(g) - 14;
+  if (gshift < 0) gshift = 0;
+  int64_t scale = 0;
+  if (yy != 0) {
+    int rsqrt_shift;
+    int64_t rs = od_rsqrt(yy, &rsqrt_shift);
+    scale = vshr_round(rs * g, rsqrt_shift + gshift - 16);
+  }
+  int qshift = kQmInvShift - gshift;
+  if (noref) {
+    for (int i = 0; i < n; i++) {
+      int64_t x = ((int64_t)ypulse[i] * scale) >> 16;
+      out[i] = (int32_t)shr_round(x * qm_inv[i], qshift);
+    }
+    return;
+  }
+  int64_t sintheta = pvq_sin(theta);
+  int64_t costheta = pvq_cos(theta);
+  // Same double-promotion order as the reference (src/pvq.c:1091,1096).
+  int64_t scale_s = (int64_t)__builtin_floor(
+      0.5 + (double)scale * (1.0 / (double)kTrigScale) * (double)sintheta);
+  int64_t x[1024];
+  for (int i = 0; i < m; i++) x[i] = ((int64_t)ypulse[i] * scale_s) >> 16;
+  x[m] = (int64_t)__builtin_floor(
+      0.5 + (double)(-s * shr_round(g, gshift))
+                * (1.0 / (double)kTrigScale) * (double)costheta);
+  for (int i = m + 1; i < n; i++)
+    x[i] = ((int64_t)ypulse[i - 1] * scale_s) >> 16;
+  apply_householder(x, r16, n);
+  for (int i = 0; i < n; i++)
+    out[i] = (int32_t)shr_round(x[i] * qm_inv[i], qshift);
+}
+
+inline int vector_log_mag(const int32_t *x, int n) {
+  int64_t total = 0;
+  for (int i = 0; i < n; i++) {
+    int64_t t = (int64_t)x[i] >> 8;
+    total += t * t;
+  }
+  return 8 + 1 + ilog(n + total) / 2;
+}
+
+inline int64_t neg_interleave(int64_t x, int64_t ref) {
+  if (x < ref) return -2 * (x - ref) - 1;
+  if (x < 2 * ref) return 2 * (x - ref);
+  return x - 1;
+}
+
+}  // namespace pvqm
+
+extern "C" {
+
 // ---- PVQ greedy pulse search ------------------------------------------
 // Scalar port of the RDO pulse search (written from this project's
 // Python implementation, daala_tpu/codec/pvq_codec.py
@@ -670,6 +1001,289 @@ static const double kRsqrtTab[16] = {
 static inline double rsqrt_tab(int i) {
   if (i <= 16) return kRsqrtTab[i - 1];
   return 1.0 / __builtin_sqrt((double)i);
+}
+
+double ec_pvq_search_rdo_double(const double *xcoeff, int n, int k,
+                                int32_t *ypulse, double g2,
+                                double pvq_norm_lambda, int prev_k);
+
+static double pvq_rate_c(int64_t qg, int64_t icgr, int64_t theta,
+                         int64_t ts, const int32_t *y0, int64_t k, int n,
+                         int is_keyframe, int pli, int speed,
+                         const int32_t *k1_cdf, const int32_t *split_cdf,
+                         int k1_inc, int split_inc) {
+  double rate;
+  if (k == 0) {
+    rate = 0.0;
+  } else if (speed > 0) {
+    int lim = n - (theta != -1 ? 1 : 0);
+    int64_t total = 0;
+    for (int i = 0; i < lim; i++) {
+      int64_t a = y0[i] < 0 ? -(int64_t)y0[i] : y0[i];
+      total += (int64_t)i * a;
+    }
+    double f = (double)total / (double)(k * n);
+    double lg = __builtin_log(n * 2 * (1 * f + 0.025)) * k / n;
+    if (lg < 0.0) lg = 0.0;
+    rate = (1 + .4 * f) * n * __builtin_log2(1 + lg) + 3;
+  } else {
+    rate = ec_pvq_codeword_rate_q3(y0, n - (theta != -1 ? 1 : 0), (int)k,
+                                   k1_cdf, split_cdf, k1_inc,
+                                   split_inc) / 8.0;
+  }
+  if (qg > 0 && theta >= 0) {
+    rate += .9 * __builtin_log2((double)ts);
+    if (is_keyframe && pli == 0) rate += 6;
+    if (qg == icgr) rate -= .5;
+  }
+  return rate;
+}
+
+// Full per-band PVQ search (ported from daala_tpu/codec/pvq_codec.py
+// pvq_theta; behavioral parity: src/pvq_encoder.c:333-636).  Outputs:
+// res_i[0..3] = qg_coded, itheta, max_theta, k; *skip_diff_delta.
+void ec_pvq_theta(int32_t *out, const int32_t *x0, const int32_t *r0,
+                  int n, int q0, int32_t *y, int beta, int is_keyframe,
+                  int pli, const int32_t *qm, const int32_t *qm_inv,
+                  double pvq_norm_lambda, int speed, int32_t *k1_cdf,
+                  int32_t *split_cdf, int k1_inc, int split_inc,
+                  int32_t *res_i, double *skip_diff_delta) {
+  using namespace pvqm;
+  const double gain_weight = 1.4;
+  const double cg2 = (double)(kCgainScale * kCgainScale);
+  int xshift = vector_log_mag(x0, n) - 15;
+  if (xshift < 0) xshift = 0;
+  int rshift = vector_log_mag(r0, n) - 14;
+  if (rshift < 0) rshift = 0;
+  int64_t x16[1024], r16[1024], r16_refl[1024];
+  int64_t corr_i = 0;
+  for (int i = 0; i < n; i++) {
+    x16[i] = shr_round((int64_t)x0[i] * qm[i], kQmShift + xshift);
+    r16[i] = shr_round((int64_t)r0[i] * qm[i], kQmShift + rshift);
+    corr_i += x16[i] * r16[i];
+  }
+  int cfl_enabled = is_keyframe && pli != 0;
+  int64_t g, gr;
+  int64_t cg = compute_gain(x16, n, q0, beta, xshift, &g);
+  int64_t cgr = compute_gain(r16, n, q0, beta, rshift, &gr);
+  if (cfl_enabled) cgr = kCgainScale;
+  int64_t icgr = shr_round(cgr, kCgainShift);
+  int64_t gain_offset = cgr - shl32(icgr, kCgainShift);
+  int64_t qg = 0;
+  double dist = gain_weight * (double)cg * (double)cg / cg2;
+  double best_dist = dist;
+  double best_cost = dist;  // k=0, qg=0 -> rate 0
+  int noref = 1;
+  int64_t best_k = 0;
+  int64_t itheta = -1;
+  int64_t max_theta = 0;
+  for (int i = 0; i < n; i++) y[i] = 0;
+  int64_t best_qtheta = 0;
+  int m = 0, sgn = 1;
+  double corr = (double)corr_i
+                / (1e-100 + (double)g * (double)gr
+                              / (double)shl32(1, xshift + rshift));
+  if (corr > 1.0) corr = 1.0;
+  if (corr < -1.0) corr = -1.0;
+  double skip_dist;
+  if (is_keyframe) {
+    skip_dist = gain_weight * (double)cg * (double)cg / cg2;
+  } else {
+    skip_dist = (gain_weight * (double)(cg - cgr) * (double)(cg - cgr)
+                 + (double)cgr * (double)cg * (2 - 2 * corr)) / cg2;
+  }
+  if (!is_keyframe) {
+    double scgr = (double)gain_offset;
+    if (scgr < 0.0) scgr = 0.0;
+    if (icgr == 0) {
+      best_dist = (gain_weight * ((double)cg - scgr)
+                       * ((double)cg - scgr)
+                   + scgr * (double)cg * (2 - 2 * corr)) / cg2;
+    }
+    best_cost = best_dist;  // k=0, qg=0 -> rate 0
+    best_qtheta = 0;
+    itheta = 0;
+    max_theta = 0;
+    noref = 0;
+  }
+  double dist0 = best_dist;
+  for (int i = 0; i < n; i++) r16_refl[i] = r16[i];
+  int any_r0 = 0;
+  for (int i = 0; i < n; i++) {
+    if (r0[i]) { any_r0 = 1; break; }
+  }
+  int64_t theta = 0;
+  if (n <= 128 && any_r0 && corr > 0) {
+    theta = (int64_t)__builtin_floor(
+        0.5 + (double)kMaxThetaScale * 2 / 3.141592653589793
+                  * __builtin_acos(corr));
+    compute_householder(r16_refl, n, gr, rshift, &m, &sgn);
+    int64_t xr_full[1024];
+    for (int i = 0; i < n; i++) xr_full[i] = x16[i];
+    apply_householder(xr_full, r16_refl, n);
+    double xr_d[1024];
+    for (int i = 0; i < m; i++) xr_d[i] = (double)xr_full[i];
+    for (int i = m + 1; i < n; i++) xr_d[i - 1] = (double)xr_full[i];
+    int64_t gain_bound = (cg - gain_offset) >> kCgainShift;
+    struct Item {
+      int64_t k, i, j, qcg, qtheta, ts;
+    };
+    Item items[256];
+    int nitems = 0;
+    int64_t ilo = gain_bound - 1 > 1 ? gain_bound - 1 : 1;
+    for (int64_t i = ilo; i <= gain_bound + 1; i++) {
+      int64_t qcg = shl32(i, kCgainShift) + gain_offset;
+      int64_t ts = compute_max_theta(qcg, beta);
+      double theta_scale_1 = 1.0 / ((1 << 15) * 2.0 / 3.141592653589793);
+      double tpos = (double)theta * theta_scale_1 * 2
+                    / 3.141592653589793 * (double)ts;
+      int64_t theta_lower = (int64_t)__builtin_floor(0.5 + tpos) - 2;
+      if (theta_lower < 0) theta_lower = 0;
+      int64_t theta_upper = (int64_t)__builtin_ceil(tpos);
+      if (theta_upper > ts - 1) theta_upper = ts - 1;
+      for (int64_t j = theta_lower;
+           j <= theta_upper && nitems < 256; j++) {
+        Item it;
+        it.k = compute_k(qcg, j, 0, n, beta);
+        it.i = i;
+        it.j = j;
+        it.qcg = qcg;
+        it.qtheta = compute_theta(j, ts);
+        it.ts = ts;
+        items[nitems++] = it;
+      }
+    }
+    // Stable sort by (k, i) — matches Python's list.sort with that key.
+    for (int a = 1; a < nitems; a++) {
+      Item key = items[a];
+      int b = a - 1;
+      while (b >= 0 && (items[b].k > key.k
+                        || (items[b].k == key.k && items[b].i > key.i))) {
+        items[b + 1] = items[b];
+        b--;
+      }
+      items[b + 1] = key;
+    }
+    int32_t y_tmp[1024];
+    for (int i = 0; i < n; i++) y_tmp[i] = 0;
+    double cos_dist = 0.0;
+    int64_t prev_k = 0;
+    for (int idx = 0; idx < nitems; idx++) {
+      int64_t k = items[idx].k, gi = items[idx].i, j = items[idx].j;
+      int64_t qcg = items[idx].qcg, qtheta = items[idx].qtheta;
+      int64_t ts = items[idx].ts;
+      double dist_theta =
+          2 - 2.0 * (double)pvq_cos(theta - qtheta) / (double)kTrigScale;
+      double d1 = gain_weight * (double)(qcg - cg) * (double)(qcg - cg)
+                  + (double)qcg * (double)cg * dist_theta;
+      d1 /= cg2;
+      if (d1 > dist0 + 1.0 * pvq_norm_lambda && k != 0) continue;
+      double sin_prod = ((double)pvq_sin(theta) / (double)kTrigScale)
+                        * ((double)pvq_sin(qtheta) / (double)kTrigScale);
+      if (k == 0) {
+        cos_dist = 0.0;
+        for (int i = 0; i < n - 1; i++) y_tmp[i] = 0;
+      } else if (k != prev_k) {
+        cos_dist = ec_pvq_search_rdo_double(
+            xr_d, n - 1, (int)k, y_tmp,
+            (double)qcg * (double)cg * sin_prod / cg2,
+            pvq_norm_lambda, (int)prev_k);
+      }
+      prev_k = k;
+      dist_theta =
+          2 - 2.0 * (double)pvq_cos(theta - qtheta) / (double)kTrigScale
+          + sin_prod * (2 - 2 * cos_dist);
+      double d2 = gain_weight * (double)(qcg - cg) * (double)(qcg - cg)
+                  + (double)qcg * (double)cg * dist_theta;
+      d2 /= cg2;
+      double cost = d2 + pvq_norm_lambda
+                            * pvq_rate_c(gi, icgr, j, ts, y_tmp, k, n,
+                                         is_keyframe, pli, speed, k1_cdf,
+                                         split_cdf, k1_inc, split_inc);
+      if (cost < best_cost) {
+        best_cost = cost;
+        best_dist = d2;
+        qg = gi;
+        best_k = k;
+        best_qtheta = qtheta;
+        itheta = j;
+        max_theta = ts;
+        noref = 0;
+        for (int i = 0; i < n - 1; i++) y[i] = y_tmp[i];
+      }
+    }
+  }
+  if (n <= 128 && ((is_keyframe && pli == 0) || corr < 0.5
+                   || cg < shl32(2, kCgainShift))) {
+    int64_t gain_bound = cg >> kCgainShift;
+    int64_t prev_k = 0;
+    int32_t y_tmp[1024];
+    for (int i = 0; i < n; i++) y_tmp[i] = 0;
+    double x16_d[1024];
+    for (int i = 0; i < n; i++) x16_d[i] = (double)x16[i];
+    int64_t ilo = gain_bound > 1 ? gain_bound : 1;
+    for (int64_t i = ilo; i <= gain_bound + 1; i++) {
+      int64_t qcg = shl32(i, kCgainShift);
+      int64_t k = compute_k(qcg, -1, 1, n, beta);
+      double d1 = gain_weight * (double)(qcg - cg) * (double)(qcg - cg);
+      d1 /= cg2;
+      if (d1 > dist0 && k != 0) continue;
+      double cos_dist = ec_pvq_search_rdo_double(
+          x16_d, n, (int)k, y_tmp,
+          (double)qcg * (double)cg / cg2, pvq_norm_lambda, (int)prev_k);
+      prev_k = k;
+      double d2 = gain_weight * (double)(qcg - cg) * (double)(qcg - cg)
+                  + (double)qcg * (double)cg * (2 - 2 * cos_dist);
+      d2 /= cg2;
+      double cost = d2 + pvq_norm_lambda
+                            * pvq_rate_c(i, 0, -1, 0, y_tmp, k, n,
+                                         is_keyframe, pli, speed, k1_cdf,
+                                         split_cdf, k1_inc, split_inc);
+      if (cost <= best_cost) {
+        best_cost = cost;
+        best_dist = d2;
+        qg = i;
+        noref = 1;
+        best_k = k;
+        itheta = -1;
+        max_theta = 0;
+        for (int ii = 0; ii < n; ii++) y[ii] = y_tmp[ii];
+      }
+    }
+  }
+  int64_t k = best_k;
+  theta = best_qtheta;
+  int skip = 0;
+  if (noref) {
+    if (qg == 0) skip = 1;  // OD_PVQ_SKIP_ZERO
+  } else {
+    if (!is_keyframe && qg == 0) skip = icgr ? 1 : 2;
+    if (qg == icgr && itheta == 0 && !cfl_enabled) skip = 2;
+  }
+  if (skip) {
+    if (skip == 2) {
+      for (int i = 0; i < n; i++) out[i] = r0[i];
+    } else {
+      for (int i = 0; i < n; i++) out[i] = 0;
+    }
+  } else {
+    if (noref) gain_offset = 0;
+    int64_t gexp = gain_expand(shl32(qg, kCgainShift) + gain_offset, q0,
+                               beta);
+    synthesis_partial(y, r16_refl, n, noref, gexp, theta, m, sgn, qm_inv,
+                      out);
+  }
+  *skip_diff_delta = skip_dist - best_dist;
+  int64_t qg_coded;
+  if (is_keyframe) {
+    qg_coded = noref ? qg : neg_interleave(qg, icgr);
+  } else {
+    qg_coded = noref ? qg - 1 : neg_interleave(qg + 1, icgr + 1);
+  }
+  res_i[0] = (int32_t)qg_coded;
+  res_i[1] = (int32_t)itheta;
+  res_i[2] = (int32_t)max_theta;
+  res_i[3] = (int32_t)k;
 }
 
 double ec_pvq_search_rdo_double(const double *xcoeff, int n, int k,
