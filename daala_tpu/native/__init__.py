@@ -34,10 +34,14 @@ def get_lib():
     if os.environ.get("DAALA_TPU_NATIVE", "1") == "0":
         return None
     try:
-        if (not os.path.exists(_LIB)
-                or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+        _inc = os.path.join(_DIR, "lifting_gen.inc")
+        newest = max(os.path.getmtime(_SRC),
+                     os.path.getmtime(_inc) if os.path.exists(_inc)
+                     else 0)
+        if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < newest:
             subprocess.run(
-                ["g++", "-O2", "-std=c++17", "-shared", "-fPIC", _SRC,
+                ["g++", "-O2", "-fwrapv", "-std=c++17", "-shared", "-fPIC",
+                 _SRC,
                  "-o", _LIB + ".tmp"],
                 check=True, capture_output=True)
             os.replace(_LIB + ".tmp", _LIB)
@@ -121,6 +125,8 @@ def _configure(lib):
                                              c.c_double, c.c_double,
                                              c.c_int]
     lib.ec_pvq_search_rdo_double.restype = c.c_double
+    lib.ec_dct2d_batch.argtypes = [c.c_void_p, c.c_int, c.c_int,
+                                   c.c_int]
     lib.ec_pvq_theta.argtypes = [c.c_void_p, c.c_void_p, c.c_void_p,
                                  c.c_int, c.c_int, c.c_void_p, c.c_int,
                                  c.c_int, c.c_int, c.c_void_p,

@@ -1007,6 +1007,72 @@ double ec_pvq_search_rdo_double(const double *xcoeff, int n, int k,
                                 int32_t *ypulse, double g2,
                                 double pvq_norm_lambda, int prev_k);
 
+// ---- single-block reversible DCTs -------------------------------------
+// Lifting kernels generated from the normative networks (see the .inc
+// header for provenance); 2-D composition mirrors daala_tpu/ops/dct.py
+// (reference: src/dct.c:152-163).
+
+#include "lifting_gen.inc"
+
+typedef void (*lift_fn)(int32_t *);
+static lift_fn fdct_tab(int n) {
+  switch (n) {
+    case 4: return fdct4_c;
+    case 8: return fdct8_c;
+    case 16: return fdct16_c;
+    case 32: return fdct32_c;
+    default: return fdct64_c;
+  }
+}
+static lift_fn idct_tab(int n) {
+  switch (n) {
+    case 4: return idct4_c;
+    case 8: return idct8_c;
+    case 16: return idct16_c;
+    case 32: return idct32_c;
+    default: return idct64_c;
+  }
+}
+
+// cols_T: out[i][j] = f(in[:, i])[j]  (write transform of column i as
+// row i), matching dct.py's composition.
+static void dct_cols_T(const int32_t *in, int32_t *out, int n,
+                       lift_fn f) {
+  int32_t L[64];
+  for (int i = 0; i < n; i++) {
+    for (int k = 0; k < n; k++) L[k] = in[k * n + i];
+    f(L);
+    for (int k = 0; k < n; k++) out[i * n + k] = L[k];
+  }
+}
+
+// rows_T: out[j][i] = f(in[i, :])[j]  (write transform of row i as
+// column i).
+static void dct_rows_T(const int32_t *in, int32_t *out, int n,
+                       lift_fn f) {
+  int32_t L[64];
+  for (int i = 0; i < n; i++) {
+    for (int k = 0; k < n; k++) L[k] = in[i * n + k];
+    f(L);
+    for (int k = 0; k < n; k++) out[k * n + i] = L[k];
+  }
+}
+
+void ec_dct2d_batch(int32_t *blocks, int nblk, int n, int forward) {
+  int32_t tmp[4096];
+  lift_fn f = forward ? fdct_tab(n) : idct_tab(n);
+  for (int b = 0; b < nblk; b++) {
+    int32_t *blk = blocks + (int64_t)b * n * n;
+    if (forward) {
+      dct_cols_T(blk, tmp, n, f);
+      dct_cols_T(tmp, blk, n, f);
+    } else {
+      dct_rows_T(blk, tmp, n, f);
+      dct_rows_T(tmp, blk, n, f);
+    }
+  }
+}
+
 static double pvq_rate_c(int64_t qg, int64_t icgr, int64_t theta,
                          int64_t ts, const int32_t *y0, int64_t k, int n,
                          int is_keyframe, int pli, int speed,

@@ -22,6 +22,29 @@ from daala_tpu.ops import _lifting as L
 _FDCT_1D = {4: L.fdct4, 8: L.fdct8, 16: L.fdct16, 32: L.fdct32, 64: L.fdct64}
 _IDCT_1D = {4: L.idct4, 8: L.idct8, 16: L.idct16, 32: L.idct32, 64: L.idct64}
 
+try:
+    from daala_tpu import native as _native
+    _NLIB = _native.get_lib()
+except Exception:  # pragma: no cover
+    _NLIB = None
+
+
+def _native_dct2d(x, forward):
+    """Single-call native transform for numpy batches (the host codec's
+    per-block path); returns None when not applicable."""
+    if _NLIB is None or not isinstance(x, np.ndarray):
+        return None
+    n = x.shape[-1]
+    if n not in (4, 8, 16, 32, 64) or x.shape[-2] != n:
+        return None
+    blk = np.ascontiguousarray(x, np.int32)
+    if blk is x or blk.base is x:
+        blk = blk.copy()  # preserve value semantics (callers keep x)
+    flat = blk.reshape(-1, n, n)
+    _NLIB.ec_dct2d_batch(flat.ctypes.data, flat.shape[0], n,
+                         1 if forward else 0)
+    return blk.reshape(x.shape)
+
 
 def _xp(a):
     """Return the array namespace (numpy or jax.numpy) for a."""
@@ -42,6 +65,9 @@ def fdct2d(x):
     transforms columns writing transposed, the second pass does the same, so
     the result lands back in natural orientation.
     """
+    r = _native_dct2d(x, True)
+    if r is not None:
+        return r
     n = x.shape[-1]
     f = _FDCT_1D[n]
 
@@ -59,6 +85,9 @@ def idct2d(y):
 
     Mirrors od_bin_idct{n}x{n} (reference: src/dct.c:159-163).
     """
+    r = _native_dct2d(y, False)
+    if r is not None:
+        return r
     n = y.shape[-1]
     f = _IDCT_1D[n]
 
