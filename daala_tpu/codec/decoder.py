@@ -283,6 +283,16 @@ class Decoder:
                                              quant0, pli)
             if is_keyframe:
                 blk[0, 0] = d[y0, x0]
+            else:
+                # Inter DC (has_dc_skip = 0 in wavelet mode; reference:
+                # src/decode.c:565-576).
+                dc_quant = 1 if quant0 == 0 else max(1, quant0)
+                adapt = st.adapt
+                exl = adapt.ex_dc[pli][bs]
+                q, exl[0] = adapt.model_dc[pli].decode(dec, -1, exl[0], 2)
+                if q and dec.decode_bits(1):
+                    q = -q
+                blk[0, 0] = q * dc_quant + int(pred[0, 0])
             d[y0:y0 + n, x0:x0 + n] = blk
             c[y0:y0 + n, x0:x0 + n] = haar2d_inv(
                 blk.astype(np.int32)[None])[0]

@@ -550,7 +550,22 @@ class Encoder:
             rec = wavelet.wavelet_quantize(enc, st.adapt, bs + 2, dblk,
                                            pred.astype(np.int64),
                                            st.quantizer, pli)
-            rec[0, 0] = dblk[0, 0]
+            if is_keyframe:
+                rec[0, 0] = dblk[0, 0]
+            else:
+                # Inter DC: has_dc_skip is 0 in wavelet mode, so the DC
+                # residual is always coded with the generic model
+                # (reference: src/encode.c:1363-1382).
+                dc_quant = 1 if st.quantizer == 0 else max(1, st.quantizer)
+                dc_idx = PC.div_r0(int(dblk[0, 0]) - int(pred[0, 0]),
+                                   dc_quant)
+                adapt = st.adapt
+                exl = adapt.ex_dc[pli][bs]
+                exl[0] = adapt.model_dc[pli].encode(
+                    enc, abs(dc_idx), -1, exl[0], 2)
+                if dc_idx:
+                    enc.encode_bits(1 if dc_idx < 0 else 0, 1)
+                rec[0, 0] = dc_idx * dc_quant + int(pred[0, 0])
             d[y0:y0 + n, x0:x0 + n] = rec
             c[y0:y0 + n, x0:x0 + n] = haar2d_inv(
                 rec.astype(np.int32)[None])[0]
@@ -851,12 +866,11 @@ class Encoder:
         self._orig_coeff_luma = None
         if self.ref_imgi[MC.OD_FRAME_PREV] < 0:
             frame_type = 0
-        if self.quality == 0:
-            # Lossless: the Haar wavelet coder here covers intra only, so
-            # force all-intra (the reference additionally supports lossless
-            # inter via the same wavelet mode, src/encode.c:3024-3027;
-            # streams are valid either way).
-            frame_type = 0
+        if self.quality == 0 and frame_type == 2:
+            # Lossless B-frames are not implemented (the haar wavelet
+            # inter path covers single-reference P frames); code them
+            # as P instead.
+            frame_type = 1
         is_keyframe = frame_type == 0
         st.frame_type = frame_type
         is_golden = is_keyframe or (frame_type != 2

@@ -240,3 +240,37 @@ def test_two_pass_rate_control():
         ref = co.RefDecoder(enc2.flush_headers())
         for p in pkts:
             ref.decode_packet(p)
+
+
+def test_lossless_inter_frames():
+    """Lossless P frames via the Haar wavelet inter path (reference:
+    src/encode.c:3024-3027 forces the wavelet mode for OD_LOSSLESS):
+    must reconstruct the input exactly in our decoder AND the
+    reference's."""
+    w, h = 96, 80
+    rng = np.random.default_rng(5)
+    yy, xx = np.mgrid[0:h, 0:w]
+    f0 = np.clip(128 + 50 * np.sin(xx / 9.0) + 30 * np.cos(yy / 7.0)
+                 + rng.normal(0, 5, (h, w)), 0, 255).astype(np.uint8)
+    cb = np.full(((h + 1) // 2, (w + 1) // 2), 120, np.uint8)
+    cr = np.full(((h + 1) // 2, (w + 1) // 2), 135, np.uint8)
+    frames = [[np.roll(f0, i, axis=1), cb, cr] for i in range(4)]
+    info = H.Info(pic_width=w, pic_height=h, nplanes=3,
+                  plane_dec=((0, 0), (1, 1), (1, 1), (0, 0)),
+                  keyframe_rate=64)
+    enc = Encoder(info, quant=0)
+    enc.enable_encoder_check = True
+    pkts = [enc.encode_frame(f)[0] for f in frames]
+    # inter frames must be much cheaper than the keyframe
+    assert len(pkts[1]) < len(pkts[0]) // 4
+    dec = Decoder(info)
+    for p, f in zip(pkts, frames):
+        r = dec.decode_packet(p)[0]
+        for a, b in zip(r, f):
+            np.testing.assert_array_equal(a, b)
+    if HAVE_ORACLE:
+        ref = co.RefDecoder(enc.flush_headers())
+        for p, f in zip(pkts, frames):
+            r = ref.decode_packet(p)[0]
+            for a, b in zip(r, f):
+                np.testing.assert_array_equal(a, b)
