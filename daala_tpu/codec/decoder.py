@@ -350,7 +350,10 @@ class Decoder:
                 st.adapt.skip_increment)
             obs = bsi if skip < 4 else -1
         bs = max(obs, xdec)
-        assert bs <= bsi
+        # Corrupt streams can leave an inconsistent bsize map; the
+        # reference's OD_ASSERT compiles out in production and decode
+        # proceeds -- clamp instead of crashing.
+        bs = min(bs, bsi)
         if bs == bsi:
             bs -= xdec
             if pli == 0:

@@ -251,7 +251,12 @@ def wavelet_unquantize(dec, adapt, ln, predt, quant, pli):
     bits = decode_cdf_adapt(dec, adapt.haar_bits_cdf[pli], 16,
                             adapt.haar_bits_increment)
     if bits == 15:
-        while dec.decode_bits(1) == 0:
+        # Unary continuation.  The reference's loop is unbounded
+        # (src/decode.c:322-327) and spins on corrupt streams once the
+        # raw-bit tail is exhausted (the decoder then returns zeros
+        # forever); since any value > 24 is rejected as corruption right
+        # below, cap the loop there — identical on valid streams.
+        while dec.decode_bits(1) == 0 and bits <= 24:
             bits += 1
     if bits > 24:
         dec.error = 1

@@ -173,3 +173,7 @@ class NativeDecoder:
     @property
     def error(self):
         return self._lib.ec_dec_error(self._h)
+
+    @error.setter
+    def error(self, v):
+        self._lib.ec_dec_set_error(self._h, int(v))

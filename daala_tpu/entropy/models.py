@@ -300,6 +300,7 @@ def laplace_decode_special(dec, decay: int, max_val: int) -> int:
     ms = max_val >> shift
     cdf = _EXP_CDF[(decay + 1) >> 1]
     xs = 0
+    spins = 0
     while True:
         if 0 < ms < 15:
             sym = dec.decode_cdf_unscaled(cdf[:ms + 1])
@@ -307,7 +308,13 @@ def laplace_decode_special(dec, decay: int, max_val: int) -> int:
             sym = dec.decode_cdf_q15(cdf)
         xs += sym
         ms -= 15
+        spins += 1
         if not (sym >= 15 and ms != 0):
+            break
+        if spins > (1 << 16):
+            # Corrupt-stream guard: no valid value needs this many
+            # continuation symbols; the reference's loop is unbounded.
+            dec.error = 1
             break
     if shift:
         xs = (xs << shift) + dec.decode_bits(shift)

@@ -97,6 +97,7 @@ def _configure(lib):
     lib.ec_dec_uint.restype = c.c_uint
     lib.ec_dec_bits.argtypes = [c.c_void_p, c.c_int]
     lib.ec_dec_bits.restype = c.c_uint
+    lib.ec_dec_set_error.argtypes = [c.c_void_p, c.c_int]
     for fn in ("ec_dec_tell", "ec_dec_tell_frac", "ec_dec_error"):
         getattr(lib, fn).argtypes = [c.c_void_p]
         getattr(lib, fn).restype = c.c_int

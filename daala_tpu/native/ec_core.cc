@@ -486,6 +486,7 @@ int ec_dec_tell_frac(void *h) {
   return tell_frac_impl(d->tell(), d->rng);
 }
 int ec_dec_error(void *h) { return ((EcDec *)h)->error; }
+void ec_dec_set_error(void *h, int v) { ((EcDec *)h)->error = v; }
 
 int ec_tell_frac(int nbits_total, unsigned rng) {
   return tell_frac_impl(nbits_total, rng);

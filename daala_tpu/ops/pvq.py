@@ -356,7 +356,8 @@ def synthesis_partial(ypulse, r16, n: int, noref: bool, g: int, theta: int,
 
     ypulse has n entries when noref, n-1 otherwise.  qm_inv is the
     coding-order inverse QM slice for this band.  Returns int32 coeffs."""
-    assert g != 0
+    # g == 0 only occurs on corrupt streams; the math below degrades to
+    # a zero scale like the reference (whose OD_ASSERT compiles out).
     ypulse = np.asarray(ypulse, np.int64)
     nn = n - (0 if noref else 1)
     yy = int(np.sum(ypulse[:nn] * ypulse[:nn]))
