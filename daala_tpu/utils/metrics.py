@@ -156,3 +156,110 @@ def bd_rate(rate1, dist1, rate2, dist2):
     int2 = np.polyval(q2, hi) - np.polyval(q2, lo)
     avg_diff = (int2 - int1) / (hi - lo)
     return (np.exp(avg_diff) - 1) * 100
+
+
+# ---------------------------------------------------------------------------
+# CIEDE2000 color metric (reference: tools/dump_ciede2000.py behavior:
+# studio-range normalize, box-upsampled 4:2:0 chroma, BT.709 matrix,
+# Lab conversion, deltaE-2000 with kL=0.65/kC=1/kH=4, score
+# 45 - 20*log10(mean dE)).  Implemented from the CIE standard formulas
+# (Sharma, Wu & Dalal 2005) in pure numpy.
+
+_BT709_YUV2RGB = np.array([
+    [1.0, 0.0, 1.28033],
+    [1.0, -0.21482, -0.38059],
+    [1.0, 2.12798, 0.0],
+])
+
+
+def _yuv420_to_rgb(planes):
+    """Studio-range 8-bit (Y, Cb, Cr) 4:2:0 planes -> float RGB (H, W, 3)."""
+    y = (planes[0].astype(np.float64) - 16.0) / 219.0
+    out = [y]
+    for c in planes[1:3]:
+        cf = (c.astype(np.float64) - 128.0) / 224.0
+        if cf.shape != y.shape:
+            cf = np.repeat(np.repeat(cf, 2, axis=0), 2, axis=1)
+            cf = cf[:y.shape[0], :y.shape[1]]
+        out.append(cf)
+    ycc = np.stack(out, axis=-1)
+    return ycc @ _BT709_YUV2RGB.T
+
+
+def _rgb_to_lab(rgb):
+    """sRGB in [0,1] -> CIE Lab (D65 white point)."""
+    rgb = np.clip(rgb, 0.0, 1.0)
+    lin = np.where(rgb > 0.04045, ((rgb + 0.055) / 1.055) ** 2.4,
+                   rgb / 12.92)
+    m = np.array([[0.412453, 0.357580, 0.180423],
+                  [0.212671, 0.715160, 0.072169],
+                  [0.019334, 0.119193, 0.950227]])
+    xyz = lin @ m.T
+    xyz = xyz / np.array([0.95047, 1.0, 1.08883])
+    eps = (6.0 / 29.0) ** 3
+    f = np.where(xyz > eps, np.cbrt(xyz),
+                 xyz / (3 * (6.0 / 29.0) ** 2) + 4.0 / 29.0)
+    fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
+    return np.stack([116.0 * fy - 16.0, 500.0 * (fx - fy),
+                     200.0 * (fy - fz)], axis=-1)
+
+
+def delta_e_2000(lab1, lab2, kl=0.65, kc=1.0, kh=4.0):
+    """Pixelwise CIEDE2000 color difference between two Lab images."""
+    l1, a1, b1 = lab1[..., 0], lab1[..., 1], lab1[..., 2]
+    l2, a2, b2 = lab2[..., 0], lab2[..., 1], lab2[..., 2]
+    c1 = np.hypot(a1, b1)
+    c2 = np.hypot(a2, b2)
+    cbar = 0.5 * (c1 + c2)
+    c7 = cbar ** 7
+    g = 0.5 * (1.0 - np.sqrt(c7 / (c7 + 25.0 ** 7)))
+    a1p = (1.0 + g) * a1
+    a2p = (1.0 + g) * a2
+    c1p = np.hypot(a1p, b1)
+    c2p = np.hypot(a2p, b2)
+    h1p = np.degrees(np.arctan2(b1, a1p)) % 360.0
+    h2p = np.degrees(np.arctan2(b2, a2p)) % 360.0
+    dlp = l2 - l1
+    dcp = c2p - c1p
+    zero = (c1p * c2p) == 0
+    dh = h2p - h1p
+    dh = np.where(dh > 180.0, dh - 360.0, dh)
+    dh = np.where(dh < -180.0, dh + 360.0, dh)
+    dh = np.where(zero, 0.0, dh)
+    dhp = 2.0 * np.sqrt(c1p * c2p) * np.sin(np.radians(dh) / 2.0)
+    lbar = 0.5 * (l1 + l2)
+    cbarp = 0.5 * (c1p + c2p)
+    hsum = h1p + h2p
+    habs = np.abs(h1p - h2p)
+    hbar = np.where(habs <= 180.0, 0.5 * hsum,
+                    np.where(hsum < 360.0, 0.5 * (hsum + 360.0),
+                             0.5 * (hsum - 360.0)))
+    hbar = np.where(zero, hsum, hbar)
+    t = (1.0 - 0.17 * np.cos(np.radians(hbar - 30.0))
+         + 0.24 * np.cos(np.radians(2.0 * hbar))
+         + 0.32 * np.cos(np.radians(3.0 * hbar + 6.0))
+         - 0.20 * np.cos(np.radians(4.0 * hbar - 63.0)))
+    dtheta = 30.0 * np.exp(-(((hbar - 275.0) / 25.0) ** 2))
+    c7p = cbarp ** 7
+    rc = 2.0 * np.sqrt(c7p / (c7p + 25.0 ** 7))
+    l50 = (lbar - 50.0) ** 2
+    sl = 1.0 + 0.015 * l50 / np.sqrt(20.0 + l50)
+    sc = 1.0 + 0.045 * cbarp
+    sh = 1.0 + 0.015 * cbarp * t
+    rt = -np.sin(np.radians(2.0 * dtheta)) * rc
+    x = dlp / (kl * sl)
+    y = dcp / (kc * sc)
+    z = dhp / (kh * sh)
+    return np.sqrt(x * x + y * y + z * z + rt * y * z)
+
+
+def ciede2000(planes_a, planes_b):
+    """Frame-level CIEDE2000 score: 45 - 20*log10(mean pixel dE), the
+    convention of the reference's dump_ciede2000.py (kL=0.65, kH=4)."""
+    lab_a = _rgb_to_lab(_yuv420_to_rgb(planes_a))
+    lab_b = _rgb_to_lab(_yuv420_to_rgb(planes_b))
+    de = delta_e_2000(lab_a, lab_b)
+    mean = float(de.mean())
+    if mean <= 0:
+        return 100.0
+    return float(45.0 - 20.0 * np.log10(mean))

@@ -25,6 +25,7 @@ METRICS = {
     "psnrhvs": M.psnr_hvs,
     "ssim": M.ssim,
     "msssim": M.ms_ssim,
+    "ciede2000": None,  # full-frame color metric, special-cased below
 }
 
 
@@ -49,10 +50,15 @@ def main():
     per_frame = []
     n = 0
     for fa, fb in zip(ra, rb):
-        nplanes = 1 if args.luma_only else min(len(fa), len(fb))
-        vals = [float(fn(fa[p].astype(np.float64),
-                         fb[p].astype(np.float64)))
-                for p in range(nplanes)]
+        if args.metric == "ciede2000":
+            if min(len(fa), len(fb)) < 3:
+                sys.exit("error: ciede2000 needs 3 planes")
+            vals = [M.ciede2000(fa, fb)]
+        else:
+            nplanes = 1 if args.luma_only else min(len(fa), len(fb))
+            vals = [float(fn(fa[p].astype(np.float64),
+                             fb[p].astype(np.float64)))
+                    for p in range(nplanes)]
         per_frame.append(vals)
         if args.frames and not args.json:
             print("%d: %s" % (n, " ".join("%.4f" % v for v in vals)))
@@ -68,7 +74,8 @@ def main():
                           "mean": [round(float(v), 6) for v in agg],
                           "per_frame": per_frame if args.frames else None}))
     else:
-        names = ["Y", "Cb", "Cr"][:len(per_frame[0])]
+        names = (["frame"] if args.metric == "ciede2000"
+                 else ["Y", "Cb", "Cr"])[:len(per_frame[0])]
         print("%s over %d frames: %s" % (
             args.metric.upper(), n,
             "  ".join("%s %.4f" % (nm, v) for nm, v in zip(names, agg))))

@@ -62,7 +62,8 @@ def _encode_ref(inp, out_y4m, quant, limit, b_frames):
 def measure(orig, recon, limit):
     ra = Y4MReader(orig)
     rb = Y4MReader(recon)
-    acc = {"psnr": [], "psnrhvs": [], "ssim": [], "msssim": []}
+    acc = {"psnr": [], "psnrhvs": [], "ssim": [], "msssim": [],
+           "ciede2000": []}
     n = 0
     npix = 0
     for fa, fb in zip(ra, rb):
@@ -71,6 +72,8 @@ def measure(orig, recon, limit):
         acc["psnr"].append(M.psnr(a, b))
         acc["psnrhvs"].append(M.psnr_hvs(a, b))
         acc["ssim"].append(M.ssim(a, b))
+        if min(len(fa), len(fb)) >= 3:
+            acc["ciede2000"].append(M.ciede2000(fa, fb))
         if min(a.shape) >= 176:
             acc["msssim"].append(M.ms_ssim(a, b))
         npix += a.size
