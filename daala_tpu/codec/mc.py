@@ -426,14 +426,67 @@ def pred_block(grid: MVGrid, ref_imgs, ref_imgi, info, dst, pli, vx, vy,
                               vy, oc, s, log_mvb_sz)
 
 
+try:
+    from daala_tpu import native as _native
+    _NLIB = _native.get_lib()
+except Exception:  # pragma: no cover
+    _NLIB = None
+
+
+def pred_l0_native(grid: MVGrid, ref_imgs, ref_imgi, info, dst, pli, vx, vy,
+                   cur=None):
+    """Native single-call prediction of one level-0 mesh block (with
+    optional SAD against cur); returns the SAD (0 when cur is None) or
+    None when the native engine is unavailable / layouts don't fit."""
+    if _NLIB is None:
+        return None
+    xdec, ydec = info.plane_dec[pli]
+    planes = []
+    for r in range(4):
+        idx = ref_imgi[r]
+        if idx is None or idx < 0:
+            idx = 0
+        img = ref_imgs[idx]
+        if img is None:
+            return None
+        p = img.planes[pli]
+        if p.strides[1] != 1:
+            return None
+        planes.append(p)
+    if (dst.strides[1] != 1 or grid.valid.flags.c_contiguous is False
+            or not grid.mv.flags.c_contiguous
+            or not grid.mv1.flags.c_contiguous
+            or not grid.ref.flags.c_contiguous):
+        return None
+    if cur is not None:
+        if cur.dtype != np.uint8 or cur.strides[1] != 1:
+            return None
+        cptr, cstride = cur.ctypes.data, cur.strides[0]
+        w, h = cur.shape[1], cur.shape[0]
+    else:
+        cptr, cstride, w, h = None, 0, 0, 0
+    return _NLIB.ec_obmc_pred_l0(
+        grid.valid.ctypes.data, grid.ref.ctypes.data,
+        grid.mv.ctypes.data, grid.mv1.ctypes.data,
+        grid.nhmvbs, grid.nvmvbs,
+        planes[0].ctypes.data, planes[1].ctypes.data,
+        planes[2].ctypes.data, planes[3].ctypes.data,
+        planes[0].strides[0], OD_BUFFER_PADDING >> xdec, xdec, ydec,
+        dst.ctypes.data, dst.strides[0], vx, vy,
+        cptr, cstride, w, h)
+
+
 def mc_predict_frame(grid: MVGrid, ref_imgs, ref_imgi, info, dst_img):
     """od_state_mc_predict (reference: src/state.c:932-961): fill the
     SELF reference image planes with the OBMC prediction."""
     nhmvbs = grid.nhmvbs
     nvmvbs = grid.nvmvbs
+    views = [dst_img.plane_view(pli) for pli in range(info.nplanes)]
     for vy in range(0, nvmvbs, OD_MVB_DELTA0):
         for vx in range(0, nhmvbs, OD_MVB_DELTA0):
             for pli in range(info.nplanes):
-                pred_block(grid, ref_imgs, ref_imgi, info,
-                           dst_img.plane_view(pli), pli, vx, vy,
-                           OD_LOG_MVB_DELTA0)
+                if pred_l0_native(grid, ref_imgs, ref_imgi, info,
+                                  views[pli], pli, vx, vy) is None:
+                    pred_block(grid, ref_imgs, ref_imgi, info,
+                               views[pli], pli, vx, vy,
+                               OD_LOG_MVB_DELTA0)

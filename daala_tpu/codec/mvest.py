@@ -225,9 +225,16 @@ def refine_mesh(grid: MVGrid, cur_luma, ref_images, info, lam_sad,
     ref_imgi[MC.OD_FRAME_GOLD] = ref_imgi[MC.OD_FRAME_PREV]
     scratch = np.zeros((h, w), np.uint8)
 
+    cur_u8 = np.ascontiguousarray(cur_luma, np.uint8)
+
     def eval_blocks(blocks):
         sad = 0
         for bx, by in blocks:
+            r = MC.pred_l0_native(grid, ref_imgs, ref_imgi, info, scratch,
+                                  0, bx, by, cur=cur_u8)
+            if r is not None:
+                sad += r
+                continue
             MC.pred_block(grid, ref_imgs, ref_imgi, info, scratch, 0,
                           bx, by, MC.OD_LOG_MVB_DELTA0)
             y0 = by << MC.OD_LOG_MVBSIZE_MIN
@@ -333,9 +340,16 @@ def refine_mvs(grid: MVGrid, cur_luma, ref_images, info, lam_sad,
     D0 = MC.OD_MVB_DELTA0
     cur32 = cur_luma.astype(np.int32)
 
+    cur_u8 = np.ascontiguousarray(cur_luma, np.uint8)
+
     def eval_blocks(blocks):
         sad = 0
         for bx, by in blocks:
+            r = MC.pred_l0_native(grid, ref_imgs, ref_imgi, info, scratch,
+                                  0, bx, by, cur=cur_u8)
+            if r is not None:
+                sad += r
+                continue
             MC.pred_block(grid, ref_imgs, ref_imgi, info, scratch, 0,
                           bx, by, MC.OD_LOG_MVB_DELTA0)
             y0 = by << MC.OD_LOG_MVBSIZE_MIN

@@ -134,6 +134,14 @@ def _configure(lib):
                                  c.c_void_p, c.c_double, c.c_int,
                                  c.c_void_p, c.c_void_p, c.c_int,
                                  c.c_int, c.c_void_p, c.c_void_p]
+    lib.ec_obmc_pred_l0.argtypes = [
+        c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p,  # grid arrays
+        c.c_int, c.c_int,                                # nh, nv
+        c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p,  # ref planes
+        c.c_int, c.c_int, c.c_int, c.c_int,              # pstride pad decs
+        c.c_void_p, c.c_int, c.c_int, c.c_int,           # dst stride vx vy
+        c.c_void_p, c.c_int, c.c_int, c.c_int]           # cur stride w h
+    lib.ec_obmc_pred_l0.restype = c.c_longlong
     # Install the normative uniform CDF table.
     from daala_tpu.ops import _tables
     flat = _tables.UNIFORM_CDFS_Q15.astype("int32")

@@ -1451,3 +1451,305 @@ double ec_pvq_search_rdo_double(const double *xcoeff, int n, int k,
 }
 
 }  // extern "C"
+
+/* ---- OBMC motion-compensated prediction ---------------------------------
+ * Native mirror of the live OBMC path (reference: src/mc.c:92-206 subpel
+ * interpolation, src/mc.c:352-378 + 1650-1750 blending, src/state.c:628-724
+ * recursive mesh prediction).  Used by the encoder's motion search where
+ * the objective must be the true decoder-side OBMC prediction, and by the
+ * frame-level predictor.  Luma and chroma (xdec/ydec) supported. */
+
+namespace obmc {
+
+constexpr int LOG_MVBSIZE_MIN = 3;
+constexpr int LOG_MVB_DELTA0 = 3;
+
+static const int32_t SUBPEL[8][6] = {
+  {0, 0, 128, 0, 0, 0},    {1, -9, 122, 18, -5, 1},
+  {3, -15, 112, 37, -11, 2}, {3, -18, 97, 58, -15, 3},
+  {4, -20, 80, 80, -20, 4},  {3, -15, 58, 97, -18, 3},
+  {2, -11, 37, 112, -15, 3}, {1, -5, 18, 122, -9, 1}};
+static const int VERT_D[22] =
+  {0, 0, 1, 1, 0, 0, 1, 2, 0, 0, 2, 1, 0, -1, 1, 1, 0, -1, 0, 1, 1, -1};
+/* OD_VERT_DX = VERT_D+1, OD_VERT_DY = VERT_D+0 */
+static const int DX_OFF[4][4] =
+  {{9, 1, 9, 1}, {13, 13, 1, 1}, {18, 1, 18, 1}, {5, 5, 1, 1}};
+static const int DY_OFF[4][4] =
+  {{4, 4, 0, 0}, {8, 0, 8, 0}, {12, 12, 0, 0}, {17, 0, 17, 0}};
+
+struct Ctx {
+  const uint8_t* valid;
+  const uint8_t* refidx;
+  const int32_t* mv;   /* (nv+1, nh+1, 2): x then y, 1/8 pel */
+  const int32_t* mv1;  /* NEXT-reference vectors, same layout */
+  int nh, nv;
+  const uint8_t* planes[4]; /* padded plane per ref INDEX (not slot) */
+  int pstride;
+  int pad;
+  int xdec, ydec;
+  uint8_t* dst;
+  int dstride;
+};
+
+static inline int div_pow2_re(int x, int shift) {
+  if (!shift) return x;
+  return (x + (((1 << shift) + ((x >> shift) & 1) - 1) >> 1)) >> shift;
+}
+
+static inline void get_mv(const Ctx& c, int gy, int gx,
+                          int* mx, int* my, int* src) {
+  int idx = gy * (c.nh + 1) + gx;
+  int r = c.refidx[idx];
+  const int32_t* m = (r == 2) ? c.mv1 : c.mv; /* OD_FRAME_NEXT == 2 */
+  *mx = m[2 * idx];
+  *my = m[2 * idx + 1];
+  *src = r;
+}
+
+/* 6-tap 1/8-pel prediction of an (ny, nx) block; matches the Python/
+ * reference bit-exactly including the int16 wrap of the first stage. */
+static void predict1fmv(const Ctx& c, int src, int y0, int x0,
+                        int mvx, int mvy, int ny, int nx,
+                        uint8_t* out, int ostride) {
+  const uint8_t* plane = c.planes[src];
+  const int ps = c.pstride;
+  int sy = c.pad + y0 + (mvy >> 3);
+  int sx = c.pad + x0 + (mvx >> 3);
+  int fxi = mvx & 7;
+  int fyi = mvy & 7;
+  if (!fxi && !fyi) {
+    for (int r = 0; r < ny; r++) {
+      memcpy(out + r * ostride, plane + (size_t)(sy + r) * ps + sx, nx);
+    }
+    return;
+  }
+  const int32_t* fx = SUBPEL[fxi];
+  const int32_t* fy = SUBPEL[fyi];
+  int16_t buff[69][64];
+  int nrows = ny + 5;
+  for (int r = 0; r < nrows; r++) {
+    const uint8_t* w = plane + (size_t)(sy - 2 + r) * ps + sx - 2;
+    if (fxi) {
+      for (int col = 0; col < nx; col++) {
+        int32_t acc = 0;
+        for (int k = 0; k < 6; k++) acc += w[col + k] * fx[k];
+        buff[r][col] = (int16_t)(acc - (128 << 7));
+      }
+    } else {
+      for (int col = 0; col < nx; col++) {
+        buff[r][col] = (int16_t)((w[col + 2] << 7) - (128 << 7));
+      }
+    }
+  }
+  for (int r = 0; r < ny; r++) {
+    uint8_t* o = out + r * ostride;
+    if (fyi) {
+      for (int col = 0; col < nx; col++) {
+        int32_t acc = 0;
+        for (int k = 0; k < 6; k++) acc += (int32_t)buff[r + k][col] * fy[k];
+        int32_t v = (acc + (1 << 13) + (128 << 14)) >> 14;
+        o[col] = (uint8_t)(v < 0 ? 0 : (v > 255 ? 255 : v));
+      }
+    } else {
+      for (int col = 0; col < nx; col++) {
+        int32_t v = ((int32_t)buff[r + 2][col] + (1 << 6) + (128 << 7)) >> 7;
+        o[col] = (uint8_t)(v < 0 ? 0 : (v > 255 ? 255 : v));
+      }
+    }
+  }
+}
+
+/* reference: src/mc.c:352-378 */
+static void blend_full(const uint8_t* const p[4], int log_x, int log_y,
+                       uint8_t* out, int ostride) {
+  int nx = 1 << log_x;
+  int ny = 1 << log_y;
+  int lb2 = log_x + log_y;
+  int32_t rnd = 1 << (lb2 - 1);
+  for (int j = 0; j < ny; j++) {
+    uint8_t* o = out + j * ostride;
+    for (int i = 0; i < nx; i++) {
+      int32_t p0 = p[0][(j << log_x) + i];
+      int32_t p1 = p[1][(j << log_x) + i];
+      int32_t p2 = p[2][(j << log_x) + i];
+      int32_t p3 = p[3][(j << log_x) + i];
+      int32_t a = (p0 << log_x) + (p1 - p0) * i;
+      int32_t b = (p3 << log_x) + (p2 - p3) * i;
+      o[i] = (uint8_t)((((int64_t)a << log_y) + (int64_t)(b - a) * j + rnd)
+                       >> lb2);
+    }
+  }
+}
+
+/* reference: src/mc.c:1650-1750 */
+static void blend_full_split(const uint8_t* const p[4], int oc, int s,
+                             int log_x, int log_y, uint8_t* out,
+                             int ostride) {
+  int nx = 1 << log_x;
+  int ny = 1 << log_y;
+  int lb2p1 = log_x + log_y + 1;
+  int64_t rnd = 1 << (lb2p1 - 1);
+  int64_t s0[4], dsdi[4], dsdj[4], dd[4];
+  int lb2 = log_x + log_y;
+  s0[0] = (int64_t)2 << lb2; s0[1] = s0[2] = s0[3] = 0;
+  dsdi[0] = -((int64_t)2 << log_x); dsdi[1] = (int64_t)2 << log_x;
+  dsdi[2] = dsdi[3] = 0;
+  dsdj[0] = -((int64_t)2 << log_y); dsdj[1] = dsdj[2] = 0;
+  dsdj[3] = (int64_t)2 << log_y;
+  dd[0] = 2; dd[1] = -2; dd[2] = 2; dd[3] = -2;
+  if (!(s & 1)) {
+    int k = (oc + 1) & 3;
+    s0[k] >>= 1;   s0[oc] += s0[k];
+    dsdi[k] >>= 1; dsdi[oc] += dsdi[k];
+    dsdj[k] >>= 1; dsdj[oc] += dsdj[k];
+    dd[k] >>= 1;   dd[oc] += dd[k];
+  }
+  if (!(s & 2)) {
+    int k = (oc + 3) & 3;
+    s0[k] >>= 1;   s0[oc] += s0[k];
+    dsdi[k] >>= 1; dsdi[oc] += dsdi[k];
+    dsdj[k] >>= 1; dsdj[oc] += dsdj[k];
+    dd[k] >>= 1;   dd[oc] += dd[k];
+  }
+  for (int j = 0; j < ny; j++) {
+    uint8_t* o = out + j * ostride;
+    for (int i = 0; i < nx; i++) {
+      int64_t p0 = p[0][(j << log_x) + i];
+      int64_t acc = p0 << lb2p1;
+      for (int k = 1; k < 4; k++) {
+        int64_t sw = s0[k] + (int64_t)i * dsdi[k] + (int64_t)j * dsdj[k]
+                     + (int64_t)i * j * dd[k];
+        acc += ((int64_t)p[k][(j << log_x) + i] - p0) * sw;
+      }
+      o[i] = (uint8_t)((acc + rnd) >> lb2p1);
+    }
+  }
+}
+
+/* reference: src/state.c:628-672 */
+static void pred_block_from_setup(const Ctx& c, int vx, int vy, int oc,
+                                  int s, int log_mvb_sz) {
+  const int* dxp = VERT_D + DX_OFF[oc][s];
+  const int* dyp = VERT_D + DY_OFF[oc][s];
+  int log_x = log_mvb_sz + LOG_MVBSIZE_MIN - c.xdec;
+  int log_y = log_mvb_sz + LOG_MVBSIZE_MIN - c.ydec;
+  int x = vx << (LOG_MVBSIZE_MIN - c.xdec);
+  int y = vy << (LOG_MVBSIZE_MIN - c.ydec);
+  int nx = 1 << log_x;
+  int ny = 1 << log_y;
+  int mvx[4], mvy[4], srcs[4];
+  uint8_t preds[4][64 * 64];
+  const uint8_t* pp[4];
+  for (int k = 0; k < 4; k++) {
+    int gy = vy + dyp[k] * (1 << log_mvb_sz);
+    int gx = vx + dxp[k] * (1 << log_mvb_sz);
+    int mx, my, src;
+    get_mv(c, gy, gx, &mx, &my, &src);
+    mvx[k] = div_pow2_re(mx, c.xdec);
+    mvy[k] = div_pow2_re(my, c.ydec);
+    srcs[k] = src;
+    int dup = -1;
+    for (int k2 = 0; k2 < k; k2++) {
+      if (srcs[k2] == src && mvx[k2] == mvx[k] && mvy[k2] == mvy[k]) {
+        dup = k2;
+        break;
+      }
+    }
+    if (dup >= 0) {
+      pp[k] = pp[dup];
+    } else {
+      predict1fmv(c, src, y, x, mvx[k], mvy[k], ny, nx, preds[k], nx);
+      pp[k] = preds[k];
+    }
+  }
+  uint8_t* dst = c.dst + (size_t)y * c.dstride + x;
+  if (s == 3) {
+    blend_full(pp, log_x, log_y, dst, c.dstride);
+  } else {
+    blend_full_split(pp, oc, s, log_x, log_y, dst, c.dstride);
+  }
+}
+
+/* reference: src/state.c:674-724 */
+static void pred_block(const Ctx& c, int vx, int vy, int log_mvb_sz) {
+  int half = (1 << log_mvb_sz) >> 1;
+  if (log_mvb_sz > 0
+      && c.valid[(vy + half) * (c.nh + 1) + vx + half]) {
+    pred_block(c, vx, vy, log_mvb_sz - 1);
+    pred_block(c, vx + half, vy, log_mvb_sz - 1);
+    pred_block(c, vx, vy + half, log_mvb_sz - 1);
+    pred_block(c, vx + half, vy + half, log_mvb_sz - 1);
+  } else {
+    int oc, s;
+    if (log_mvb_sz < LOG_MVB_DELTA0) {
+      int mask = (1 << (log_mvb_sz + 1)) - 1;
+      oc = (vx & mask) ? 1 : 0;
+      if (vy & mask) oc = 3 - oc;
+      int s1vx = vx + (VERT_D[1 + ((oc + 1) & 3)] << log_mvb_sz);
+      int s1vy = vy + (VERT_D[(oc + 1) & 3] << log_mvb_sz);
+      int s3vx = vx + (VERT_D[1 + ((oc + 3) & 3)] << log_mvb_sz);
+      int s3vy = vy + (VERT_D[(oc + 3) & 3] << log_mvb_sz);
+      s = c.valid[s1vy * (c.nh + 1) + s1vx]
+          | (c.valid[s3vy * (c.nh + 1) + s3vx] << 1);
+    } else {
+      oc = 0;
+      s = 3;
+    }
+    pred_block_from_setup(c, vx, vy, oc, s, log_mvb_sz);
+  }
+}
+
+}  /* namespace obmc */
+
+extern "C" {
+
+/* Predict one level-0 (64x64 luma) mesh block into dst; if cur != NULL,
+ * also return the SAD of the prediction vs cur over the block clipped to
+ * (w, h).  All pointers are raw addresses of contiguous uint8/int32
+ * arrays. */
+long long ec_obmc_pred_l0(
+    const void* valid, const void* refidx, const void* mv, const void* mv1,
+    int nh, int nv,
+    const void* plane0, const void* plane1, const void* plane2,
+    const void* plane3, int pstride, int pad, int xdec, int ydec,
+    void* dst, int dstride, int vx, int vy,
+    const void* cur, int cstride, int w, int h) {
+  obmc::Ctx c;
+  c.valid = (const uint8_t*)valid;
+  c.refidx = (const uint8_t*)refidx;
+  c.mv = (const int32_t*)mv;
+  c.mv1 = (const int32_t*)mv1;
+  c.nh = nh;
+  c.nv = nv;
+  c.planes[0] = (const uint8_t*)plane0;
+  c.planes[1] = (const uint8_t*)plane1;
+  c.planes[2] = (const uint8_t*)plane2;
+  c.planes[3] = (const uint8_t*)plane3;
+  c.pstride = pstride;
+  c.pad = pad;
+  c.xdec = xdec;
+  c.ydec = ydec;
+  c.dst = (uint8_t*)dst;
+  c.dstride = dstride;
+  obmc::pred_block(c, vx, vy, obmc::LOG_MVB_DELTA0);
+  if (!cur) return 0;
+  const uint8_t* cu = (const uint8_t*)cur;
+  int x0 = vx << (obmc::LOG_MVBSIZE_MIN - xdec);
+  int y0 = vy << (obmc::LOG_MVBSIZE_MIN - ydec);
+  int n_x = 1 << (obmc::LOG_MVB_DELTA0 + obmc::LOG_MVBSIZE_MIN - xdec);
+  int n_y = 1 << (obmc::LOG_MVB_DELTA0 + obmc::LOG_MVBSIZE_MIN - ydec);
+  int ny = n_y < h - y0 ? n_y : h - y0;
+  int nx = n_x < w - x0 ? n_x : w - x0;
+  long long sad = 0;
+  for (int r = 0; r < ny; r++) {
+    const uint8_t* a = cu + (size_t)(y0 + r) * cstride + x0;
+    const uint8_t* b = (const uint8_t*)dst + (size_t)(y0 + r) * dstride + x0;
+    for (int col = 0; col < nx; col++) {
+      int d = (int)a[col] - (int)b[col];
+      sad += d < 0 ? -d : d;
+    }
+  }
+  return sad;
+}
+
+}  /* extern "C" */
