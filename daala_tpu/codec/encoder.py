@@ -217,15 +217,15 @@ class Encoder:
         rounded in place to the chosen resolution."""
         grid = self.mv_grid
         info = self.info
-        h, w = cur_luma.shape
-        cur = cur_luma.astype(np.int32)
+        h, w = info.pic_height, info.pic_width
+        cur = cur_luma[:h, :w].astype(np.int32)
         # Reference mv lambda (src/rate.c:1072-1075), Q22 constant.
         lam = max(40, (145000 * self.target_quantizer) >> 20)
         saved_mv = grid.mv.copy()
         saved_mv1 = grid.mv1.copy()
         scratch = MC.RefImage(info)
-        vm = grid.valid > 0
-        nvert = int(vm.sum())
+        sre = mvest.mv_small_rate_est(self.state.adapt)
+        frame_type = self.state.frame_type
         best = None
         for res in (2, 1, 0):
             if res:
@@ -239,10 +239,7 @@ class Encoder:
                                 scratch)
             pred = scratch.plane_view(0)
             sad = int(np.abs(pred[:h, :w].astype(np.int32) - cur).sum())
-            use1 = grid.ref[..., None] == MC.OD_FRAME_NEXT
-            mv_r = np.where(use1, grid.mv1, grid.mv) >> res
-            mags = (np.abs(mv_r[..., 0]) + np.abs(mv_r[..., 1]))[vm]
-            rate8 = 8 * (3 * nvert + int(2 * np.log2(1.0 + mags).sum()))
+            rate8 = mvest.grid_rate_q3(grid, sre, res, frame_type)
             cost = (sad << 5) + lam * rate8
             if best is None or cost < best[0]:
                 best = (cost, res, grid.mv.copy(), grid.mv1.copy())
@@ -937,8 +934,14 @@ class Encoder:
                 refs.append((MC.OD_FRAME_NEXT,
                              self.ref_imgs[self.ref_imgi[
                                  MC.OD_FRAME_NEXT]]))
+            lam_mv = max(40, (145000 * self.target_quantizer) >> 20)
+            if self.b_frames:
+                # Reference B-frame lambda scaling (src/mcenc.c:6411-6418).
+                lam_mv = int(lam_mv * 1.30)
+            vis = (info.pic_height, info.pic_width)
             mvest.estimate_multi(self.mv_grid, padded_in[0], refs, info,
-                                 self.search_range)
+                                 self.search_range, lam=lam_mv,
+                                 adapt=st.adapt, vis=vis)
             if self.complexity >= 2:
                 # Adaptive mesh subdivision (reference: the decimation +
                 # refinement stages of od_mv_est, src/mcenc.c:4019,5211;
@@ -948,14 +951,14 @@ class Encoder:
                 # (src/rate.c:1072-1075).
                 lam_sad = max(16, (self.target_quantizer * 11) >> 7)
                 mvest.refine_mesh(self.mv_grid, padded_in[0], dict(refs),
-                                  info, lam_sad)
-                if self.complexity >= 9:
-                    # OBMC-aware local refinement: currently roughly
-                    # RD-neutral on test content (the SAD objective does
-                    # not track PVQ rate well enough), so reserved for
-                    # the highest complexity tier.
+                                  info, lam_sad, vis=vis)
+                if self.complexity >= 3:
+                    # Rate-aware OBMC refinement with the reference's MV
+                    # lambda (src/rate.c:1072-1075).
                     mvest.refine_mvs(self.mv_grid, padded_in[0],
-                                     dict(refs), info, lam_sad)
+                                     dict(refs), info, lam_mv,
+                                     adapt=st.adapt,
+                                     frame_type=frame_type, vis=vis)
             mv_res = self._select_mv_res(padded_in[0])
             MC.mc_predict_frame(self.mv_grid, self.ref_imgs, self.ref_imgi,
                                 info, self_img)

@@ -434,7 +434,7 @@ except Exception:  # pragma: no cover
 
 
 def pred_l0_native(grid: MVGrid, ref_imgs, ref_imgi, info, dst, pli, vx, vy,
-                   cur=None):
+                   cur=None, vis=None):
     """Native single-call prediction of one level-0 mesh block (with
     optional SAD against cur); returns the SAD (0 when cur is None) or
     None when the native engine is unavailable / layouts don't fit."""
@@ -462,7 +462,10 @@ def pred_l0_native(grid: MVGrid, ref_imgs, ref_imgi, info, dst, pli, vx, vy,
         if cur.dtype != np.uint8 or cur.strides[1] != 1:
             return None
         cptr, cstride = cur.ctypes.data, cur.strides[0]
-        w, h = cur.shape[1], cur.shape[0]
+        if vis is None:
+            w, h = cur.shape[1], cur.shape[0]
+        else:
+            h, w = vis
     else:
         cptr, cstride, w, h = None, 0, 0, 0
     return _NLIB.ec_obmc_pred_l0(

@@ -14,9 +14,119 @@ are valid either way.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 from daala_tpu.codec import mc as MC
+
+# Subdivision level of a mesh vertex given its position mod 8
+# (reference: src/mcenc.c:57-66).
+OD_MC_LEVEL = ((0, 6, 4, 6, 2, 6, 4, 6), (6, 5, 6, 5, 6, 5, 6, 5),
+               (4, 6, 3, 6, 4, 6, 3, 6), (6, 5, 6, 5, 6, 5, 6, 5),
+               (2, 6, 4, 6, 1, 6, 4, 6), (6, 5, 6, 5, 6, 5, 6, 5),
+               (4, 6, 3, 6, 4, 6, 3, 6), (6, 5, 6, 5, 6, 5, 6, 5))
+
+
+def vertex_level(vx, vy):
+    return OD_MC_LEVEL[vy & MC.OD_MVB_MASK][vx & MC.OD_MVB_MASK]
+
+
+def _ge3_rate_q3(k):
+    """Rate estimate (Q3 bits) for a generic-coded MV magnitude k =
+    |offset| - 3; reproduces OD_MV_GE3_EST_RATE's exp-Golomb-shaped model
+    (reference: src/mcenc.c:2105-2139): 1 bit for 0, else
+    2*floor(log2(k+1)) + 2 bits."""
+    if k <= 0:
+        return 8
+    return 8 * (2 * (int(k + 1).bit_length() - 1) + 2)
+
+
+def mv_small_rate_est(adapt):
+    """Per-symbol rate (Q3 bits) of the 4x4 small-MV CDF, evaluated on the
+    frame-start (just reset) adaptation state
+    (reference: src/mcenc.c:6419-6427)."""
+    cdf = adapt.mv_small_cdf
+    out = np.zeros((5, 16), np.int32)
+    for i in range(5):
+        tot = math.log2(float(cdf[i, 15]))
+        for j in range(16):
+            p = float(cdf[i, j] - (cdf[i, j - 1] if j else 0))
+            out[i, j] = int(8 * (tot - math.log2(p)) + 0.5)
+    return out
+
+
+def cand_bits_q3(sre, equal_mvs, dx, dy, predx, predy, ref, ref_pred):
+    """Estimated bits (Q3) to code the MV (dx, dy) against its predictor
+    (reference: od_mv_est_cand_bits, src/mcenc.c:2142-2174)."""
+    ox = dx - predx
+    oy = dy - predy
+    cost = ((ox != 0) + (oy != 0)) * 8
+    cost += int(sre[equal_mvs, min(abs(oy), 3) * 4 + min(abs(ox), 3)])
+    if abs(ox) >= 3:
+        cost += _ge3_rate_q3(min(abs(ox) - 3, 255))
+        if abs(ox) > 255:
+            cost += abs(ox) - 255
+    if abs(oy) >= 3:
+        cost += _ge3_rate_q3(min(abs(oy) - 3, 255))
+        if abs(oy) > 255:
+            cost += abs(oy) - 255
+    if ref_pred != ref:
+        cost += 8
+    return cost
+
+
+def vertex_bits_q3(grid, sre, vx, vy, mv_res=0, frame_type=1):
+    """Estimated bits (Q3) to code the grid vertex as currently set
+    (reference: od_mv_est_bits, src/mcenc.c:2177-2198)."""
+    level = vertex_level(vx, vy)
+    ref = int(grid.ref[vy, vx])
+    pred, equal_mvs = MC.get_predictor(grid, vx, vy, level, mv_res, ref)
+    ref_pred = MC.get_ref_predictor(grid, frame_type, vx, vy, level)
+    mvarr = grid.mv1 if ref == MC.OD_FRAME_NEXT else grid.mv
+    dx = int(mvarr[vy, vx, 0]) >> mv_res
+    dy = int(mvarr[vy, vx, 1]) >> mv_res
+    return cand_bits_q3(sre, equal_mvs, dx, dy, pred[0], pred[1], ref,
+                        ref_pred)
+
+
+_DEP_OFFS = (-8, -4, -2, -1, 0, 1, 2, 4, 8)
+
+
+def _dependents(grid, vx, vy):
+    """Valid vertices (incl. (vy,vx) itself) whose MV predictor list can
+    reference (vy, vx); changing this vertex changes their coding cost.
+    Neighbor lists only ever look +-mvb_sz away (reference:
+    src/mc.c:2036-2095), so the candidates live on power-of-two offsets."""
+    out = []
+    for dy in _DEP_OFFS:
+        wy = vy + dy
+        if not 0 <= wy <= grid.nvmvbs:
+            continue
+        for dx in _DEP_OFFS:
+            wx = vx + dx
+            if not 0 <= wx <= grid.nhmvbs or not grid.valid[wy, wx]:
+                continue
+            if dy == 0 and dx == 0:
+                out.append((wy, wx))
+                continue
+            cn = MC._corner_neighbors(grid, wx, wy, vertex_level(wx, wy))
+            if any(c is not None and c[0] == vy and c[1] == vx
+                   for c in cn):
+                out.append((wy, wx))
+    return out
+
+
+def grid_rate_q3(grid, sre, mv_res=0, frame_type=1):
+    """Total estimated MV bits (Q3) of the current mesh at the given
+    resolution."""
+    total = 0
+    for vy in range(grid.nvmvbs + 1):
+        for vx in range(grid.nhmvbs + 1):
+            if grid.valid[vy, vx]:
+                total += vertex_bits_q3(grid, sre, vx, vy, mv_res,
+                                        frame_type)
+    return total
 
 
 def _block_window(plane_pad, pad, y0, x0, n, h, w):
@@ -29,9 +139,14 @@ def _block_window(plane_pad, pad, y0, x0, n, h, w):
     return ya, xa, yb, xb
 
 
-def full_pel_search(cur, ref_pad, pad, y0, x0, n, search_range, h, w):
-    """Exhaustive full-pel SAD search of the clipped window centered at
-    (y0, x0); returns (mvy, mvx) in pixels."""
+def full_pel_search(cur, ref_pad, pad, y0, x0, n, search_range, h, w,
+                    rd=None):
+    """Exhaustive full-pel search of the clipped window centered at
+    (y0, x0); returns (mvy, mvx) in pixels.  With rd = (lam, sre, pred8,
+    equal_mvs) the objective is the reference BMA cost
+    (sad << OD_ERROR_SCALE) + lambda * cand_bits (reference:
+    od_mv_est_init_mvs, src/mcenc.c:2695-2697); without it, plain SAD
+    with a small zero bias."""
     ya, xa, yb, xb = _block_window(None, pad, y0, x0, n, h, w)
     if yb <= ya or xb <= xa:
         return 0, 0
@@ -47,76 +162,120 @@ def full_pel_search(cur, ref_pad, pad, y0, x0, n, search_range, h, w):
         for dx in range(-r, r + 1):
             cand = rowi[:, r + dx:r + dx + (xb - xa)]
             sad = int(np.abs(cand - tpl).sum())
-            # Bias toward the zero vector to stabilize flat areas.
-            cost = sad + 2 * (abs(dx) + abs(dy))
+            if rd is None:
+                # Bias toward the zero vector to stabilize flat areas.
+                cost = sad + 2 * (abs(dx) + abs(dy))
+            else:
+                lam, sre, pred8, equal_mvs = rd
+                cost = (sad << 5) + lam * cand_bits_q3(
+                    sre, equal_mvs, dx * 8, dy * 8, pred8[0], pred8[1],
+                    0, 0)
             if best is None or cost < best:
                 best = cost
                 best_mv = (dy, dx)
     return best_mv
 
 
-def subpel_refine(cur, ref_pad, pad, y0, x0, n, mv8, h, w):
+def subpel_refine(cur, ref_pad, pad, y0, x0, n, mv8, h, w, rd=None):
     """Refine the 1/8-pel MV around the current candidate using the
-    normative subpel interpolation."""
+    normative subpel interpolation; with rd, minimize the same
+    rate-biased cost as full_pel_search (reference: od_mv_subpel_refine,
+    src/mcenc.c:6438-6530)."""
     ya, xa, yb, xb = _block_window(None, pad, y0, x0, n, h, w)
     if yb <= ya or xb <= xa:
         return mv8
     tpl = cur[ya:yb, xa:xb].astype(np.int32)
+
+    def cost_of(mv):
+        pred = MC.predict1fmv(ref_pad, pad, ya, xa, mv[1], mv[0],
+                              yb - ya, xb - xa)
+        sad = int(np.abs(pred.astype(np.int32) - tpl).sum())
+        if rd is None:
+            return sad
+        lam, sre, pred8, equal_mvs = rd
+        return (sad << 5) + lam * cand_bits_q3(
+            sre, equal_mvs, mv[1], mv[0], pred8[0], pred8[1], 0, 0)
+
     best_mv = mv8
-    best = None
+    best = cost_of(mv8)
+    if rd is not None:
+        # The predictor is always worth a look: it is the cheapest MV.
+        lam, sre, pred8, equal_mvs = rd
+        pcand = (pred8[1], pred8[0])
+        c = cost_of(pcand)
+        if c < best:
+            best = c
+            best_mv = pcand
     for step in (4, 2, 1):
         improved = True
         while improved:
             improved = False
             for dmy, dmx in ((0, step), (0, -step), (step, 0), (-step, 0)):
                 cand = (best_mv[0] + dmy, best_mv[1] + dmx)
-                pred = MC.predict1fmv(ref_pad, pad, ya, xa, cand[1],
-                                      cand[0], yb - ya, xb - xa)
-                sad = int(np.abs(pred.astype(np.int32) - tpl).sum())
-                if best is None:
-                    base = MC.predict1fmv(ref_pad, pad, ya, xa, best_mv[1],
-                                          best_mv[0], yb - ya, xb - xa)
-                    best = int(np.abs(base.astype(np.int32) - tpl).sum())
-                if sad < best:
-                    best = sad
+                c = cost_of(cand)
+                if c < best:
+                    best = c
                     best_mv = cand
                     improved = True
     return best_mv
 
 
+def global_mv_search(cur, ref_pad, pad, h, w, search_range):
+    """Whole-frame dominant-motion estimate: exhaustive full-pel SAD over
+    the frame followed by subpel hill-climbing.  Used to seed the
+    per-vertex searches — window-clipped templates at mesh corners are
+    easily fooled by reconstruction noise, while the frame-level SAD
+    finds coherent translation robustly (the role EPZS predictor
+    propagation plays in the reference, src/mcenc.c:2656-2940)."""
+    tpl = cur[:h, :w].astype(np.int32)
+    r = search_range
+    best = None
+    best_mv = (0, 0)
+    for dy in range(-r, r + 1):
+        row = ref_pad[pad + dy:pad + dy + h, pad - r:pad + w + r]
+        rowi = row.astype(np.int32)
+        for dx in range(-r, r + 1):
+            sad = int(np.abs(rowi[:, r + dx:r + dx + w] - tpl).sum())
+            if best is None or sad < best:
+                best = sad
+                best_mv = (dy, dx)
+    mv8 = (best_mv[0] * 8, best_mv[1] * 8)
+    # Subpel: template is the whole frame (window size 2*max dim clips
+    # to the full picture).
+    return subpel_refine(cur, ref_pad, pad, h // 2, w // 2,
+                         2 * max(h, w), mv8, h, w)
+
+
 def estimate(grid: MC.MVGrid, cur_luma, ref_img, info, search_range=16,
-             ref_index=MC.OD_FRAME_PREV):
+             ref_index=MC.OD_FRAME_PREV, lam=None, adapt=None, vis=None):
     """Fill the MV grid: level-0 vertices only (all valid), MVs against
     the given reference image, 1/8-pel precision."""
-    grid.clear()
-    h, w = cur_luma.shape
-    ref_pad = ref_img.planes[0]
-    pad = MC.OD_BUFFER_PADDING
-    D0 = MC.OD_MVB_DELTA0
-    clamp = MC.OD_UMV_CLAMP * 8
-    for vy in range(0, grid.nvmvbs + 1, D0):
-        for vx in range(0, grid.nhmvbs + 1, D0):
-            y0 = vy << MC.OD_LOG_MVBSIZE_MIN
-            x0 = vx << MC.OD_LOG_MVBSIZE_MIN
-            dy, dx = full_pel_search(cur_luma, ref_pad, pad, y0, x0, 64,
-                                     search_range, h, w)
-            mv8 = subpel_refine(cur_luma, ref_pad, pad, y0, x0, 64,
-                                (dy * 8, dx * 8), h, w)
-            grid.valid[vy, vx] = 1
-            grid.ref[vy, vx] = ref_index
-            grid.mv[vy, vx, 0] = int(np.clip(mv8[1], -clamp, clamp))
-            grid.mv[vy, vx, 1] = int(np.clip(mv8[0], -clamp, clamp))
+    estimate_multi(grid, cur_luma, [(ref_index, ref_img)], info,
+                   search_range, lam=lam, adapt=adapt, vis=vis)
 
 
-def estimate_multi(grid: MC.MVGrid, cur_luma, refs, info, search_range=16):
+def estimate_multi(grid: MC.MVGrid, cur_luma, refs, info, search_range=16,
+                   lam=None, adapt=None, vis=None):
     """Multi-reference level-0 estimation: refs is a list of
     (ref_index, RefImage); each vertex picks the reference with the best
-    refined SAD (B-frames pick between PREV and NEXT per vertex)."""
+    refined cost (B-frames pick between PREV and NEXT per vertex).
+
+    With lam/adapt the per-candidate objective is the reference's BMA
+    cost (sad << OD_ERROR_SCALE) + lambda * MV bits against the causal
+    predictor (reference: od_mv_est_init_mvs, src/mcenc.c:2656-2940),
+    which keeps the field coherent where the ref image is noisy."""
     grid.clear()
-    h, w = cur_luma.shape
+    # Only visible pixels participate in any SAD: replicated padding rows
+    # would otherwise bias every search (notably whole-frame estimates).
+    h, w = vis if vis is not None else cur_luma.shape
     pad = MC.OD_BUFFER_PADDING
     D0 = MC.OD_MVB_DELTA0
     clamp = MC.OD_UMV_CLAMP * 8
+    sre = mv_small_rate_est(adapt) if adapt is not None and lam else None
+    gmv = {ri: global_mv_search(cur_luma, img.planes[0], pad, h, w,
+                                search_range)
+           for ri, img in refs}
+    grid.global_mvs = [(mv[1], mv[0]) for mv in gmv.values()]  # (x, y)
     for vy in range(0, grid.nvmvbs + 1, D0):
         for vx in range(0, grid.nhmvbs + 1, D0):
             y0 = vy << MC.OD_LOG_MVBSIZE_MIN
@@ -124,21 +283,58 @@ def estimate_multi(grid: MC.MVGrid, cur_luma, refs, info, search_range=16):
             best = None
             for ref_index, ref_img in refs:
                 ref_pad = ref_img.planes[0]
+                if sre is not None:
+                    # Causal predictor: raster order means the level-0
+                    # neighbors the decoder will use are already set.
+                    pred8, eq = MC.get_predictor(grid, vx, vy, 0, 0,
+                                                 ref_index)
+                    rd = (lam, sre, (int(pred8[0]), int(pred8[1])), eq)
+                else:
+                    rd = None
                 dy, dx = full_pel_search(cur_luma, ref_pad, pad, y0, x0,
-                                         64, search_range, h, w)
+                                         64, search_range, h, w, rd=rd)
                 mv8 = subpel_refine(cur_luma, ref_pad, pad, y0, x0, 64,
-                                    (dy * 8, dx * 8), h, w)
+                                    (dy * 8, dx * 8), h, w, rd=rd)
+                # The frame-dominant MV competes as a second seed; this
+                # keeps mesh corners from latching onto clipped-template
+                # local optima.
+                mv8g = subpel_refine(cur_luma, ref_pad, pad, y0, x0, 64,
+                                     gmv[ref_index], h, w, rd=rd)
+                if mv8g != mv8:
+                    ya_, xa_, yb_, xb_ = _block_window(None, pad, y0, x0,
+                                                       64, h, w)
+                    if yb_ > ya_ and xb_ > xa_:
+                        t = cur_luma[ya_:yb_, xa_:xb_].astype(np.int32)
+                        sads = []
+                        for cand in (mv8, mv8g):
+                            pr = MC.predict1fmv(ref_pad, pad, ya_, xa_,
+                                                cand[1], cand[0],
+                                                yb_ - ya_, xb_ - xa_)
+                            s = int(np.abs(pr.astype(np.int32) - t).sum())
+                            if rd is not None:
+                                s = (s << 5) + lam * cand_bits_q3(
+                                    rd[1], rd[3], cand[1], cand[0],
+                                    rd[2][0], rd[2][1], 0, 0)
+                            sads.append(s)
+                        if sads[1] < sads[0]:
+                            mv8 = mv8g
                 ya, xa, yb, xb = _block_window(None, pad, y0, x0, 64, h, w)
                 if yb <= ya or xb <= xa:
-                    sad = 0
+                    cost = 0
                 else:
                     pred = MC.predict1fmv(ref_pad, pad, ya, xa, mv8[1],
                                           mv8[0], yb - ya, xb - xa)
                     sad = int(np.abs(
                         pred.astype(np.int32)
                         - cur_luma[ya:yb, xa:xb].astype(np.int32)).sum())
-                if best is None or sad < best[0]:
-                    best = (sad, ref_index, mv8)
+                    if rd is not None:
+                        cost = (sad << 5) + lam * cand_bits_q3(
+                            rd[1], rd[3], mv8[1], mv8[0], rd[2][0],
+                            rd[2][1], 0, 0)
+                    else:
+                        cost = sad
+                if best is None or cost < best[0]:
+                    best = (cost, ref_index, mv8)
             _, ref_index, mv8 = best
             grid.valid[vy, vx] = 1
             grid.ref[vy, vx] = ref_index
@@ -191,7 +387,7 @@ def _majority_ref(grid, vx, vy, mvb_sz, nh, nv):
 
 
 def refine_mesh(grid: MVGrid, cur_luma, ref_images, info, lam_sad,
-                search_range=8, max_level=2):
+                search_range=8, max_level=2, vis=None):
     """Encoder-side adaptive mesh subdivision.
 
     TPU-friendly replacement for the reference's decimation-heap + Viterbi
@@ -206,7 +402,7 @@ def refine_mesh(grid: MVGrid, cur_luma, ref_images, info, lam_sad,
     ref_images: {ref_index: RefImage} — used both for MV search and for
     the OBMC re-prediction.
     """
-    h, w = cur_luma.shape
+    h, w = vis if vis is not None else cur_luma.shape
     pad = MC.OD_BUFFER_PADDING
     nv, nh = grid.nvmvbs, grid.nhmvbs
     clamp = MC.OD_UMV_CLAMP * 8
@@ -223,7 +419,7 @@ def refine_mesh(grid: MVGrid, cur_luma, ref_images, info, lam_sad,
     if ref_imgi[MC.OD_FRAME_NEXT] < 0 and MC.OD_FRAME_PREV in slots:
         ref_imgi[MC.OD_FRAME_NEXT] = slots[MC.OD_FRAME_PREV]
     ref_imgi[MC.OD_FRAME_GOLD] = ref_imgi[MC.OD_FRAME_PREV]
-    scratch = np.zeros((h, w), np.uint8)
+    scratch = np.zeros(cur_luma.shape, np.uint8)
 
     cur_u8 = np.ascontiguousarray(cur_luma, np.uint8)
 
@@ -231,7 +427,7 @@ def refine_mesh(grid: MVGrid, cur_luma, ref_images, info, lam_sad,
         sad = 0
         for bx, by in blocks:
             r = MC.pred_l0_native(grid, ref_imgs, ref_imgi, info, scratch,
-                                  0, bx, by, cur=cur_u8)
+                                  0, bx, by, cur=cur_u8, vis=(h, w))
             if r is not None:
                 sad += r
                 continue
@@ -306,21 +502,27 @@ def refine_mesh(grid: MVGrid, cur_luma, ref_images, info, lam_sad,
         log_mvb_sz -= 1
 
 
-def refine_mvs(grid: MVGrid, cur_luma, ref_images, info, lam_sad,
-               iters=2):
-    """Iterated local MV refinement against the true OBMC objective.
+def refine_mvs(grid: MVGrid, cur_luma, ref_images, info, lam,
+               adapt=None, iters=2, frame_type=1, vis=None):
+    """Iterated rate-aware local MV refinement against the true OBMC
+    objective.
 
-    Lightweight counterpart of the reference's row/column Viterbi passes
-    (reference: od_mv_est_refine_row/col, src/mcenc.c:5211,5875): visit
-    every valid vertex in raster order and try a small candidate set —
-    neighbors' MVs, the zero MV, and +-{1,2} 1/8-pel perturbations — and
-    keep a candidate only if the OBMC SAD over the blocks the vertex
-    influences improves by more than a small rate bias.  Unlike a
-    template-matching search, this accounts for the overlapped blending
-    with neighboring vertices, which is what the greedy per-vertex
-    estimate misses.
+    Counterpart of the reference's row/column Viterbi passes
+    (reference: od_mv_est_refine_row/col, src/mcenc.c:5211,5875), greedy
+    instead of DP but with the same cost function: visit every valid
+    vertex in raster order and try a candidate set — neighbors' MVs, the
+    MV predictor, the zero MV, and +-{1,2} 1/8-pel perturbations — and
+    keep the candidate minimizing
+
+        (OBMC SAD over influenced blocks << OD_ERROR_SCALE)
+        + lambda * (MV bits of this vertex and every vertex whose
+                    predictor references it)
+
+    exactly the reference's units (reference: src/mcenc.c:2782,
+    src/encint.h:50-53).  When adapt is None, falls back to a flat
+    rate margin.
     """
-    h, w = cur_luma.shape
+    h, w = vis if vis is not None else cur_luma.shape
     nv, nh = grid.nvmvbs, grid.nhmvbs
     clamp = MC.OD_UMV_CLAMP * 8
     ref_imgs = [None] * 4
@@ -336,7 +538,7 @@ def refine_mvs(grid: MVGrid, cur_luma, ref_images, info, lam_sad,
     if ref_imgi[MC.OD_FRAME_NEXT] < 0 and MC.OD_FRAME_PREV in slots:
         ref_imgi[MC.OD_FRAME_NEXT] = slots[MC.OD_FRAME_PREV]
     ref_imgi[MC.OD_FRAME_GOLD] = ref_imgi[MC.OD_FRAME_PREV]
-    scratch = np.zeros((h, w), np.uint8)
+    scratch = np.zeros(cur_luma.shape, np.uint8)
     D0 = MC.OD_MVB_DELTA0
     cur32 = cur_luma.astype(np.int32)
 
@@ -346,7 +548,7 @@ def refine_mvs(grid: MVGrid, cur_luma, ref_images, info, lam_sad,
         sad = 0
         for bx, by in blocks:
             r = MC.pred_l0_native(grid, ref_imgs, ref_imgi, info, scratch,
-                                  0, bx, by, cur=cur_u8)
+                                  0, bx, by, cur=cur_u8, vis=(h, w))
             if r is not None:
                 sad += r
                 continue
@@ -370,8 +572,39 @@ def refine_mvs(grid: MVGrid, cur_luma, ref_images, info, lam_sad,
                 out.append((bx, by))
         return out
 
+    sre = mv_small_rate_est(adapt) if adapt is not None else None
+
     verts = [(vy, vx) for vy in range(0, nv + 1)
              for vx in range(0, nh + 1) if grid.valid[vy, vx]]
+
+    if sre is not None:
+        # Whole-field candidates: greedy per-vertex moves cannot execute a
+        # coordinated switch of the entire mesh (changing one vertex while
+        # its blend partners disagree looks locally worse), so try setting
+        # every vertex to one coherent MV — the frame-dominant vector(s)
+        # and zero — and keep the best field as the starting point.
+        all_blocks = [(bx, by) for by in range(0, nv, D0)
+                      for bx in range(0, nh, D0)]
+
+        def field_cost():
+            rate = sum(vertex_bits_q3(grid, sre, wx, wy, 0, frame_type)
+                       for wy, wx in verts)
+            return (eval_blocks(all_blocks) << 5) + lam * rate
+
+        best_cost = field_cost()
+        best_field = (grid.mv.copy(), grid.mv1.copy())
+        for g in list(getattr(grid, "global_mvs", ())) + [(0, 0)]:
+            for vy, vx in verts:
+                if grid.ref[vy, vx] == MC.OD_FRAME_NEXT:
+                    grid.mv1[vy, vx] = g
+                else:
+                    grid.mv[vy, vx] = g
+            c = field_cost()
+            if c < best_cost:
+                best_cost = c
+                best_field = (grid.mv.copy(), grid.mv1.copy())
+        np.copyto(grid.mv, best_field[0])
+        np.copyto(grid.mv1, best_field[1])
     for _ in range(iters):
         changed = 0
         for vy, vx in verts:
@@ -379,9 +612,20 @@ def refine_mvs(grid: MVGrid, cur_luma, ref_images, info, lam_sad,
             mvarr = grid.mv1 if use1 else grid.mv
             cur_mv = (int(mvarr[vy, vx, 0]), int(mvarr[vy, vx, 1]))
             blocks = affected(vx, vy)
-            best_sad = eval_blocks(blocks)
-            best_mv = cur_mv
+            if sre is not None:
+                deps = _dependents(grid, vx, vy)
+
+                def local_rate():
+                    return sum(vertex_bits_q3(grid, sre, wx, wy, 0,
+                                              frame_type)
+                               for wy, wx in deps)
+            else:
+                deps = None
+            level = vertex_level(vx, vy)
+            ref = int(grid.ref[vy, vx])
+            pred8 = None
             cands = {(0, 0)}
+            cands.update(getattr(grid, "global_mvs", ()))
             neigh_cands = set()
             for dy, dx in ((-D0, 0), (D0, 0), (0, -D0), (0, D0)):
                 ny_, nx_ = vy + dy, vx + dx
@@ -391,11 +635,34 @@ def refine_mvs(grid: MVGrid, cur_luma, ref_images, info, lam_sad,
                     c = (int(narr[ny_, nx_, 0]), int(narr[ny_, nx_, 1]))
                     cands.add(c)
                     neigh_cands.add(c)
+            if sre is not None:
+                # The predictor itself is the cheapest codable MV.
+                p, _ = MC.get_predictor(grid, vx, vy, level, 0, ref)
+                pred8 = (int(p[0]), int(p[1]))
+                cands.add(pred8)
             for step in (1, 2):
                 for ddy, ddx in ((0, step), (0, -step), (step, 0),
                                  (-step, 0)):
                     cands.add((cur_mv[0] + ddx, cur_mv[1] + ddy))
             cands.discard(cur_mv)
+            if sre is not None:
+                best_cost = ((eval_blocks(blocks) << 5)
+                             + lam * local_rate())
+                best_mv = cur_mv
+                for cand in cands:
+                    cx = int(np.clip(cand[0], -clamp, clamp))
+                    cy = int(np.clip(cand[1], -clamp, clamp))
+                    mvarr[vy, vx] = (cx, cy)
+                    cost = ((eval_blocks(blocks) << 5)
+                            + lam * local_rate())
+                    if cost < best_cost:
+                        best_cost = cost
+                        best_mv = (cx, cy)
+                        changed += 1
+                mvarr[vy, vx] = best_mv
+                continue
+            best_sad = eval_blocks(blocks)
+            best_mv = cur_mv
             for cand in cands:
                 cx = int(np.clip(cand[0], -clamp, clamp))
                 cy = int(np.clip(cand[1], -clamp, clamp))
@@ -405,9 +672,9 @@ def refine_mvs(grid: MVGrid, cur_luma, ref_images, info, lam_sad,
                 # as subdivision (MV-delta bits), with a small bonus for
                 # candidates copied from neighbors (cheaper to code and
                 # they smooth the field).
-                margin = lam_sad
+                margin = lam
                 if cand in neigh_cands:
-                    margin = -(lam_sad >> 1)
+                    margin = -(lam >> 1)
                 if sad + margin < best_sad:
                     best_sad = sad
                     best_mv = (cx, cy)

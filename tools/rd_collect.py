@@ -125,7 +125,13 @@ def main():
                                 os.path.join(here, "decode.py"), ogv,
                                 y4m],
                                check=True, capture_output=True)
-                nbytes = os.path.getsize(ogv)
+                # Count video packet payloads only, matching what the
+                # reference anchor counts (no Ogg container overhead,
+                # no header packets).
+                from daala_tpu.utils.ogg import read_ogg_packets
+                with open(ogv, "rb") as f:
+                    nbytes = sum(len(p) for p, _g in read_ogg_packets(f)
+                                 if p and not (p[0] & 0x80))
             vals, n, npix = measure(args.input, y4m, args.limit)
             point = {"quant": q, "bytes": nbytes, "frames": n,
                      "bits_per_pixel": round(nbytes * 8.0 / npix, 6)}
