@@ -142,6 +142,11 @@ def _configure(lib):
         c.c_void_p, c.c_int, c.c_int, c.c_int,           # dst stride vx vy
         c.c_void_p, c.c_int, c.c_int, c.c_int]           # cur stride w h
     lib.ec_obmc_pred_l0.restype = c.c_longlong
+    lib.ec_dering.argtypes = [
+        c.c_void_p, c.c_int, c.c_int, c.c_int, c.c_int,  # plane ph pw sby sbx
+        c.c_int, c.c_int, c.c_void_p, c.c_int, c.c_int,  # xdec pli bskip h w
+        c.c_int, c.c_int, c.c_void_p, c.c_int,           # thr n dirs cshift
+        c.c_void_p, c.c_int]                             # out ostride
     # Install the normative uniform CDF table.
     from daala_tpu.ops import _tables
     flat = _tables.UNIFORM_CDFS_Q15.astype("int32")

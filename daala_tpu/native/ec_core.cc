@@ -1753,3 +1753,243 @@ long long ec_obmc_pred_l0(
 }
 
 }  /* extern "C" */
+
+/* ---- Directional deringing filter ---------------------------------------
+ * Native mirror of od_dering (reference: src/dering.c:54-350): direction
+ * search by line-variance maximization, 7-tap conditional-replacement
+ * filter along the direction, 4-tap orthogonal filter.  All filter
+ * arithmetic int16 with wraparound, cost accumulation int32 with
+ * wraparound, exactly as the reference and the Python model. */
+
+namespace dering {
+
+static inline int iabs(int v) { return v < 0 ? -v : v; }
+
+constexpr int BORDER = 3;
+constexpr int VERY_LARGE = 30000;
+
+static const int DIV_TABLE[9] = {0, 840, 420, 280, 210, 168, 140, 120, 105};
+static const int THRESH_Q8[18] = {128, 134, 150, 168, 188, 210, 234, 262,
+                                  292, 327, 365, 408, 455, 509, 569, 635,
+                                  710, 768};
+/* (dy, dx) tap offsets per direction (reference: src/dering.c:39-48). */
+static const int DIR_OFF[8][3][2] = {
+  {{-1, 1}, {-2, 2}, {-3, 3}}, {{0, 1}, {-1, 2}, {-1, 3}},
+  {{0, 1}, {0, 2}, {0, 3}},    {{0, 1}, {1, 2}, {1, 3}},
+  {{1, 1}, {2, 2}, {3, 3}},    {{1, 0}, {2, 1}, {3, 1}},
+  {{1, 0}, {2, 0}, {3, 0}},    {{1, 0}, {2, -1}, {3, -1}}};
+
+static void dir_find8(const int16_t* x, int stride, int coeff_shift,
+                      int* best_dir_out, int* var_out) {
+  int64_t partial[8][15];
+  memset(partial, 0, sizeof(partial));
+  for (int i = 0; i < 8; i++) {
+    for (int j = 0; j < 8; j++) {
+      int64_t v = x[i * stride + j] >> coeff_shift;
+      partial[0][i + j] += v;
+      partial[1][i + j / 2] += v;
+      partial[2][i] += v;
+      partial[3][3 + i - j / 2] += v;
+      partial[4][7 + i - j] += v;
+      partial[5][3 - i / 2 + j] += v;
+      partial[6][j] += v;
+      partial[7][i / 2 + j] += v;
+    }
+  }
+  int32_t cost[8];
+  memset(cost, 0, sizeof(cost));
+  for (int i = 0; i < 8; i++) {
+    cost[2] += (int32_t)(partial[2][i] * partial[2][i]);
+    cost[6] += (int32_t)(partial[6][i] * partial[6][i]);
+  }
+  cost[2] *= DIV_TABLE[8];
+  cost[6] *= DIV_TABLE[8];
+  for (int i = 0; i < 7; i++) {
+    cost[0] += (int32_t)((partial[0][i] * partial[0][i]
+                + partial[0][14 - i] * partial[0][14 - i])
+               * DIV_TABLE[i + 1]);
+    cost[4] += (int32_t)((partial[4][i] * partial[4][i]
+                + partial[4][14 - i] * partial[4][14 - i])
+               * DIV_TABLE[i + 1]);
+  }
+  cost[0] += (int32_t)(partial[0][7] * partial[0][7] * DIV_TABLE[8]);
+  cost[4] += (int32_t)(partial[4][7] * partial[4][7] * DIV_TABLE[8]);
+  for (int i = 1; i < 8; i += 2) {
+    int32_t c = 0;
+    for (int j = 0; j < 5; j++) {
+      c += (int32_t)(partial[i][3 + j] * partial[i][3 + j]);
+    }
+    c *= DIV_TABLE[8];
+    for (int j = 0; j < 3; j++) {
+      c += (int32_t)((partial[i][j] * partial[i][j]
+            + partial[i][10 - j] * partial[i][10 - j])
+           * DIV_TABLE[2 * j + 2]);
+    }
+    cost[i] = c;
+  }
+  int32_t best_cost = 0;
+  int best_dir = 0;
+  for (int i = 0; i < 8; i++) {
+    if (cost[i] > best_cost) {
+      best_cost = cost[i];
+      best_dir = i;
+    }
+  }
+  *best_dir_out = best_dir;
+  *var_out = (int)((best_cost - cost[(best_dir + 4) & 7]) >> 10);
+}
+
+static void filter_direction(const int16_t* in, int istride, int n,
+                             int threshold, int direction,
+                             int16_t* out, int ostride) {
+  static const int taps[3] = {3, 2, 1};
+  for (int i = 0; i < n; i++) {
+    for (int j = 0; j < n; j++) {
+      int16_t xx = in[i * istride + j];
+      int16_t acc = 0;
+      for (int k = 0; k < 3; k++) {
+        int dy = DIR_OFF[direction][k][0];
+        int dx = DIR_OFF[direction][k][1];
+        int16_t p0 = (int16_t)(in[(i + dy) * istride + j + dx] - xx);
+        int16_t p1 = (int16_t)(in[(i - dy) * istride + j - dx] - xx);
+        if (iabs((int)p0) < threshold) acc = (int16_t)(acc + taps[k] * p0);
+        if (iabs((int)p1) < threshold) acc = (int16_t)(acc + taps[k] * p1);
+      }
+      out[i * ostride + j] = (int16_t)(xx + (((int32_t)acc + 8) >> 4));
+    }
+  }
+}
+
+static void filter_orthogonal(const int16_t* in, int istride,
+                              const int16_t* x_orig, int xstride, int n,
+                              int threshold, int direction,
+                              int16_t* out, int ostride) {
+  int offy, offx;
+  if (0 < direction && direction < 4) {
+    offy = 1; offx = 0;
+  } else {
+    offy = 0; offx = 1;
+  }
+  for (int i = 0; i < n; i++) {
+    for (int j = 0; j < n; j++) {
+      int32_t yy = in[i * istride + j];
+      int32_t at = threshold / 3
+                   + iabs(yy - (int32_t)x_orig[i * xstride + j]);
+      if (threshold < at) at = threshold;
+      int16_t acc = 0;
+      for (int m = 0; m < 4; m++) {
+        static const int mult[4] = {1, 2, -1, -2};
+        int dy = offy * mult[m];
+        int dx = offx * mult[m];
+        int16_t p = (int16_t)(in[(i + dy) * istride + j + dx] - yy);
+        if (iabs((int)p) < at) acc = (int16_t)(acc + p);
+      }
+      out[i * ostride + j] = (int16_t)(yy + ((3 * (int32_t)acc + 8) >> 4));
+    }
+  }
+}
+
+}  /* namespace dering */
+
+extern "C" {
+
+/* Filter one deringing superblock.  plane: full int16 plane (ph, pw);
+ * dirs: int32 (nvb, nhb) buffer, written for pli==0 and read otherwise;
+ * out: int16 (n, n) with stride ostride. */
+void ec_dering(const void* plane_, int ph, int pw, int sby, int sbx,
+               int xdec, int pli, const void* bskip_, int skip_h,
+               int skip_w, int threshold, int n, void* dirs_,
+               int coeff_shift, void* out_, int ostride) {
+  using namespace dering;
+  const int16_t* plane = (const int16_t*)plane_;
+  const uint8_t* bskip = (const uint8_t*)bskip_;
+  int32_t* dirs = (int32_t*)dirs_;
+  int16_t* out = (int16_t*)out_;
+  int nhdr = pw >> (6 - xdec);
+  int nvdr = ph >> (6 - xdec);
+  int bsize = 3 - xdec;
+  int nb = n >> bsize;
+  const int istride = 64 + 2 * BORDER;
+  int16_t inb[(64 + 2 * BORDER) * (64 + 2 * BORDER)];
+  for (int i = 0; i < (n + 2 * BORDER) * istride; i++) inb[i] = VERY_LARGE;
+  int y0 = sby << (6 - xdec);
+  int x0 = sbx << (6 - xdec);
+  int i_lo = sby != 0 ? -BORDER : 0;
+  int i_hi = n + (sby != nvdr - 1 ? BORDER : 0);
+  int j_lo = sbx != 0 ? -BORDER : 0;
+  int j_hi = n + (sbx != nhdr - 1 ? BORDER : 0);
+  for (int i = i_lo; i < i_hi; i++) {
+    for (int j = j_lo; j < j_hi; j++) {
+      inb[(BORDER + i) * istride + BORDER + j] =
+          plane[(size_t)(y0 + i) * pw + x0 + j];
+    }
+  }
+  const int16_t* x_orig = plane + (size_t)y0 * pw + x0;
+  int32_t thresh[8 * 8];
+  if (pli == 0) {
+    for (int by = 0; by < nb; by++) {
+      for (int bx = 0; bx < nb; bx++) {
+        int d, var;
+        dir_find8(x_orig + (size_t)8 * by * pw + 8 * bx, pw, coeff_shift,
+                  &d, &var);
+        dirs[by * nb + bx] = d;
+        int v1 = var >> 6;
+        if (v1 > 32767) v1 = 32767;
+        int ilog = v1 > 0 ? 32 - __builtin_clz((unsigned)v1) : 0;
+        thresh[by * nb + bx] = (threshold * THRESH_Q8[ilog] + 128) >> 8;
+      }
+    }
+  } else {
+    for (int i = 0; i < nb * nb; i++) thresh[i] = threshold;
+  }
+  (void)skip_h;
+  for (int by = 0; by < nb; by++) {
+    for (int bx = 0; bx < nb; bx++) {
+      int xstart = 0, ystart = 0;
+      int xend = 2 >> xdec, yend = 2 >> xdec;
+      xstart -= sbx != 0;
+      ystart -= sby != 0;
+      xend += sbx != nhdr - 1;
+      yend += sby != nvdr - 1;
+      int skip = 1;
+      for (int i = ystart; i < yend && skip; i++) {
+        for (int j = xstart; j < xend; j++) {
+          int yy = (sby << (4 - xdec)) + ((by << 1) >> xdec) + i;
+          int xx = (sbx << (4 - xdec)) + ((bx << 1) >> xdec) + j;
+          if (!bskip[(size_t)yy * skip_w + xx]) {
+            skip = 0;
+            break;
+          }
+        }
+      }
+      if (skip) thresh[by * nb + bx] = 0;
+    }
+  }
+  int b = 1 << bsize;
+  int16_t tmp[64 * 64];
+  for (int by = 0; by < nb; by++) {
+    for (int bx = 0; bx < nb; bx++) {
+      filter_direction(
+          inb + (size_t)(BORDER + by * b) * istride + BORDER + bx * b,
+          istride, b, thresh[by * nb + bx], dirs[by * nb + bx],
+          tmp + (size_t)by * b * n + bx * b, n);
+    }
+  }
+  /* Second pass input: first-pass output with the same borders. */
+  for (int i = 0; i < n; i++) {
+    for (int j = 0; j < n; j++) {
+      inb[(BORDER + i) * istride + BORDER + j] = tmp[i * n + j];
+    }
+  }
+  for (int by = 0; by < nb; by++) {
+    for (int bx = 0; bx < nb; bx++) {
+      filter_orthogonal(
+          inb + (size_t)(BORDER + by * b) * istride + BORDER + bx * b,
+          istride, x_orig + (size_t)by * b * pw + bx * b, pw, b,
+          thresh[by * nb + bx], dirs[by * nb + bx],
+          out + (size_t)by * b * ostride + bx * b, ostride);
+    }
+  }
+}
+
+}  /* extern "C" */

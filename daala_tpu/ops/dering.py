@@ -145,6 +145,39 @@ def filter_orthogonal(inb, x_orig, ln, threshold, direction):
     return _i16(yy + ((3 * acc.astype(np.int32) + 8) >> 4))
 
 
+try:
+    from daala_tpu import native as _native
+    _NLIB = _native.get_lib()
+except Exception:  # pragma: no cover
+    _NLIB = None
+
+
+def _native_dering(plane_i16, sby, sbx, xdec, pli, bskip, threshold, n,
+                   dirs, coeff_shift):
+    if _NLIB is None:
+        return None
+    if (plane_i16.dtype != np.int16 or not plane_i16.flags.c_contiguous
+            or bskip.dtype != np.uint8 or not bskip.flags.c_contiguous):
+        return None
+    bsize = 3 - xdec
+    nb = n >> bsize
+    if pli == 0:
+        dirs = np.zeros((nb, nb), np.int32)
+    else:
+        if dirs is None:
+            return None
+        dirs = np.ascontiguousarray(dirs, np.int32)
+        if dirs.shape != (nb, nb):
+            return None
+    out = np.empty((n, n), np.int16)
+    _NLIB.ec_dering(plane_i16.ctypes.data, plane_i16.shape[0],
+                    plane_i16.shape[1], sby, sbx, xdec, pli,
+                    bskip.ctypes.data, bskip.shape[0], bskip.shape[1],
+                    threshold, n, dirs.ctypes.data, coeff_shift,
+                    out.ctypes.data, n)
+    return out, dirs
+
+
 def od_dering(plane_i16, sby, sbx, xdec, pli, bskip, threshold, n,
               dirs=None, coeff_shift=4):
     """Filter one deringing superblock; returns (filtered (n, n) int16,
@@ -154,6 +187,10 @@ def od_dering(plane_i16, sby, sbx, xdec, pli, bskip, threshold, n,
 
     plane_i16: full-plane int16 input (unfiltered copy); sby/sbx index the
     64-pixel grid; bskip: per-plane 4x4 skip map."""
+    r = _native_dering(plane_i16, sby, sbx, xdec, pli, bskip, threshold,
+                       n, dirs, coeff_shift)
+    if r is not None:
+        return r
     nhdr = plane_i16.shape[1] >> (6 - xdec)
     nvdr_ = plane_i16.shape[0] >> (6 - xdec)
     bsize = 3 - xdec
