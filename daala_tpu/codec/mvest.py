@@ -51,7 +51,11 @@ def mv_small_rate_est(adapt):
     for i in range(5):
         tot = math.log2(float(cdf[i, 15]))
         for j in range(16):
-            p = float(cdf[i, j] - (cdf[i, j - 1] if j else 0))
+            # Clamp to >= 1: the live adaptation state can in principle
+            # carry a zero-width bin mid-sequence, and log2(0) would
+            # abort the encode (a zero-probability bin just gets a large
+            # estimated rate instead).
+            p = max(1.0, float(cdf[i, j] - (cdf[i, j - 1] if j else 0)))
             out[i, j] = int(8 * (tot - math.log2(p)) + 0.5)
     return out
 

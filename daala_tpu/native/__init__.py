@@ -39,14 +39,28 @@ def get_lib():
                      os.path.getmtime(_inc) if os.path.exists(_inc)
                      else 0)
         if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < newest:
-            subprocess.run(
-                ["g++", "-O2", "-fwrapv", "-std=c++17", "-shared", "-fPIC",
-                 _SRC,
-                 "-o", _LIB + ".tmp"],
-                check=True, capture_output=True)
-            os.replace(_LIB + ".tmp", _LIB)
+            # Build to a unique temp name so two processes importing
+            # concurrently on a clean checkout (parallel CI, the
+            # multiprocessing segment-parallel encoder) cannot interleave
+            # g++ output on the same file and cache a truncated .so.
+            tmp = "%s.%d.tmp" % (_LIB, os.getpid())
+            try:
+                subprocess.run(
+                    ["g++", "-O2", "-fwrapv", "-std=c++17", "-shared",
+                     "-fPIC", _SRC, "-o", tmp],
+                    check=True, capture_output=True)
+                # Verify the freshly-built library actually loads before
+                # publishing it at the cached path.
+                ctypes.CDLL(tmp)
+                os.replace(tmp, _LIB)
+            finally:
+                if os.path.exists(tmp):
+                    os.unlink(tmp)
         lib = ctypes.CDLL(_LIB)
-    except Exception:
+    except Exception as e:
+        import sys
+        print("daala_tpu.native: build/load failed (%s); "
+              "falling back to pure Python" % e, file=sys.stderr)
         return None
     _configure(lib)
     _lib = lib
