@@ -40,6 +40,13 @@ OD_NBSIZES = 5
 OD_MAX_REORDER = 16
 OD_PVQ_LAMBDA = 0.147
 
+# The native whole-frame coefficient pass (frame_enc.inc) is the
+# production path; DAALA_TPU_NATIVE_FRAME=0 forces the pure-Python
+# implementation (used by the differential tests).
+import os as _os
+_NATIVE_FRAME_DEFAULT = _os.environ.get("DAALA_TPU_NATIVE_FRAME",
+                                        "1") != "0"
+
 # QM interpolation anchors (reference: src/encode.c:117-139).
 _QM_ENTRIES = [
     # [use_masking][anchor] = (interp_q, scales per plane, qm rows)
@@ -766,6 +773,112 @@ class Encoder:
                                       self.b_frames + 1, self.b_frames)
         return 0 if ft == 0 else 1
 
+    def _native_adapt_ptrs(self):
+        """Pointer table into the numpy-backed adaptation state for the
+        native frame coder (layout: frame_enc.inc AdaptPtrs::load).  The
+        native engine mutates these arrays in place, so the Python and
+        native paths stay interchangeable mid-stream."""
+        a = self.state.adapt
+        pv = a.pvq
+        cw = pv.pvq_codeword_ctx
+        ptrs = [
+            a.skip_cdf.ctypes.data,
+            pv.pvq_gaintheta_cdf.ctypes.data,
+            pv.pvq_skip_dir_cdf.ctypes.data,
+            cw.pvq_k1_cdf.ctypes.data,
+            cw.pvq_split_cdf.ctypes.data,
+            cw.pvq_adapt.ctypes.data,
+            pv.pvq_exg.ctypes.data,
+            pv.pvq_ext.ctypes.data,
+        ]
+        ptrs += [m.cdf.ctypes.data for m in a.model_dc]
+        ptrs += [m.cdf.ctypes.data for m in pv.pvq_param_model]
+        ptrs += [
+            a.ex_dc.ctypes.data,
+            a.ex_sb_dc.ctypes.data,
+            a.haar_coeff_cdf.ctypes.data,
+            a.haar_split_cdf.ctypes.data,
+            a.haar_bits_cdf.ctypes.data,
+            a.dering_cdf.ctypes.data,
+            a.skip_increment,
+            pv.pvq_gaintheta_increment,
+            pv.pvq_skip_dir_increment,
+            cw.pvq_k1_increment,
+            cw.pvq_split_increment,
+            a.haar_coeff_increment,
+            a.haar_split_increment,
+            a.haar_bits_increment,
+            a.dering_increment,
+        ]
+        return np.array(ptrs, np.int64)
+
+    def _encode_coefficients_native(self, padded_in, self_img, is_keyframe,
+                                    use_haar_wavelet, rdo_only):
+        """One-call native frame coefficient pass (frame_enc.inc
+        fc_encode_frame), byte-identical to the Python implementation
+        below (tests/test_frame_native.py)."""
+        from daala_tpu import native as native_mod
+        lib = native_mod.get_lib()
+        st = self.state
+        info = self.info
+        nplanes = 1 if rdo_only else info.nplanes
+        pvq_qm = np.zeros((4, 30), np.int32)
+        for pli in range(info.nplanes):
+            pvq_qm[pli, :] = st.pvq_qm_q4[pli]
+        cfg = np.zeros(56, np.int64)
+        cfg[0] = nplanes
+        cfg[1] = st.frame_width
+        cfg[2] = st.frame_height
+        cfg[3] = info.pic_width
+        cfg[4] = info.pic_height
+        cfg[5] = st.nhsb
+        cfg[6] = st.nvsb
+        cfg[7] = st.quantizer
+        cfg[8] = st.coded_quantizer
+        cfg[9] = quantizer.N_CODED_QUANTIZERS
+        cfg[10] = 1 if is_keyframe else 0
+        cfg[11] = 1 if use_haar_wavelet else 0
+        cfg[12] = rdo_only
+        cfg[13] = 1 if self.use_activity_masking else 0
+        cfg[14] = 1 if self.qm_choice == 0 else 0
+        cfg[15] = 1 if self.use_dering else 0
+        cfg[16] = st.frame_type
+        cfg[17] = self.complexity
+        cfg[18] = st.bsize.ctypes.data
+        cfg[19] = st.bsize.strides[0]
+        cfg[20] = st.qm.ctypes.data
+        cfg[21] = st.qm_inv.ctypes.data
+        cfg[22] = pvq_qm.ctypes.data
+        cfg[23] = st.dering_level.ctypes.data
+        keep = [pvq_qm]
+        ctmp = []
+        for pli in range(nplanes):
+            xd, yd = info.plane_dec[pli]
+            out_c = np.zeros((st.frame_height >> yd,
+                              st.frame_width >> xd), np.int32)
+            ctmp.append(out_c)
+            mc = None
+            if not is_keyframe:
+                mc = np.ascontiguousarray(self_img.plane_view(pli))
+                keep.append(mc)
+            cfg[24 + 6 * pli] = padded_in[pli].ctypes.data
+            cfg[25 + 6 * pli] = 0 if mc is None else mc.ctypes.data
+            cfg[26 + 6 * pli] = out_c.ctypes.data
+            cfg[27 + 6 * pli] = st.bskip[pli].ctypes.data
+            cfg[29 + 6 * pli] = st.sb_dc_mem[pli].ctypes.data
+            cfg[48 + 2 * pli] = xd
+            cfg[49 + 2 * pli] = yd
+        dcfg = np.array([self.pvq_norm_lambda,
+                         getattr(self, "bs_rdo_lambda", 0.0),
+                         getattr(self, "dering_lambda", 0.0)], np.float64)
+        ap = self._native_adapt_ptrs()
+        err = lib.fc_encode_frame(self.enc._h, ap.ctypes.data,
+                                  cfg.ctypes.data, dcfg.ctypes.data)
+        if err:
+            raise RuntimeError("native frame encode: EC error %d" % err)
+        del keep
+        return ctmp
+
     def _encode_coefficients(self, padded_in, self_img, is_keyframe,
                              use_haar_wavelet, planes_u8, rdo_only=0):
         """od_encode_coefficients (reference: src/encode.c:2539-2855).
@@ -775,6 +888,11 @@ class Encoder:
         back by the caller; the merged bsize/bskip maps persist as the
         pass's output (reference: od_split_superblocks_rdo,
         src/encode.c:2942-2948)."""
+        if (getattr(self, "use_native_frame", _NATIVE_FRAME_DEFAULT)
+                and hasattr(self.enc, "_h")):
+            return self._encode_coefficients_native(
+                padded_in, self_img, is_keyframe, use_haar_wavelet,
+                rdo_only)
         st = self.state
         info = self.info
         enc = self.enc

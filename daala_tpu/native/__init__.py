@@ -34,10 +34,11 @@ def get_lib():
     if os.environ.get("DAALA_TPU_NATIVE", "1") == "0":
         return None
     try:
-        _inc = os.path.join(_DIR, "lifting_gen.inc")
-        newest = max(os.path.getmtime(_SRC),
-                     os.path.getmtime(_inc) if os.path.exists(_inc)
-                     else 0)
+        newest = os.path.getmtime(_SRC)
+        for name in ("lifting_gen.inc", "frame_enc.inc"):
+            p = os.path.join(_DIR, name)
+            if os.path.exists(p):
+                newest = max(newest, os.path.getmtime(p))
         if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < newest:
             # Build to a unique temp name so two processes importing
             # concurrently on a clean checkout (parallel CI, the
@@ -46,7 +47,7 @@ def get_lib():
             tmp = "%s.%d.tmp" % (_LIB, os.getpid())
             try:
                 subprocess.run(
-                    ["g++", "-O2", "-fwrapv", "-std=c++17", "-shared",
+                    ["g++", "-O3", "-fwrapv", "-std=c++17", "-shared",
                      "-fPIC", _SRC, "-o", tmp],
                     check=True, capture_output=True)
                 # Verify the freshly-built library actually loads before
@@ -161,7 +162,27 @@ def _configure(lib):
         c.c_int, c.c_int, c.c_void_p, c.c_int, c.c_int,  # xdec pli bskip h w
         c.c_int, c.c_int, c.c_void_p, c.c_int,           # thr n dirs cshift
         c.c_void_p, c.c_int]                             # out ostride
+    # Whole-frame coefficient encoder.
+    lib.fc_set_tables.argtypes = [c.c_void_p]
+    lib.fc_encode_frame.argtypes = [c.c_void_p, c.c_void_p, c.c_void_p,
+                                    c.c_void_p]
+    lib.fc_encode_frame.restype = c.c_int
     # Install the normative uniform CDF table.
     from daala_tpu.ops import _tables
     flat = _tables.UNIFORM_CDFS_Q15.astype("int32")
     lib.ec_set_uniform_cdfs(flat.ctypes.data_as(i32p))
+    # Install the frame-coder tables (kept alive on the module).
+    global _FC_TABLES
+    import numpy as _np
+    from daala_tpu.ops import partition as _part
+    _FC_TABLES = [
+        _np.ascontiguousarray(_tables.EXP_CDF_TABLE, _np.int32),
+        _np.ascontiguousarray(_tables.LAPLACE_OFFSET, _np.int32),
+        _np.ascontiguousarray(_tables.CFL_SCALING4, _np.int32),
+    ] + [_np.ascontiguousarray(_part.coding_order_indices(n), _np.int32)
+         for n in (4, 8, 16, 32, 64)] + [
+        _np.ascontiguousarray(getattr(_tables, "BAND_OFFSETS%d" % n),
+                              _np.int32)
+        for n in (4, 8, 16, 32, 64)]
+    ptrs = _np.array([t.ctypes.data for t in _FC_TABLES], _np.int64)
+    lib.fc_set_tables(ptrs.ctypes.data)

@@ -1993,3 +1993,6 @@ void ec_dering(const void* plane_, int ph, int pw, int sby, int sbx,
 }
 
 }  /* extern "C" */
+
+// Native whole-frame coefficient encoder (fc_encode_frame et al.).
+#include "frame_enc.inc"
