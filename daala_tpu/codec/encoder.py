@@ -103,6 +103,9 @@ class Encoder:
         self.pvq_norm_lambda = OD_PVQ_LAMBDA
         self.frame_count = 0
         self.ip_frame_count = 0
+        # Mesh subdivision depth for the encoder-side ME (reference
+        # subdivides to level 6, src/mcenc.c:57-66).
+        self.mv_max_level = 2
         self.keyframe_rate = info.keyframe_rate
         self.b_frames = 0
         self._pending = []   # display-order frames awaiting coding
@@ -1057,27 +1060,45 @@ class Encoder:
                 # Reference B-frame lambda scaling (src/mcenc.c:6411-6418).
                 lam_mv = int(lam_mv * 1.30)
             vis = (info.pic_height, info.pic_width)
-            mvest.estimate_multi(self.mv_grid, padded_in[0], refs, info,
-                                 self.search_range, lam=lam_mv,
-                                 adapt=st.adapt, vis=vis)
-            if self.complexity >= 2:
-                # Adaptive mesh subdivision (reference: the decimation +
-                # refinement stages of od_mv_est, src/mcenc.c:4019,5211;
-                # here redesigned as greedy splitting, see
-                # mvest.refine_mesh).  Threshold models the split-flag +
-                # MV-delta cost at the reference's mv lambda
-                # (src/rate.c:1072-1075).
-                lam_sad = max(16, (self.target_quantizer * 11) >> 7)
-                mvest.refine_mesh(self.mv_grid, padded_in[0], dict(refs),
-                                  info, lam_sad, vis=vis)
-                if self.complexity >= 3:
-                    # Rate-aware OBMC refinement with the reference's MV
-                    # lambda (src/rate.c:1072-1075).
-                    mvest.refine_mvs(self.mv_grid, padded_in[0],
-                                     dict(refs), info, lam_mv,
-                                     adapt=st.adapt,
-                                     frame_type=frame_type, vis=vis)
-            mv_res = self._select_mv_res(padded_in[0])
+            # Threshold models the split-flag + MV-delta cost at the
+            # reference's mv lambda (src/rate.c:1072-1075).
+            lam_sad = max(16, (self.target_quantizer * 11) >> 7)
+            use_native_me = (getattr(self, "use_native_me",
+                                     _NATIVE_FRAME_DEFAULT)
+                             and mvest.estimate_all_native(
+                                 self.mv_grid, padded_in[0], refs, info,
+                                 self.search_range, lam_mv, st.adapt, vis,
+                                 self.complexity, lam_sad, frame_type,
+                                 max_level=self.mv_max_level))
+            if not use_native_me:
+                mvest.estimate_multi(self.mv_grid, padded_in[0], refs,
+                                     info, self.search_range, lam=lam_mv,
+                                     adapt=st.adapt, vis=vis)
+                if self.complexity >= 2:
+                    # Adaptive mesh subdivision (reference: the
+                    # decimation + refinement stages of od_mv_est,
+                    # src/mcenc.c:4019,5211; here redesigned as greedy
+                    # splitting, see mvest.refine_mesh).
+                    mvest.refine_mesh(self.mv_grid, padded_in[0],
+                                      dict(refs), info, lam_sad, vis=vis,
+                                      max_level=self.mv_max_level)
+                    if self.complexity >= 3:
+                        # Rate-aware OBMC refinement with the reference's
+                        # MV lambda (src/rate.c:1072-1075).
+                        mvest.refine_mvs(self.mv_grid, padded_in[0],
+                                         dict(refs), info, lam_mv,
+                                         adapt=st.adapt,
+                                         frame_type=frame_type, vis=vis)
+            mv_res = None
+            if use_native_me:
+                # _select_mv_res uses the unscaled mv lambda
+                # (src/rate.c:1072-1075), without the B-frame factor.
+                lam_res = max(40, (145000 * self.target_quantizer) >> 20)
+                mv_res = mvest.select_mv_res_native(
+                    self.mv_grid, padded_in[0], refs, info, lam_res,
+                    st.adapt, vis, st.frame_type)
+            if mv_res is None:
+                mv_res = self._select_mv_res(padded_in[0])
             MC.mc_predict_frame(self.mv_grid, self.ref_imgs, self.ref_imgi,
                                 info, self_img)
             self._encode_mvs(enc, num_refs, mv_res=mv_res)

@@ -479,15 +479,49 @@ def pred_l0_native(grid: MVGrid, ref_imgs, ref_imgi, info, dst, pli, vx, vy,
         cptr, cstride, w, h)
 
 
+def _predict_frame_plane_native(grid, ref_imgs, ref_imgi, info, dst, pli):
+    """Whole-plane OBMC prediction in one native call; returns False when
+    the native engine is unavailable / layouts don't fit."""
+    if _NLIB is None or not hasattr(_NLIB, "me_predict_frame_plane"):
+        return False
+    xdec, ydec = info.plane_dec[pli]
+    planes = []
+    for r in range(4):
+        idx = ref_imgi[r]
+        if idx is None or idx < 0:
+            idx = 0
+        img = ref_imgs[idx]
+        if img is None:
+            return False
+        p = img.planes[pli]
+        if p.strides[1] != 1:
+            return False
+        planes.append(p)
+    if dst.strides[1] != 1:
+        return False
+    _NLIB.me_predict_frame_plane(
+        grid.valid.ctypes.data, grid.ref.ctypes.data,
+        grid.mv.ctypes.data, grid.mv1.ctypes.data,
+        grid.nhmvbs, grid.nvmvbs,
+        planes[0].ctypes.data, planes[1].ctypes.data,
+        planes[2].ctypes.data, planes[3].ctypes.data,
+        planes[0].strides[0], OD_BUFFER_PADDING >> xdec, xdec, ydec,
+        dst.ctypes.data, dst.strides[0])
+    return True
+
+
 def mc_predict_frame(grid: MVGrid, ref_imgs, ref_imgi, info, dst_img):
     """od_state_mc_predict (reference: src/state.c:932-961): fill the
     SELF reference image planes with the OBMC prediction."""
     nhmvbs = grid.nhmvbs
     nvmvbs = grid.nvmvbs
     views = [dst_img.plane_view(pli) for pli in range(info.nplanes)]
-    for vy in range(0, nvmvbs, OD_MVB_DELTA0):
-        for vx in range(0, nhmvbs, OD_MVB_DELTA0):
-            for pli in range(info.nplanes):
+    for pli in range(info.nplanes):
+        if _predict_frame_plane_native(grid, ref_imgs, ref_imgi, info,
+                                       views[pli], pli):
+            continue
+        for vy in range(0, nvmvbs, OD_MVB_DELTA0):
+            for vx in range(0, nhmvbs, OD_MVB_DELTA0):
                 if pred_l0_native(grid, ref_imgs, ref_imgi, info,
                                   views[pli], pli, vx, vy) is None:
                     pred_block(grid, ref_imgs, ref_imgi, info,

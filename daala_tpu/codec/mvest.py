@@ -352,6 +352,122 @@ def estimate_multi(grid: MC.MVGrid, cur_luma, refs, info, search_range=16,
                 grid.mv[vy, vx, 1] = mvy
 
 
+def _ref_slot_planes(refs_list, info, pli=0):
+    """Resolve the per-ref-index padded planes used by the OBMC
+    evaluators (the slot-fallback logic shared by refine_mesh /
+    refine_mvs)."""
+    ref_imgs = [None] * 4
+    ref_imgi = [-1] * 4
+    slots = {}
+    for i, (ridx, rimg) in enumerate(refs_list):
+        ref_imgs[i] = rimg
+        slots[ridx] = i
+    for ridx, i in slots.items():
+        ref_imgi[ridx] = i
+    if ref_imgi[MC.OD_FRAME_PREV] < 0 and MC.OD_FRAME_NEXT in slots:
+        ref_imgi[MC.OD_FRAME_PREV] = slots[MC.OD_FRAME_NEXT]
+    if ref_imgi[MC.OD_FRAME_NEXT] < 0 and MC.OD_FRAME_PREV in slots:
+        ref_imgi[MC.OD_FRAME_NEXT] = slots[MC.OD_FRAME_PREV]
+    ref_imgi[MC.OD_FRAME_GOLD] = ref_imgi[MC.OD_FRAME_PREV]
+    planes = []
+    for r in range(4):
+        idx = ref_imgi[r]
+        if idx is None or idx < 0:
+            idx = 0
+        img = ref_imgs[idx] if ref_imgs[idx] is not None else ref_imgs[0]
+        planes.append(img.planes[pli])
+    return planes
+
+
+def estimate_all_native(grid, cur_luma, refs, info, search_range, lam,
+                        adapt, vis, complexity, lam_sad, frame_type,
+                        max_level=2, iters=2, mesh_search_range=8):
+    """One native call covering estimate_multi + refine_mesh +
+    refine_mvs (daala_tpu/native/me_enc.inc me_estimate), with decisions
+    identical to the Python pipeline.  Returns True when the native
+    engine ran."""
+    from daala_tpu import native as native_mod
+    lib = native_mod.get_lib()
+    if lib is None:
+        return False
+    h, w = vis if vis is not None else cur_luma.shape
+    pad = MC.OD_BUFFER_PADDING
+    cur = np.ascontiguousarray(cur_luma, np.uint8)
+    planes4 = _ref_slot_planes(refs, info)
+    gout = np.zeros(4, np.int32)
+    cfg = np.zeros(33, np.int64)
+    cfg[0] = grid.nhmvbs
+    cfg[1] = grid.nvmvbs
+    cfg[2] = pad
+    cfg[3] = planes4[0].strides[0]
+    cfg[4] = cur.ctypes.data
+    cfg[5] = cur.strides[0]
+    cfg[6] = h
+    cfg[7] = w
+    cfg[8] = len(refs)
+    for i, (ridx, rimg) in enumerate(refs[:2]):
+        cfg[9 + 2 * i] = ridx
+        cfg[10 + 2 * i] = rimg.planes[0].ctypes.data
+    for i in range(4):
+        cfg[13 + i] = planes4[i].ctypes.data
+    cfg[17] = search_range
+    cfg[18] = lam
+    cfg[19] = complexity
+    cfg[20] = frame_type
+    cfg[21] = adapt.mv_small_cdf.ctypes.data if adapt is not None else 0
+    cfg[22] = grid.valid.ctypes.data
+    cfg[23] = grid.ref.ctypes.data
+    cfg[24] = grid.mv.ctypes.data
+    cfg[25] = grid.mv1.ctypes.data
+    cfg[26] = lam_sad
+    cfg[27] = cur.shape[0]
+    cfg[28] = cur.shape[1]
+    cfg[29] = mesh_search_range
+    cfg[30] = max_level
+    cfg[31] = iters
+    cfg[32] = gout.ctypes.data
+    lib.me_estimate(cfg.ctypes.data)
+    grid.global_mvs = [(int(gout[2 * i]), int(gout[2 * i + 1]))
+                       for i in range(len(refs))]
+    return True
+
+
+def select_mv_res_native(grid, cur_luma, refs, info, lam, adapt, vis,
+                         frame_type):
+    """Native MV-resolution selection (me_enc.inc me_select_mv_res);
+    rounds the grid MVs in place and returns the chosen resolution, or
+    None when the native engine is unavailable."""
+    from daala_tpu import native as native_mod
+    lib = native_mod.get_lib()
+    if lib is None:
+        return None
+    h, w = vis if vis is not None else cur_luma.shape
+    pad = MC.OD_BUFFER_PADDING
+    cur = np.ascontiguousarray(cur_luma, np.uint8)
+    planes4 = _ref_slot_planes(refs, info)
+    cfg = np.zeros(33, np.int64)
+    cfg[0] = grid.nhmvbs
+    cfg[1] = grid.nvmvbs
+    cfg[2] = pad
+    cfg[3] = planes4[0].strides[0]
+    cfg[4] = cur.ctypes.data
+    cfg[5] = cur.strides[0]
+    cfg[6] = h
+    cfg[7] = w
+    for i in range(4):
+        cfg[13 + i] = planes4[i].ctypes.data
+    cfg[18] = lam
+    cfg[20] = frame_type
+    cfg[21] = adapt.mv_small_cdf.ctypes.data
+    cfg[22] = grid.valid.ctypes.data
+    cfg[23] = grid.ref.ctypes.data
+    cfg[24] = grid.mv.ctypes.data
+    cfg[25] = grid.mv1.ctypes.data
+    cfg[27] = cur.shape[0]
+    cfg[28] = cur.shape[1]
+    return int(lib.me_select_mv_res(cfg.ctypes.data))
+
+
 def _block_sad(cur, pred_plane, y0, x0, n_y, n_x):
     a = cur[y0:y0 + n_y, x0:x0 + n_x].astype(np.int32)
     b = pred_plane[y0:y0 + n_y, x0:x0 + n_x].astype(np.int32)
@@ -628,8 +744,11 @@ def refine_mvs(grid: MVGrid, cur_luma, ref_images, info, lam,
             level = vertex_level(vx, vy)
             ref = int(grid.ref[vy, vx])
             pred8 = None
-            cands = {(0, 0)}
-            cands.update(getattr(grid, "global_mvs", ()))
+            # Ordered, deduplicated candidate list (insertion order is
+            # the tie-breaker, shared with the native port).
+            cands = {(0, 0): True}
+            for g in getattr(grid, "global_mvs", ()):
+                cands[tuple(g)] = True
             neigh_cands = set()
             for dy, dx in ((-D0, 0), (D0, 0), (0, -D0), (0, D0)):
                 ny_, nx_ = vy + dy, vx + dx
@@ -637,18 +756,18 @@ def refine_mvs(grid: MVGrid, cur_luma, ref_images, info, lam,
                         and grid.valid[ny_, nx_]:
                     narr = grid.mv1 if use1 else grid.mv
                     c = (int(narr[ny_, nx_, 0]), int(narr[ny_, nx_, 1]))
-                    cands.add(c)
+                    cands[c] = True
                     neigh_cands.add(c)
             if sre is not None:
                 # The predictor itself is the cheapest codable MV.
                 p, _ = MC.get_predictor(grid, vx, vy, level, 0, ref)
                 pred8 = (int(p[0]), int(p[1]))
-                cands.add(pred8)
+                cands[pred8] = True
             for step in (1, 2):
                 for ddy, ddx in ((0, step), (0, -step), (step, 0),
                                  (-step, 0)):
-                    cands.add((cur_mv[0] + ddx, cur_mv[1] + ddy))
-            cands.discard(cur_mv)
+                    cands[(cur_mv[0] + ddx, cur_mv[1] + ddy)] = True
+            cands.pop(cur_mv, None)
             if sre is not None:
                 best_cost = ((eval_blocks(blocks) << 5)
                              + lam * local_rate())

@@ -35,7 +35,7 @@ def get_lib():
         return None
     try:
         newest = os.path.getmtime(_SRC)
-        for name in ("lifting_gen.inc", "frame_enc.inc"):
+        for name in ("lifting_gen.inc", "frame_enc.inc", "me_enc.inc"):
             p = os.path.join(_DIR, name)
             if os.path.exists(p):
                 newest = max(newest, os.path.getmtime(p))
@@ -167,6 +167,16 @@ def _configure(lib):
     lib.fc_encode_frame.argtypes = [c.c_void_p, c.c_void_p, c.c_void_p,
                                     c.c_void_p]
     lib.fc_encode_frame.restype = c.c_int
+    # Motion estimation engine.
+    lib.me_estimate.argtypes = [c.c_void_p]
+    lib.me_select_mv_res.argtypes = [c.c_void_p]
+    lib.me_select_mv_res.restype = c.c_int
+    lib.me_predict_frame_plane.argtypes = [
+        c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p,  # grid arrays
+        c.c_int, c.c_int,                                # nh, nv
+        c.c_void_p, c.c_void_p, c.c_void_p, c.c_void_p,  # ref planes
+        c.c_int, c.c_int, c.c_int, c.c_int,              # pstride pad decs
+        c.c_void_p, c.c_int]                             # dst stride
     # Install the normative uniform CDF table.
     from daala_tpu.ops import _tables
     flat = _tables.UNIFORM_CDFS_Q15.astype("int32")

@@ -35,7 +35,7 @@ inline uint32_t partition_fn(uint32_t f, uint32_t d, uint32_t e) {
 
 // The uniform Q15 CDFs for sizes 2..16, installed from Python at startup
 // (the normative table OD_UNIFORM_CDFS_Q15).
-static int32_t g_uniform[16][17];
+static int32_t g_uniform[17][17];
 static bool g_uniform_set = false;
 
 struct EcEnc {
@@ -1525,19 +1525,33 @@ static void predict1fmv(const Ctx& c, int src, int y0, int x0,
   }
   const int32_t* fx = SUBPEL[fxi];
   const int32_t* fy = SUBPEL[fyi];
-  int16_t buff[69][64];
+  // Stack buffer covers the OBMC block sizes (<= 64); the encoder-side
+  // whole-frame searches spill to a heap buffer.
+  int16_t buff_s[69][64];
+  int16_t* buff;
+  int bstride;
+  static thread_local std::vector<int16_t> buff_h;
+  if (nx <= 64 && ny <= 64) {
+    buff = &buff_s[0][0];
+    bstride = 64;
+  } else {
+    buff_h.resize((size_t)(ny + 5) * nx);
+    buff = buff_h.data();
+    bstride = nx;
+  }
   int nrows = ny + 5;
   for (int r = 0; r < nrows; r++) {
     const uint8_t* w = plane + (size_t)(sy - 2 + r) * ps + sx - 2;
+    int16_t* br = buff + (size_t)r * bstride;
     if (fxi) {
       for (int col = 0; col < nx; col++) {
         int32_t acc = 0;
         for (int k = 0; k < 6; k++) acc += w[col + k] * fx[k];
-        buff[r][col] = (int16_t)(acc - (128 << 7));
+        br[col] = (int16_t)(acc - (128 << 7));
       }
     } else {
       for (int col = 0; col < nx; col++) {
-        buff[r][col] = (int16_t)((w[col + 2] << 7) - (128 << 7));
+        br[col] = (int16_t)((w[col + 2] << 7) - (128 << 7));
       }
     }
   }
@@ -1546,13 +1560,15 @@ static void predict1fmv(const Ctx& c, int src, int y0, int x0,
     if (fyi) {
       for (int col = 0; col < nx; col++) {
         int32_t acc = 0;
-        for (int k = 0; k < 6; k++) acc += (int32_t)buff[r + k][col] * fy[k];
+        for (int k = 0; k < 6; k++)
+          acc += (int32_t)buff[(size_t)(r + k) * bstride + col] * fy[k];
         int32_t v = (acc + (1 << 13) + (128 << 14)) >> 14;
         o[col] = (uint8_t)(v < 0 ? 0 : (v > 255 ? 255 : v));
       }
     } else {
       for (int col = 0; col < nx; col++) {
-        int32_t v = ((int32_t)buff[r + 2][col] + (1 << 6) + (128 << 7)) >> 7;
+        int32_t v = ((int32_t)buff[(size_t)(r + 2) * bstride + col]
+                     + (1 << 6) + (128 << 7)) >> 7;
         o[col] = (uint8_t)(v < 0 ? 0 : (v > 255 ? 255 : v));
       }
     }
@@ -1996,3 +2012,6 @@ void ec_dering(const void* plane_, int ph, int pw, int sby, int sbx,
 
 // Native whole-frame coefficient encoder (fc_encode_frame et al.).
 #include "frame_enc.inc"
+
+// Native motion-estimation engine (me_estimate et al.).
+#include "me_enc.inc"

@@ -1,0 +1,71 @@
+"""Differential test: the native whole-frame coefficient encoder
+(daala_tpu/native/frame_enc.inc) must be byte-identical to the Python
+implementation in daala_tpu/codec/encoder.py across frame types, chroma
+formats, block-size decision modes, and the lossless wavelet path."""
+
+import numpy as np
+import pytest
+
+from daala_tpu import native
+from daala_tpu.codec import headers
+from daala_tpu.codec.encoder import Encoder
+
+pytestmark = pytest.mark.skipif(native.get_lib() is None,
+                                reason="native engine unavailable")
+
+
+def _clip(w, h, n, seed=0, dec420=True):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = []
+    for t in range(n):
+        y = (128 + 60 * np.sin((xx + 3 * t) / 7.0)
+             + 40 * np.cos((yy + 2 * t) / 11.0)
+             + rng.normal(0, 8, (h, w))).clip(0, 255).astype(np.uint8)
+        s = (slice(None, None, 2),) * 2 if dec420 else (slice(None),) * 2
+        cb = (128 + 30 * np.sin((xx[s] + t) / 9.0)).clip(0, 255) \
+            .astype(np.uint8)
+        cr = (128 + 30 * np.cos((yy[s] + t) / 13.0)).clip(0, 255) \
+            .astype(np.uint8)
+        frames.append([y, cb, cr])
+    return frames
+
+
+def _encode(native_path, frames, w, h, kfr=8, dec420=True, **kw):
+    info = headers.Info(pic_width=w, pic_height=h)
+    if not dec420:
+        info = headers.Info(pic_width=w, pic_height=h,
+                            plane_dec=((0, 0), (0, 0), (0, 0), (0, 0)))
+    enc = Encoder(info, **kw)
+    enc.use_native_frame = native_path
+    enc.keyframe_rate = kfr
+    pkts = []
+    for fr in frames:
+        pkts += enc.encode_frame(fr)
+    pkts += enc.flush()
+    return pkts
+
+
+CASES = [
+    # (name, kwargs, W, H, nframes, kfr, dec420)
+    ("intra_rdo", dict(quant=20, complexity=7), 128, 128, 1, 1, True),
+    ("intra_openloop", dict(quant=12, complexity=1), 80, 64, 1, 1, True),
+    ("inter", dict(quant=15, complexity=7), 128, 96, 4, 8, True),
+    ("lossless", dict(quant=0), 64, 64, 2, 8, True),
+    ("i444", dict(quant=18, complexity=7), 64, 64, 2, 8, False),
+    ("flat_qm", dict(quant=16, complexity=7, qm=0), 64, 64, 1, 1, True),
+    ("no_masking", dict(quant=16, complexity=7,
+                        use_activity_masking=False), 64, 64, 1, 1, True),
+]
+
+
+@pytest.mark.parametrize("name,kw,w,h,n,kfr,dec420",
+                         CASES, ids=[c[0] for c in CASES])
+def test_native_matches_python(name, kw, w, h, n, kfr, dec420):
+    frames = _clip(w, h, n, dec420=dec420)
+    py = _encode(False, frames, w, h, kfr=kfr, dec420=dec420, **dict(kw))
+    nat = _encode(True, frames, w, h, kfr=kfr, dec420=dec420, **dict(kw))
+    assert len(py) == len(nat)
+    for i, (a, b) in enumerate(zip(py, nat)):
+        assert a == b, "packet %d differs (%d vs %d bytes)" % (
+            i, len(a), len(b))
