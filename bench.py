@@ -1,19 +1,15 @@
 #!/usr/bin/env python3
-"""Benchmark: device-side 1080p frame analysis+quantize+synthesis throughput.
+"""Benchmark: REAL end-to-end 1080p encode throughput.
 
-Measures the jittable transform pipeline (lapped pre/post filters +
-reversible DCT analysis/synthesis + quantization + distortion stats,
-daala_tpu/models/analysis.py) over a sharded batch on the device mesh,
-with launches pipelined so the number reflects device compute rather than
-per-call host-tunnel dispatch latency.  Output correctness is pinned by
-tests (bit-exact vs the numpy/CPU path and the reference C lifting).
+Times the production encoder (daala_tpu.codec.encoder.Encoder — native
+frame-coefficient and motion-estimation engines, the same path
+tools/encode.py uses) on a synthetic 1080p clip at complexity 7, and the
+reference C encoder (compiled from /root/reference as a test oracle) on
+the identical clip/settings as the baseline.
 
 Prints one JSON line: {"metric": ..., "value": N, "unit": ...,
-"vs_baseline": N}.  The baseline is the reference C encoder's single-thread
-1080p intra FULL-encode throughput measured on this host via the compiled
-oracle (the closest apples-to-apples number the reference offers; its
-transform stage is not separable).  If the oracle is unavailable,
-vs_baseline is null.
+"vs_baseline": N}.  vs_baseline > 1 means faster than the reference C
+encoder on this host; null when the oracle is unavailable.
 """
 
 import json
@@ -23,65 +19,73 @@ import time
 
 import numpy as np
 
-# Reference C encoder 1080p intra throughput measured on this host
-# (RefEncoder quant=20, complexity 7, single thread); refreshed whenever the
-# oracle is available at bench time.
-FALLBACK_BASELINE_MPIX_S = None
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path[:0] = [HERE, os.path.join(HERE, "tests")]
 
-H, W = 1088, 1920  # 1080p padded to the 64-pixel superblock grid
-
-
-def bench_tpu():
-    import jax
-    from daala_tpu.parallel import mesh as PM
-    ndev = len(jax.devices())
-    mesh = PM.make_mesh()
-    batch = max(2, 2 * ndev)
-    frames = np.random.default_rng(0).integers(
-        0, 256, (batch, H, W), np.uint8)
-    sharded = PM.shard_batch(np.asarray(frames), mesh)
-    with mesh:
-        rec, sse, nz = PM.batch_encode_step(sharded)
-        rec.block_until_ready()  # compile
-        iters = 10
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            rec, sse, nz = PM.batch_encode_step(sharded)
-        rec.block_until_ready()
-    dt = (time.perf_counter() - t0) / iters
-    # Per-chip throughput: total pixels / time / devices.
-    return batch * (H * W) / dt / 1e6 / ndev
+W, H, NFRAMES = 1920, 1080, 4
+QUANT, COMPLEXITY = 25, 7
 
 
-def bench_reference_c():
-    """Time the reference C encoder on the same frame (one intra frame)."""
+def make_clip():
+    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:H, 0:W]
+    base = (128 + 50 * np.sin(xx / 17.0) + 35 * np.cos(yy / 23.0)
+            + 20 * np.sin((xx + yy) / 9.0))
+    noise = rng.normal(0, 5, (H, W))
+    frames = []
+    for t in range(NFRAMES):
+        y = (np.roll(base, (2 * t, 3 * t), (0, 1)) + noise) \
+            .clip(0, 255).astype(np.uint8)
+        cb = (128 + 25 * np.sin((xx[::2, ::2] + 5 * t) / 19.0)) \
+            .clip(0, 255).astype(np.uint8)
+        cr = (128 + 25 * np.cos((yy[::2, ::2] + 4 * t) / 21.0)) \
+            .clip(0, 255).astype(np.uint8)
+        frames.append([y, cb, cr])
+    return frames
+
+
+def bench_ours(frames):
+    from daala_tpu.codec import headers
+    from daala_tpu.codec.encoder import Encoder
+    info = headers.Info(pic_width=W, pic_height=H)
+    enc = Encoder(info, quant=QUANT, complexity=COMPLEXITY)
+    enc.keyframe_rate = 256
+    t0 = time.perf_counter()
+    nbytes = 0
+    for fr in frames:
+        for p in enc.encode_frame(fr):
+            nbytes += len(p)
+    for p in enc.flush():
+        nbytes += len(p)
+    dt = time.perf_counter() - t0
+    return NFRAMES * W * H / dt / 1e6, nbytes
+
+
+def bench_reference_c(frames):
     try:
-        sys.path.insert(0, os.path.join(os.path.dirname(
-            os.path.abspath(__file__)), "tests"))
         import codec_oracle as co
         co.get_lib()
     except Exception:
         return None
-    rng = np.random.default_rng(0)
-    Y = rng.integers(0, 256, (H, W)).astype(np.uint8)
-    Cb = rng.integers(0, 256, (H // 2, W // 2)).astype(np.uint8)
-    Cr = rng.integers(0, 256, (H // 2, W // 2)).astype(np.uint8)
-    enc = co.RefEncoder(W, H, quant=20, keyframe_rate=1)
+    enc = co.RefEncoder(W, H, quant=QUANT, complexity=COMPLEXITY,
+                        keyframe_rate=256)
     enc.flush_headers()
     t0 = time.perf_counter()
-    enc.encode_frame([Y, Cb, Cr], last=True)
+    for i, fr in enumerate(frames):
+        enc.encode_frame(fr, last=(i == NFRAMES - 1))
     dt = time.perf_counter() - t0
-    return (H * W) / dt / 1e6
+    return NFRAMES * W * H / dt / 1e6
 
 
 def main():
-    value = bench_tpu()
-    baseline = bench_reference_c() or FALLBACK_BASELINE_MPIX_S
+    frames = make_clip()
+    value, nbytes = bench_ours(frames)
+    baseline = bench_reference_c(frames)
     vs = (value / baseline) if baseline else None
     print(json.dumps({
-        "metric": "1080p_frame_analysis_quant_synthesis_throughput",
-        "value": round(value, 3),
-        "unit": "Mpixels/s/chip",
+        "metric": "1080p_e2e_encode_throughput",
+        "value": round(value, 4),
+        "unit": "Mpixels/s",
         "vs_baseline": round(vs, 3) if vs else None,
     }))
 
