@@ -515,6 +515,16 @@ class Encoder:
         y0, x0 = by << 2, bx << 2
         is_keyframe = ctx["is_keyframe"]
         use_haar = ctx.get("use_haar_wavelet", False)
+        # Late block-skip RDO (reference: src/encode.c:1414-1451): save
+        # the pre-coding lapped block + MC prediction and an EC
+        # checkpoint, so skipping can still win after PVQ coded the
+        # block.
+        has_late_skip = (not is_keyframe) and (not use_haar) and bs > 0
+        if has_late_skip:
+            c_orig_blk = c[y0:y0 + n, x0:x0 + n].copy()
+            mc_orig_blk = ctx["mc"][pli][y0:y0 + n, x0:x0 + n].copy()
+            tell_ls = enc.tell_frac()
+            cp_ls = self._checkpoint_full()
         if is_keyframe and rdo_only and not use_haar:
             # During the block-size RDO pass c is modified by the split
             # pre/post filters, so refresh the transform while keeping the
@@ -614,6 +624,35 @@ class Encoder:
                                     base=base[None])[0]
         d[y0:y0 + n, x0:x0 + n] = blk
         c[y0:y0 + n, x0:x0 + n] = dct.idct2d(blk[None])[0]
+        if not skip and has_late_skip:
+            # Allow skipping if it helps the RDO metric even though the
+            # PVQ metric didn't skip (reference: src/encode.c:1412-1451).
+            from daala_tpu.codec import dist as dist_mod
+            flat = self.qm_choice == 0
+            dist_noskip = dist_mod.compute_dist(
+                c_orig_blk, c[y0:y0 + n, x0:x0 + n], n,
+                self.use_activity_masking, st.coded_quantizer, flat)
+            lam = self.bs_rdo_lambda
+            rate_noskip = enc.tell_frac() - tell_ls
+            dist_skip = dist_mod.compute_dist(
+                c_orig_blk, mc_orig_blk, n, self.use_activity_masking,
+                st.coded_quantizer, flat)
+            nsyms = 4 + (1 if pli == 0 and bs > 0 else 0)
+            skip_cdf = st.adapt.skip_cdf[2 * bs + (1 if pli != 0 else 0)]
+            rate_skip = 8 * -math.log2(
+                int(skip_cdf[0]) / int(skip_cdf[nsyms - 1]))
+            if (dist_skip + lam * rate_skip
+                    < dist_noskip + lam * rate_noskip):
+                self._rollback_full(cp_ls)
+                skip_cdf = st.adapt.skip_cdf[2 * bs
+                                             + (1 if pli != 0 else 0)]
+                encode_cdf_adapt(enc, 0, skip_cdf, nsyms,
+                                 st.adapt.skip_increment)
+                skip = 1
+                mdp = ctx["md"][pli]
+                d[y0:y0 + n, x0:x0 + n] = mdp[y0:y0 + n, x0:x0 + n]
+                c[y0:y0 + n, x0:x0 + n] = dct.idct2d(
+                    d[y0:y0 + n, x0:x0 + n][None])[0]
         return skip
 
     # -- recursive encode (reference: src/encode.c:1660-1845) ---------------

@@ -549,6 +549,13 @@ class RateControl:
         self.tp_index = 0
         self.tp_spent = 0
         self.tp_total_budget = self.bits_per_frame * len(self.tp_model)
+        # Live model correction: ratio of actual to predicted bits,
+        # exponentially averaged.  The pass-1 scale/exponent model can be
+        # off when coding behavior differs between the passes (e.g.
+        # different skip decisions at different quantizers); this keeps
+        # pass 2 converging on the budget anyway.
+        self.tp_correction = 1.0
+        self.tp_last_pred = None
 
     _TP_MQP = (1.0, 1.05, 1.1, 1.0)
 
@@ -569,7 +576,7 @@ class RateControl:
             for st_, ls, ex in remaining:
                 t += npix * 2.0 ** (ls - (ex / 64.0)
                                     * (lq * self._TP_MQP[st_]))
-            return t
+            return t * self.tp_correction
 
         lo, hi = 0.0, math.log2(lossy_q_max)
         for _ in range(48):
@@ -584,8 +591,20 @@ class RateControl:
         self.base_quantizer = int(min(max(lossy_q_min,
                                           round(2.0 ** base_lq)),
                                       lossy_q_max))
+        # Remember this frame's predicted bits for the feedback loop.
+        st_, ls, ex = remaining[0]
+        self.tp_last_pred = self.tp_correction * npix * 2.0 ** (
+            ls - (ex / 64.0) * (base_lq * self._TP_MQP[st_]))
         return target, self.base_quantizer
 
     def _twopass_update(self, bits):
         self.tp_spent += bits
         self.tp_index += 1
+        pred = getattr(self, "tp_last_pred", None)
+        if pred and pred > 0 and bits > 0:
+            ratio = min(4.0, max(0.25, bits / pred))
+            self.tp_correction = min(4.0, max(
+                0.25, self.tp_correction
+                + 0.5 * (ratio * self.tp_correction
+                         - self.tp_correction)))
+        self.tp_last_pred = None
