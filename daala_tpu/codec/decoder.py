@@ -399,6 +399,18 @@ class Decoder:
 
     # -- frame decode -------------------------------------------------------
 
+    def sync_to_packet(self, data: bytes):
+        """Align the display-reorder queue for a mid-stream start
+        (seeking): the next expected display number becomes this
+        packet's coded frame number."""
+        dec = ec_mod.Decoder(data)
+        if dec.decode_bool_q15(16384):
+            return
+        if not dec.decode_bool_q15(16384):  # keyframe flag
+            dec.decode_bool_q15(16384)
+            dec.decode_uint(OD_MAX_CODED_REFS)
+        self._out_index = dec.decode_uint(OD_MAX_REORDER) % OD_MAX_REORDER
+
     def decode_packet(self, data: bytes):
         """daala_decode_packet_in (reference: src/decode.c:1113-1249).
         Returns the list of frames ready for display (in display order)."""
@@ -408,7 +420,10 @@ class Decoder:
         if self.accounting_enabled:
             self.accounting = _install_accounting(dec)
         if dec.decode_bool_q15(16384):
-            raise ValueError("bad packet")
+            # Reserved bit set: the reference returns OD_EBADPACKET and
+            # emits no frame (reference: src/decode.c:1129-1132).
+            self.error = 1
+            return []
         is_keyframe = dec.decode_bool_q15(16384)
         if is_keyframe:
             frame_type = 0  # OD_I_FRAME

@@ -907,6 +907,12 @@ class Encoder:
             cfg[25 + 6 * pli] = 0 if mc is None else mc.ctypes.data
             cfg[26 + 6 * pli] = out_c.ctypes.data
             cfg[27 + 6 * pli] = st.bskip[pli].ctypes.data
+            pre_d = getattr(self, "_device_d", None)
+            if (pre_d is not None and is_keyframe and not rdo_only
+                    and not use_haar_wavelet):
+                dd = np.ascontiguousarray(pre_d[pli], np.int32)
+                keep.append(dd)
+                cfg[28 + 6 * pli] = dd.ctypes.data
             cfg[29 + 6 * pli] = st.sb_dc_mem[pli].ctypes.data
             cfg[48 + 2 * pli] = xd
             cfg[49 + 2 * pli] = yd
@@ -1163,9 +1169,22 @@ class Encoder:
                 pred_luma = self_img.plane_view(0)
             blocksize.split_superblocks(st, padded_in[0], pred_luma,
                                         st.quantizer)
+        # Device-side analysis front-end (daala_tpu/models/keyframe.py):
+        # compute the keyframe DCT pyramid on the TPU (shardable over a
+        # device mesh); the host EC pass consumes it byte-identically.
+        self._device_d = None
+        if (getattr(self, "use_device_analysis", False) and is_keyframe
+                and not use_haar_wavelet and self.complexity < 2
+                and getattr(self, "use_native_frame",
+                            _NATIVE_FRAME_DEFAULT)):
+            from daala_tpu.models import keyframe as KF
+            self._device_d = KF.analyze_keyframe(
+                st, info, padded_in, st.quantizer == 0,
+                device_put_fn=getattr(self, "device_put_fn", None))
         ctmp = self._encode_coefficients(padded_in, self_img, is_keyframe,
                                          use_haar_wavelet, planes_u8,
                                          rdo_only=0)
+        self._device_d = None
         # Store the reconstruction into SELF + rotate references.
         for pli in range(nplanes):
             self_img.plane_view(pli)[:, :] = coeff_to_ref_plane(

@@ -1,0 +1,70 @@
+"""The device keyframe-analysis front-end (daala_tpu/models/keyframe.py)
+must produce byte-identical packets when the host EC pass consumes it —
+single-device and sharded over a multi-device mesh (conftest forces 8
+virtual CPU devices)."""
+
+import numpy as np
+import pytest
+
+from daala_tpu import native
+from daala_tpu.codec import headers
+from daala_tpu.codec.encoder import Encoder
+
+pytestmark = pytest.mark.skipif(native.get_lib() is None,
+                                reason="native engine unavailable")
+
+
+def _frame(w, h, seed=0):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = (128 + 60 * np.sin(xx / 7.0) + 40 * np.cos(yy / 11.0)
+         + rng.normal(0, 8, (h, w))).clip(0, 255).astype(np.uint8)
+    cb = (128 + 30 * np.sin(xx[::2, ::2] / 9.0)).clip(0, 255) \
+        .astype(np.uint8)
+    cr = (128 + 30 * np.cos(yy[::2, ::2] / 13.0)).clip(0, 255) \
+        .astype(np.uint8)
+    return [y, cb, cr]
+
+
+def _encode_kf(w, h, frame, device=False, device_put_fn=None,
+               complexity=1):
+    info = headers.Info(pic_width=w, pic_height=h)
+    enc = Encoder(info, quant=18, complexity=complexity)
+    enc.keyframe_rate = 1
+    if device:
+        enc.use_device_analysis = True
+        if device_put_fn is not None:
+            enc.device_put_fn = device_put_fn
+    return enc.encode_frame(frame)[0]
+
+
+@pytest.mark.parametrize("w,h,cx", [(256, 192, 1)])
+def test_device_analysis_matches_host(w, h, cx):
+    frame = _frame(w, h)
+    host = _encode_kf(w, h, frame, device=False, complexity=cx)
+    dev = _encode_kf(w, h, frame, device=True, complexity=cx)
+    assert dev == host
+
+
+def test_device_analysis_sharded_mesh():
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as PS
+    ndev = len(jax.devices())
+    if ndev < 2:
+        pytest.skip("needs multiple devices")
+    dp = 2 if ndev % 2 == 0 else 1
+    sp = ndev // dp
+    mesh = Mesh(np.array(jax.devices()[:dp * sp]).reshape(dp, sp),
+                ("dp", "sp"))
+    # Same shape as the host-match test so the jitted analysis reuses
+    # its compilation cache (CPU compiles dominate the test time).
+    w, h = 256, 192
+    frame = _frame(w, h, seed=3)
+    host = _encode_kf(w, h, frame, device=False)
+
+    def put(plane, pli):
+        return jax.device_put(plane, NamedSharding(mesh, PS("dp", "sp")))
+
+    with mesh:
+        dev = _encode_kf(w, h, frame, device=True, device_put_fn=put)
+    assert dev == host

@@ -1,0 +1,85 @@
+"""Corrupted-stream decode parity: our decoder must produce exactly the
+frames the reference C decoder produces on randomly corrupted packets
+(the reference decodes garbage into garbage without failing; reference:
+src/decode.c error handling + clamped symbol parsing)."""
+
+import random
+
+import numpy as np
+import pytest
+
+try:
+    import codec_oracle as co
+    co.get_lib()
+    HAVE_ORACLE = True
+except Exception:  # pragma: no cover
+    HAVE_ORACLE = False
+
+from daala_tpu.codec import headers
+from daala_tpu.codec.decoder import Decoder
+from daala_tpu.codec.encoder import Encoder
+
+pytestmark = pytest.mark.skipif(not HAVE_ORACLE,
+                                reason="reference oracle unavailable")
+
+
+def _mk_stream():
+    w, h = 128, 96
+    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = (128 + 60 * np.sin(xx / 7.0)
+         + rng.normal(0, 8, (h, w))).clip(0, 255).astype(np.uint8)
+    cb = (128 + 30 * np.sin(xx[::2, ::2] / 9.0)).clip(0, 255) \
+        .astype(np.uint8)
+    cr = cb.copy()
+    info = headers.Info(pic_width=w, pic_height=h)
+    enc = Encoder(info, quant=20)
+    enc.keyframe_rate = 64
+    p_key = enc.encode_frame([y, cb, cr])[0]
+    p_inter = enc.encode_frame([np.roll(y, 2, 1), cb, cr])[0]
+    return info, enc.flush_headers(), p_key, p_inter
+
+
+def test_garbage_decode_parity():
+    info, hdrs, p_key, p_inter = _mk_stream()
+    random.seed(42)
+    for trial in range(16):
+        for target in (p_key, p_inter):
+            g = bytearray(target)
+            for _ in range(random.randrange(1, 8)):
+                g[random.randrange(len(g))] = random.randrange(256)
+            g = bytes(g)
+            rdec = co.RefDecoder(hdrs)
+            rdec.decode_packet(p_key)
+            rf = rdec.decode_packet(g)
+            dec = Decoder(info)
+            dec.decode_packet(p_key)
+            of = dec.decode_packet(g)
+            assert len(rf) == len(of)
+            for a, b in zip(rf, of):
+                for p in range(3):
+                    assert np.array_equal(np.asarray(a[p]),
+                                          np.asarray(b[p]))
+
+
+def test_truncated_decode_no_crash():
+    info, hdrs, p_key, p_inter = _mk_stream()
+    for cut in (1, 3, len(p_inter) // 2, len(p_inter) - 1):
+        dec = Decoder(info)
+        dec.decode_packet(p_key)
+        out = dec.decode_packet(p_inter[:cut])
+        assert isinstance(out, list)
+
+
+def test_inter_first_dummy_reference():
+    """Decoding that starts on an inter frame synthesizes a gray dummy
+    reference and keeps going (reference: src/decode.c:193,1184-1191)."""
+    info, hdrs, p_key, p_inter = _mk_stream()
+    rdec = co.RefDecoder(hdrs)
+    rf = rdec.decode_packet(p_inter)
+    dec = Decoder(info)
+    of = dec.decode_packet(p_inter)
+    assert len(rf) == len(of)
+    for a, b in zip(rf, of):
+        for p in range(3):
+            assert np.array_equal(np.asarray(a[p]), np.asarray(b[p]))

@@ -20,12 +20,43 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("input", help="input .ogv")
     ap.add_argument("output", help="output .y4m")
+    ap.add_argument("--seek", type=float, default=None, metavar="T",
+                    help="start decoding at the keyframe preceding time "
+                         "T seconds (uses the keyframe-shift granulepos "
+                         "packing, reference: src/state.c:1010-1040)")
     args = ap.parse_args()
 
+    from daala_tpu.utils import granule as G
     info = None
     dec = None
     wr = None
     n = 0
+    start_index = 0   # first video packet to feed the decoder
+    emit_from = 0     # first display frame to write
+    if args.seek is not None:
+        # Pass 1: locate the target frame and its preceding keyframe from
+        # the granule positions (keyframe id lives in the high bits).
+        tmp_info = None
+        vidx = 0
+        key_of_target = 0
+        target = None
+        with open(args.input, "rb") as f:
+            for data, gp in read_ogg_packets(f):
+                if data and (data[0] & 0x80):
+                    tmp_info, _ = H.decode_header(data, tmp_info)
+                    continue
+                if target is None and gp >= 0 \
+                        and G.granule_time(tmp_info, gp) >= args.seek:
+                    target = G.granule_basetime(tmp_info, gp)
+                    key_of_target = G.granule_keytime(tmp_info, gp)
+                    break
+                vidx += 1
+        if target is None:
+            target = vidx
+            key_of_target = 0
+        start_index = key_of_target
+        emit_from = target - key_of_target
+    vcount = 0
     t0 = time.time()
     with open(args.input, "rb") as f:
         for data, gp in read_ogg_packets(f):
@@ -47,7 +78,15 @@ def main():
                                         info.timebase_denominator),
                                    chroma=chroma)
                 continue
+            vcount += 1
+            if vcount - 1 < start_index:
+                continue
+            if args.seek is not None and vcount - 1 == start_index:
+                dec.sync_to_packet(data)
             for planes in dec.decode_packet(data):
+                if emit_from > 0:
+                    emit_from -= 1
+                    continue
                 wr.write_frame(planes)
                 n += 1
     wr.close()

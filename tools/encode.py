@@ -12,6 +12,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
 
 from daala_tpu.codec import headers as H
 from daala_tpu.codec.encoder import Encoder
+from daala_tpu.utils.granule import GranuleTracker
 from daala_tpu.utils.ogg import OggPageWriter
 from daala_tpu.utils.y4m import Y4MReader
 
@@ -35,6 +36,17 @@ def main():
                     help="re-decode every packet with an embedded decoder "
                          "and verify the reconstruction matches "
                          "(like the reference's --enable-encoder-check)")
+    ap.add_argument("-z", "--complexity", type=int, default=7,
+                    help="encoder complexity 0..10 (like the reference's "
+                         "-z; gates block-size RDO and the ME stages)")
+    ap.add_argument("--qm", type=int, choices=(0, 1), default=1,
+                    help="quantization matrix: 0 = flat, 1 = HVS "
+                         "(reference's --qm)")
+    ap.add_argument("--no-activity-masking", action="store_true",
+                    help="disable perceptual activity masking "
+                         "(reference's --activity-masking 0)")
+    ap.add_argument("--mv-level-max", type=int, default=2,
+                    help="maximum MV mesh subdivision level (0..6)")
     ap.add_argument("--two-pass", metavar="STATS", default=None,
                     help="two-pass rate control: first run (stats file "
                          "absent) records per-frame metrics to STATS; "
@@ -81,8 +93,9 @@ def main():
             ogg = OggPageWriter(f, serial=0x0da1a)
             for hpkt in enc.flush_headers():
                 ogg.add_packet(hpkt, 0, flush=True)
-            for i, pkt in enumerate(pkts):
-                ogg.add_packet(pkt, i + 1, flush=True)
+            gt = GranuleTracker(info)
+            for pkt in pkts:
+                ogg.add_packet(pkt, gt.stamp(pkt), flush=True)
             ogg.close()
         n = len(frames)
         dt = time.time() - t0
@@ -96,9 +109,12 @@ def main():
     elif args.two_pass:
         two_pass_writing = True
     enc = Encoder(info, quant=args.video_quality,
+                  complexity=args.complexity, qm=args.qm,
+                  use_activity_masking=not args.no_activity_masking,
                   use_dering=not args.no_dering,
                   bitrate=args.bitrate if not two_pass_writing else 0)
     enc.b_frames = args.b_frames
+    enc.mv_max_level = args.mv_level_max
     enc.enable_encoder_check = args.check
     if args.two_pass and not two_pass_writing:
         with open(args.two_pass, "rb") as f:
@@ -109,16 +125,17 @@ def main():
         ogg = OggPageWriter(f, serial=0x0da1a)
         for hpkt in enc.flush_headers():
             ogg.add_packet(hpkt, 0, flush=True)
+        gt = GranuleTracker(info)
         n = 0
         t0 = time.time()
         for planes in rd:
             for pkt in enc.encode_frame(planes):
-                ogg.add_packet(pkt, n + 1, flush=True)
+                ogg.add_packet(pkt, gt.stamp(pkt), flush=True)
             n += 1
             if args.limit and n >= args.limit:
                 break
         for pkt in enc.flush():
-            ogg.add_packet(pkt, n + 1, flush=True)
+            ogg.add_packet(pkt, gt.stamp(pkt), flush=True)
         ogg.close()
     if two_pass_writing:
         with open(args.two_pass, "wb") as f:

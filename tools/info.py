@@ -100,12 +100,21 @@ def main():
                           % (last_gp, gp), file=sys.stderr)
                 last_gp = gp
             if args.frames:
+                from daala_tpu.utils.granule import (granule_basetime,
+                                                     granule_keytime,
+                                                     granule_time)
                 flags = "".join(n for n, v in (
                     ("g", hdr["golden"]), ("h", hdr["haar"]),
                     ("a", hdr["activity"]), ("q", hdr["qm"])) if v)
-                print("frame %4d: %s refs=%d num=%d bytes=%d %s"
+                gstr = ""
+                if gp >= 0 and info is not None:
+                    gstr = " gp=%d (base %d, key %d, %.3fs)" % (
+                        gp, granule_basetime(info, gp),
+                        granule_keytime(info, gp),
+                        granule_time(info, gp))
+                print("frame %4d: %s refs=%d num=%d bytes=%d %s%s"
                       % (nframes, FRAME_NAMES[hdr["type"]], hdr["refs"],
-                         hdr["number"], len(pkt), flags))
+                         hdr["number"], len(pkt), flags, gstr))
             nframes += 1
     if info is None:
         sys.exit("error: no daala stream found")
