@@ -1303,15 +1303,13 @@ class Encoder:
 
     def _dering_rdo(self, ctmp, etmp, planes_u8, sby, sbx, cctx,
                     base_threshold):
-        """Pick the dering level by distortion + rate (reference:
-        src/encode.c:2770-2812).  Uses plain SSE distortion for now (the
-        reference uses the activity-weighted metric; encoder-side only)."""
+        """Pick the dering level by activity-weighted distortion +
+        CDF-cost (reference: src/encode.c:2770-2812)."""
+        from daala_tpu.codec import dist as dist_mod
         from daala_tpu.ops import dering as dering_mod
         st = self.state
         n = 64
         y0, x0 = sby << 6, sbx << 6
-        orig = ((planes_u8[0].astype(np.int32) - 128) << OD_COEFF_SHIFT) \
-            if False else None
         # Build original-luma coefficients for this SB from the padded input.
         img_cache = getattr(self, "_orig_coeff_luma", None)
         if img_cache is None:
@@ -1322,22 +1320,28 @@ class Encoder:
                                         self.info.pic_height)
             img_cache = ref_plane_to_coeff(padded, False)
             self._orig_coeff_luma = img_cache
-        orig = img_cache[y0:y0 + n, x0:x0 + n].astype(np.float64)
-        cur = ctmp[0][y0:y0 + n, x0:x0 + n].astype(np.float64)
+        orig = img_cache[y0:y0 + n, x0:x0 + n]
+        cur = ctmp[0][y0:y0 + n, x0:x0 + n]
         adapt = st.adapt
+        flat = self.qm_choice == 0
+
         def cdf_cost(v):
             cdf = adapt.dering_cdf[cctx]
             prev = cdf[v - 1] if v > 0 else 0
             return -math.log2((cdf[v] - prev) / cdf[5])
-        best_dist = float(np.sum((orig - cur) ** 2)) \
-            + self.dering_lambda * cdf_cost(0)
+
+        best_dist = dist_mod.compute_dist(
+            orig, cur, n, self.use_activity_masking, st.coded_quantizer,
+            flat) + self.dering_lambda * cdf_cost(0)
         best_gi = 0
         for gi in range(1, 6):
             threshold = int(dering_mod.OD_DERING_GAIN_TABLE[gi]
                             * base_threshold)
             out, _ = dering_mod.od_dering(etmp[0], sby, sbx, 0, 0,
                                           st.bskip[0], threshold, 64)
-            dist = float(np.sum((orig - out.astype(np.float64)) ** 2)) \
+            dist = dist_mod.compute_dist(
+                orig, out.astype(np.int32), n, self.use_activity_masking,
+                st.coded_quantizer, flat) \
                 + self.dering_lambda * cdf_cost(gi)
             if dist < best_dist:
                 best_dist = dist
