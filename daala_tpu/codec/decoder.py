@@ -38,6 +38,14 @@ def pvq_beta(use_masking, pli, bs):
     return [P.BETA_1] * nb
 
 
+def _set_loc(dec, x, y, layer, level):
+    """OD_ACCOUNTING_SET_LOCATION analogue (reference: src/decint.h:63-68):
+    tags subsequent symbol reads with a (4x4-grid x, y, plane, level)
+    location when accounting is enabled."""
+    if getattr(dec, "_accounting", False):
+        dec.acct_loc = (x, y, layer, level)
+
+
 class Decoder:
     def __init__(self, info: headers.Info):
         self.info = info
@@ -62,6 +70,7 @@ class Decoder:
                    height):
         st = self.state
         grid = self.mv_grid
+        _set_loc(dec, vx, vy, -1, level)
         if num_refs > 1:
             ref_offset = 1 if st.frame_type == 2 else 0  # OD_B_FRAME
             ref_pred = MC.get_ref_predictor(grid, st.frame_type, vx, vy,
@@ -159,6 +168,7 @@ class Decoder:
     # -- keyframe DC (reference: src/decode.c:605-654) ----------------------
 
     def _decode_haar_dc_sb(self, dec, pli, sbx, sby, xdec, has_ur, d):
+        _set_loc(dec, sbx << 4, sby << 4, pli, 4)
         st = self.state
         if st.quantizer == 0:
             dc_quant = 1
@@ -244,6 +254,7 @@ class Decoder:
         # Convert to 4x4-block coordinates (reference: src/decode.c:504-505).
         bx <<= bs
         by <<= bs
+        _set_loc(dec, bx, by, pli, bs)
         xdec = self.info.plane_dec[pli][0]
         w = st.frame_width >> xdec
         c = ctx["c"]
@@ -341,6 +352,7 @@ class Decoder:
         st = self.state
         obs = st.bsize4(bx << bsi, by << bsi)
         w = st.frame_width >> xdec
+        _set_loc(dec, bx << bsi, by << bsi, pli, bsi)
         skip = 0
         if ctx.get("use_haar_wavelet", False):
             obs = bsi
@@ -624,8 +636,15 @@ def _install_accounting(dec):
             def g(*a, **k):
                 t0 = dec.tell_frac()
                 r = orig(*a, **k)
-                records.append((name, dec.tell_frac() - t0))
+                # (label, bits_q3, x, y, layer, level): the location is
+                # whatever the pipeline last declared via dec.acct_loc
+                # (reference: OD_ACCOUNTING_SET_LOCATION,
+                # src/decint.h:63-68, records src/accounting.h:34-46).
+                x, y, layer, level = dec.acct_loc
+                records.append((name, dec.tell_frac() - t0, x, y, layer,
+                                level))
                 return r
             return g
         setattr(dec, name, wrap())
+    dec.acct_loc = (-1, -1, -1, -1)
     return records

@@ -111,7 +111,7 @@ class NativeDecoder:
     __slots__ = ("_lib", "_h", "_buf", "_scratch", "decode_bool_q15",
                  "decode_cdf_q15", "decode_cdf", "decode_cdf_unscaled",
                  "decode_uint", "decode_bits", "decode_cdf_dyadic",
-                 "_accounting")
+                 "_accounting", "acct_loc")
 
     def __init__(self, buf: bytes):
         self._lib = _native.get_lib()

@@ -83,3 +83,22 @@ def test_inter_first_dummy_reference():
     for a, b in zip(rf, of):
         for p in range(3):
             assert np.array_equal(np.asarray(a[p]), np.asarray(b[p]))
+
+
+def test_accounting_locations():
+    """Per-symbol accounting records carry (x, y, layer, level) locations
+    (reference: src/accounting.h:34-46); block symbols must land on their
+    block's 4x4-grid position."""
+    info, hdrs, p_key, p_inter = _mk_stream()
+    dec = Decoder(info)
+    dec.accounting_enabled = True
+    dec.decode_packet(p_key)
+    recs = dec.accounting
+    assert recs
+    located = [r for r in recs if r[2] >= 0 and r[4] >= 0]
+    assert len(located) > len(recs) // 2
+    xs = {r[2] for r in located}
+    ys = {r[3] for r in located}
+    assert max(xs) >= 16 and max(ys) >= 16  # spans several blocks
+    total_bytes = sum(r[1] for r in recs) / 64.0  # Q3 bits -> bytes
+    assert abs(total_bytes - len(p_key)) < len(p_key) * 0.25

@@ -61,6 +61,26 @@ def mv_ascii(grid):
     return "\n".join(out)
 
 
+def _write_heatmap(prefix, frame_no, heat, info):
+    """Render the per-location accounting as a bits-per-4x4-block image
+    (8-bit PGM, log scale) plus the raw Q3 counts as text."""
+    h4 = info.pic_height + 3 >> 2
+    w4 = info.pic_width + 3 >> 2
+    m = heat[:h4, :w4].astype(np.float64)
+    with open("%s_%04d.txt" % (prefix, frame_no), "w") as f:
+        for row in m.astype(np.int64):
+            f.write(" ".join(str(int(v)) for v in row) + "\n")
+    img = np.zeros((h4, w4), np.uint8)
+    nz = m > 0
+    if nz.any():
+        lg = np.log2(1.0 + m)
+        img = np.clip(255.0 * lg / max(1e-9, lg.max()), 0,
+                      255).astype(np.uint8)
+    with open("%s_%04d.pgm" % (prefix, frame_no), "wb") as f:
+        f.write(b"P5\n%d %d\n255\n" % (w4, h4))
+        f.write(img.tobytes())
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("stream", help=".ogv input")
@@ -72,6 +92,11 @@ def main():
                     help="print dering levels per superblock")
     ap.add_argument("--limit", type=int, default=0)
     ap.add_argument("--json", metavar="FILE", default=None)
+    ap.add_argument("--heatmap", metavar="PREFIX", default=None,
+                    help="write per-frame bits-per-4x4-block heatmaps "
+                         "(PREFIX_NNNN.pgm + gnuplot-able .txt), built "
+                         "from the per-location accounting records "
+                         "(reference: examples/analyzer.cc:353-366)")
     args = ap.parse_args()
 
     with open(args.stream, "rb") as f:
@@ -92,8 +117,17 @@ def main():
         dec.decode_packet(pkt)
         st = dec.state
         acct = defaultdict(int)
-        for name, bits_q3 in (dec.accounting or []):
+        heat = np.zeros(((info.frame_height >> 2) + 1,
+                         (info.frame_width >> 2) + 1), np.int64)
+        for name, bits_q3, x, y, layer, level in (dec.accounting or []):
             acct[name] += bits_q3
+            if x >= 0 and layer >= 0:
+                # Chroma locations are in the decimated 4x4 grid; scale
+                # to luma-grid positions like the analyzer heatmap.
+                sh = 0 if layer == 0 else 1
+                hy = min(y << sh, heat.shape[0] - 1)
+                hx = min(x << sh, heat.shape[1] - 1)
+                heat[hy, hx] += bits_q3
         h8 = info.frame_height >> 3
         w8 = info.frame_width >> 3
         bs_hist = np.bincount(st.bsize[:h8, :w8].reshape(-1),
@@ -112,6 +146,7 @@ def main():
             "dering_levels": [int(v) for v in
                               np.asarray(st.dering_level).reshape(-1)],
             "bits_by_symbol_class_q3": dict(sorted(acct.items())),
+            "bits_total_q3": int(sum(acct.values())),
         }
         results.append(rec)
         if not args.json:
@@ -129,6 +164,8 @@ def main():
                 lv = np.array(rec["dering_levels"]).reshape(-1, nhdr)
                 print("\n".join("".join(str(int(v)) for v in row)
                                 for row in lv))
+        if args.heatmap:
+            _write_heatmap(args.heatmap, n, heat, info)
         n += 1
         if args.limit and n >= args.limit:
             break
