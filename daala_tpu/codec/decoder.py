@@ -491,12 +491,13 @@ class Decoder:
         dtmp = [np.zeros_like(ctmp[p]) for p in range(nplanes)]
         mctmp = [None] * nplanes
         mdtmp = [None] * nplanes
+        fpr = bool(info.full_precision_references)
         if not is_keyframe:
             from daala_tpu.codec.state import ref_plane_to_coeff
             for pli in range(nplanes):
                 xd, yd = info.plane_dec[pli]
                 mctmp[pli] = ref_plane_to_coeff(self_img.plane_view(pli),
-                                                lossless)
+                                                lossless, fpr=fpr)
                 if not use_haar_wavelet:
                     filt.apply_prefilter_frame_sbs(mctmp[pli], st.nhsb,
                                                    st.nvsb, xd, yd)
@@ -531,7 +532,7 @@ class Decoder:
         # Store reconstruction into the SELF reference image.
         for pli in range(nplanes):
             self_img.plane_view(pli)[:, :] = coeff_to_ref_plane(
-                ctmp[pli], lossless)
+                ctmp[pli], lossless, fpr=fpr)
         self_img.edge_ext()
         if is_golden:
             self.ref_imgi[MC.OD_FRAME_GOLD] = refi
@@ -549,9 +550,17 @@ class Decoder:
         for pli in range(nplanes):
             xd, yd = info.plane_dec[pli]
             full = self_img.plane_view(pli)
-            planes.append(full[:(info.pic_height + (1 << yd) - 1) >> yd,
-                               :(info.pic_width + (1 << xd) - 1) >> xd]
-                          .copy())
+            crop = full[:(info.pic_height + (1 << yd) - 1) >> yd,
+                        :(info.pic_width + (1 << xd) - 1) >> xd]
+            if fpr:
+                # Round the 12-bit reference down to the 8-bit output
+                # (reference: src/state.c:138-180 od_img_plane_copy).
+                crop = np.clip((crop.astype(np.int32)
+                                + (1 << 4 >> 1)) >> 4, 0,
+                               255).astype(np.uint8)
+                planes.append(crop)
+            else:
+                planes.append(crop.copy())
         # Coding-order recon, exposed for the encoder's self-check
         # (reference: src/encode.c:3231-3272 reads OD_FRAME_SELF).
         self.last_recon = planes

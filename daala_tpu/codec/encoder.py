@@ -229,11 +229,21 @@ class Encoder:
         info = self.info
         h, w = info.pic_height, info.pic_width
         cur = cur_luma[:h, :w].astype(np.int32)
+        ref_imgs = self.ref_imgs
+        if info.full_precision_references:
+            # Decide on 8-bit shadows (non-normative selection).
+            ref_imgs = [None if r is None else _shadow8(r)
+                        for r in self.ref_imgs]
         # Reference mv lambda (src/rate.c:1072-1075), Q22 constant.
         lam = max(40, (145000 * self.target_quantizer) >> 20)
         saved_mv = grid.mv.copy()
         saved_mv1 = grid.mv1.copy()
-        scratch = MC.RefImage(info)
+        scratch_info = info
+        if info.full_precision_references:
+            import dataclasses
+            scratch_info = dataclasses.replace(
+                info, full_precision_references=0)
+        scratch = MC.RefImage(scratch_info)
         sre = mvest.mv_small_rate_est(self.state.adapt)
         frame_type = self.state.frame_type
         best = None
@@ -245,7 +255,7 @@ class Encoder:
             else:
                 np.copyto(grid.mv, saved_mv)
                 np.copyto(grid.mv1, saved_mv1)
-            MC.mc_predict_frame(grid, self.ref_imgs, self.ref_imgi, info,
+            MC.mc_predict_frame(grid, ref_imgs, self.ref_imgi, info,
                                 scratch)
             pred = scratch.plane_view(0)
             sad = int(np.abs(pred[:h, :w].astype(np.int32) - cur).sum())
@@ -937,7 +947,8 @@ class Encoder:
         pass's output (reference: od_split_superblocks_rdo,
         src/encode.c:2942-2948)."""
         if (getattr(self, "use_native_frame", _NATIVE_FRAME_DEFAULT)
-                and hasattr(self.enc, "_h")):
+                and hasattr(self.enc, "_h")
+                and not self.info.full_precision_references):
             return self._encode_coefficients_native(
                 padded_in, self_img, is_keyframe, use_haar_wavelet,
                 rdo_only)
@@ -958,8 +969,9 @@ class Encoder:
                                                xd, yd)
             ctmp.append(coeffs)
             if not is_keyframe:
-                mc_coeffs = ref_plane_to_coeff(self_img.plane_view(pli),
-                                               lossless)
+                mc_coeffs = ref_plane_to_coeff(
+                    self_img.plane_view(pli), lossless,
+                    fpr=bool(self.info.full_precision_references))
                 if not use_haar_wavelet:
                     filt.apply_prefilter_frame_sbs(mc_coeffs, st.nhsb,
                                                    st.nvsb, xd, yd)
@@ -1100,6 +1112,11 @@ class Encoder:
                 refs.append((MC.OD_FRAME_NEXT,
                              self.ref_imgs[self.ref_imgi[
                                  MC.OD_FRAME_NEXT]]))
+            if info.full_precision_references:
+                # The search (non-normative) runs on 8-bit shadows of the
+                # 12-bit references; the normative OBMC prediction below
+                # uses the true full-precision planes.
+                refs = [(ri, _shadow8(rimg)) for ri, rimg in refs]
             lam_mv = max(40, (145000 * self.target_quantizer) >> 20)
             if self.b_frames:
                 # Reference B-frame lambda scaling (src/mcenc.c:6411-6418).
@@ -1186,9 +1203,10 @@ class Encoder:
                                          rdo_only=0)
         self._device_d = None
         # Store the reconstruction into SELF + rotate references.
+        fpr = bool(info.full_precision_references)
         for pli in range(nplanes):
             self_img.plane_view(pli)[:, :] = coeff_to_ref_plane(
-                ctmp[pli], st.quantizer == 0)
+                ctmp[pli], st.quantizer == 0, fpr=fpr)
         self_img.edge_ext()
         if is_golden:
             self.ref_imgi[MC.OD_FRAME_GOLD] = refi
@@ -1224,9 +1242,14 @@ class Encoder:
         for pli in range(nplanes):
             xd, yd = info.plane_dec[pli]
             full = self_img.plane_view(pli)
-            self.recon.append(
-                full[:(info.pic_height + (1 << yd) - 1) >> yd,
-                     :(info.pic_width + (1 << xd) - 1) >> xd].copy())
+            crop = full[:(info.pic_height + (1 << yd) - 1) >> yd,
+                        :(info.pic_width + (1 << xd) - 1) >> xd]
+            if fpr:
+                crop = np.clip((crop.astype(np.int32) + (1 << 4 >> 1))
+                               >> 4, 0, 255).astype(np.uint8)
+                self.recon.append(crop)
+            else:
+                self.recon.append(crop.copy())
         if self.enable_encoder_check:
             self._encoder_check(packet)
         return self._packet
@@ -1347,6 +1370,19 @@ class Encoder:
                 best_dist = dist
                 best_gi = gi
         return best_gi
+
+
+def _shadow8(rimg):
+    """An 8-bit shadow of a full-precision reference image for the
+    non-normative motion search (rounded like od_img_plane_copy,
+    reference: src/state.c:170-180)."""
+    import dataclasses
+    info8 = dataclasses.replace(rimg.info, full_precision_references=0)
+    out = MC.RefImage(info8)
+    for pli, p in enumerate(rimg.planes):
+        out.planes[pli][:, :] = np.clip(
+            (p.astype(np.int32) + (1 << 4 >> 1)) >> 4, 0, 255)
+    return out
 
 
 def _div_trunc(a, b):

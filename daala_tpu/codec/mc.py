@@ -62,19 +62,24 @@ def div_pow2_re(x, shift):
 
 class RefImage:
     """One padded reference image: per-plane uint8 arrays with
-    OD_BUFFER_PADDING margins (already >>dec for chroma)."""
+    OD_BUFFER_PADDING margins (already >>dec for chroma).  With
+    full-precision references (FPR), planes are uint16 at
+    8 + OD_COEFF_SHIFT = 12 bits (reference: src/state.c:237-298)."""
 
     def __init__(self, info):
         self.info = info
+        self.fpr = bool(getattr(info, "full_precision_references", 0))
         self.planes = []
         fw, fh = info.frame_width, info.frame_height
+        fill = (128 << 4) if self.fpr else 128
+        dtype = np.uint16 if self.fpr else np.uint8
         for pli in range(info.nplanes):
             xd, yd = info.plane_dec[pli]
             pad_x = OD_BUFFER_PADDING >> xd
             pad_y = OD_BUFFER_PADDING >> yd
             self.planes.append(np.full(((fh >> yd) + 2 * pad_y,
-                                        (fw >> xd) + 2 * pad_x), 128,
-                                       np.uint8))
+                                        (fw >> xd) + 2 * pad_x), fill,
+                                       dtype))
 
     def plane_view(self, pli):
         """The visible region (no padding)."""
@@ -98,8 +103,9 @@ class RefImage:
             p[-pad_y:, :] = p[-pad_y - 1:-pad_y, :]
 
     def blank(self):
+        fill = (128 << 4) if self.fpr else 128
         for p in self.planes:
-            p[:, :] = 128
+            p[:, :] = fill
 
 
 def predict1fmv(plane_pad, pad, y0, x0, mvx, mvy, ny, nx):
@@ -137,6 +143,37 @@ def predict1fmv(plane_pad, pad, y0, x0, mvx, mvy, ny, nx):
     return np.clip(out, 0, 255).astype(np.uint8)
 
 
+def predict1fmv16(plane_pad, pad, y0, x0, mvx, mvy, ny, nx):
+    """od_mc_predict1fmv16_c (reference: src/mc.c:219-340): the
+    full-precision (12-bit) subpel prediction.  plane_pad: uint16."""
+    sy = pad + y0 + (mvy >> 3)
+    sx = pad + x0 + (mvx >> 3)
+    mvxf = mvx & 7
+    mvyf = mvy & 7
+    if not (mvxf or mvyf):
+        return plane_pad[sy:sy + ny, sx:sx + nx].copy()
+    fx = SUBPEL_FILTER_SET[mvxf]
+    fy = SUBPEL_FILTER_SET[mvyf]
+    win = plane_pad[sy - 2:sy + ny + 3, sx - 2:sx + nx + 3] \
+        .astype(np.int32)
+    if mvxf:
+        buff = np.zeros((ny + 5, nx), np.int32)
+        for k in range(6):
+            buff += win[:, k:k + nx] * int(fx[k])
+        buff -= 128 << (4 + 7)  # OD_COEFF_SHIFT + OD_SUBPEL_COEFF_SCALE
+    else:
+        buff = (win[:, 2:2 + nx] - (128 << 4)) << 7
+    # No int16 wrap in the FPR path (the reference buffers are int32).
+    if mvyf:
+        acc = np.zeros((ny, nx), np.int32)
+        for k in range(6):
+            acc += buff[k:k + ny, :] * int(fy[k])
+        out = ((acc + (1 << 14 >> 1)) >> 14) + (128 << 4)
+    else:
+        out = ((buff[2:2 + ny, :] + (1 << 7 >> 1)) >> 7) + (128 << 4)
+    return np.clip(out, 0, (1 << 12) - 1).astype(np.uint16)
+
+
 def blend_full(preds, log_x, log_y):
     """od_mc_blend_full8_c (reference: src/mc.c:352-378).  preds: list of
     4 (ny, nx) uint8 arrays in rotation order TL,TR,BR,BL."""
@@ -152,7 +189,8 @@ def blend_full(preds, log_x, log_y):
     p3 = preds[3].astype(np.int32)
     a = (p0 << log_x) + (p1 - p0) * i
     b = (p3 << log_x) + (p2 - p3) * i
-    return (((a << log_y) + (b - a) * j + rnd) >> lb2).astype(np.uint8)
+    return (((a << log_y) + (b - a) * j + rnd) >> lb2) \
+        .astype(preds[0].dtype)
 
 
 def _setup_s_split(oc, s, log_x, log_y):
@@ -200,7 +238,8 @@ def blend_full_split(preds, oc, s, log_x, log_y):
     b = (preds[1].astype(np.int64) - p0) * sw[1]
     c = (preds[2].astype(np.int64) - p0) * sw[2]
     d = (preds[3].astype(np.int64) - p0) * sw[3]
-    return (((p0 << lb2p1) + b + c + d + rnd) >> lb2p1).astype(np.uint8)
+    return (((p0 << lb2p1) + b + c + d + rnd) >> lb2p1) \
+        .astype(preds[0].dtype)
 
 
 class MVGrid:
@@ -384,8 +423,10 @@ def pred_block_from_setup(grid: MVGrid, ref_imgs, ref_imgi, info, dst, pli,
         key = (srcs[k], mvx[k], mvy[k])
         if key not in cache:
             plane = ref_imgs[ref_imgi[srcs[k]]].planes[pli]
-            cache[key] = predict1fmv(plane, pad, y, x, mvx[k], mvy[k],
-                                     1 << log_y, 1 << log_x)
+            pfn = predict1fmv16 if plane.dtype == np.uint16 \
+                else predict1fmv
+            cache[key] = pfn(plane, pad, y, x, mvx[k], mvy[k],
+                             1 << log_y, 1 << log_x)
         preds.append(cache[key])
     if s == 3:
         blk = blend_full(preds, log_x, log_y)

@@ -84,15 +84,29 @@ class CodecState:
             self.last_qm = qm_choice
 
 
-def ref_plane_to_coeff(plane_u8, lossless: bool) -> np.ndarray:
-    """od_ref_buf_to_coeff, 8-bit path (reference: src/state.c:1219-1240):
-    (x - 128) << OD_COEFF_SHIFT (or no shift when lossless)."""
+def ref_plane_to_coeff(plane, lossless: bool, fpr: bool = False) \
+        -> np.ndarray:
+    """od_ref_buf_to_coeff (reference: src/state.c:1219-1256): 8-bit path
+    is (x - 128) << OD_COEFF_SHIFT; the full-precision-reference path
+    keeps the 12-bit samples, recentering on 0 ((x - 2048) >> shift with
+    shift = OD_COEFF_SHIFT only for lossless)."""
+    if fpr:
+        shift = OD_COEFF_SHIFT if lossless else 0
+        v = plane.astype(np.int32) - (1 << (8 + OD_COEFF_SHIFT) >> 1) \
+            + (1 << shift >> 1)
+        return (v >> shift).astype(np.int32)
     shift = 0 if lossless else OD_COEFF_SHIFT
-    return ((plane_u8.astype(np.int32) - 128) * (1 << shift)).astype(np.int32)
+    return ((plane.astype(np.int32) - 128) * (1 << shift)).astype(np.int32)
 
 
-def coeff_to_ref_plane(coeffs, lossless: bool) -> np.ndarray:
-    """od_coeff_to_ref_buf, 8-bit path (reference: src/state.c:1283-1300)."""
+def coeff_to_ref_plane(coeffs, lossless: bool, fpr: bool = False) \
+        -> np.ndarray:
+    """od_coeff_to_ref_buf (reference: src/state.c:1283-1327)."""
+    if fpr:
+        shift = OD_COEFF_SHIFT if lossless else 0
+        v = coeffs * (1 << shift) + (128 << OD_COEFF_SHIFT)
+        return np.clip(v, 0, (1 << (8 + OD_COEFF_SHIFT)) - 1) \
+            .astype(np.uint16)
     shift = 0 if lossless else OD_COEFF_SHIFT
     v = (coeffs + (1 << shift >> 1)) >> shift
     return np.clip(v + 128, 0, 255).astype(np.uint8)

@@ -735,13 +735,24 @@ inline int64_t pvq_cos(int64_t x) {
 
 inline int64_t pvq_sin(int64_t x) { return pvq_cos(32768 - x); }
 
+// od_val16 assignment semantics: wrap to int16.  The reference's
+// fixed-point vectors are int16 and boundary values (e.g. a Householder
+// l2r_norm that rounds to exactly 32768) wrap; the wrapped results are
+// normative (reference: src/pvq.c od_val16 locals).
+inline int64_t wrap16(int64_t v) {
+  return (int64_t)(int16_t)(uint16_t)v;
+}
+
 inline int64_t od_rcp(int64_t x) {
-  int i = ilog(x) - 1;
-  int64_t n = vshr_round(x, i - kRcpInShift) - ((int64_t)1 << kRcpInShift);
-  int64_t r = 30840 + q15mul(-15420, n);
-  r = r - q15mul(r, q15mul(r, n) + r - 32768);
-  r = r - (1 + q15mul(r, q15mul(r, n) + r - 32768));
-  return vshr_round(r, i - kRcpOutShift);
+  // OD_ILOG via CLZ sees the sign bit for (wrapped) negative inputs
+  // (reference: src/odintrin.h:236-241).
+  int i = (x < 0 ? 32 : ilog(x)) - 1;
+  int64_t n = wrap16(vshr_round(x, i - kRcpInShift)
+                     - ((int64_t)1 << kRcpInShift));
+  int64_t r = wrap16(30840 + q15mul(-15420, n));
+  r = wrap16(r - q15mul(r, q15mul(r, n) + r - 32768));
+  r = wrap16(r - (1 + q15mul(r, q15mul(r, n) + r - 32768)));
+  return wrap16(vshr_round(r, i - kRcpOutShift));
 }
 
 inline int64_t rsqrt_norm(int64_t t) {
@@ -896,7 +907,7 @@ inline void compute_householder(int64_t *r, int n, int64_t gr, int shift,
     if (a > best) { best = a; m = i; }
   }
   int s = r[m] > 0 ? 1 : -1;
-  r[m] += shr_round(gr * s, shift);
+  r[m] = wrap16(r[m] + shr_round(gr * s, shift));  // r is od_val16
   *m_out = m;
   *s_out = s;
 }
@@ -908,12 +919,14 @@ inline void apply_householder(int64_t *x, const int64_t *r, int n) {
     proj += r[i] * x[i];
   }
   int l2r_shift = (ilog(l2r) - 1) - 14;
-  int64_t l2r_norm = vshr_round(l2r, l2r_shift);
+  // l2r_norm / proj_norm / proj_1 and the output vector are od_val16 in
+  // the reference: they wrap to int16 and the wraps are normative.
+  int64_t l2r_norm = wrap16(vshr_round(l2r, l2r_shift));
   int64_t rcp = od_rcp(l2r_norm);
   int64_t pabs = proj < 0 ? -proj : proj;
   int proj_shift = (ilog(pabs) - 1) - 14;
-  int64_t proj_norm = vshr_round(proj, proj_shift);
-  int64_t proj_1 = q15mul(proj_norm, rcp);
+  int64_t proj_norm = wrap16(vshr_round(proj, proj_shift));
+  int64_t proj_1 = wrap16(q15mul(proj_norm, rcp));
   int outshift = kRcpOutShift - proj_shift - 1 + l2r_shift;
   if (outshift > 30) outshift = 30;
   for (int i = 0; i < n; i++) {
@@ -922,9 +935,9 @@ inline void apply_householder(int64_t *x, const int64_t *r, int n) {
       tmp = r[i] * proj_1;
       tmp = (tmp + ((int64_t)1 << outshift >> 1)) >> outshift;
     } else {
-      tmp = (r[i] * proj_1) << -outshift;
+      tmp = shl32(r[i] * proj_1, -outshift);
     }
-    x[i] -= tmp;
+    x[i] = wrap16(x[i] - tmp);
   }
 }
 
@@ -956,13 +969,15 @@ inline void synthesis_partial(const int32_t *ypulse, const int64_t *r16,
   // Same double-promotion order as the reference (src/pvq.c:1091,1096).
   int64_t scale_s = (int64_t)__builtin_floor(
       0.5 + (double)scale * (1.0 / (double)kTrigScale) * (double)sintheta);
+  // x is an od_val16 vector in the reference (int16 wrap).
   int64_t x[1024];
-  for (int i = 0; i < m; i++) x[i] = ((int64_t)ypulse[i] * scale_s) >> 16;
-  x[m] = (int64_t)__builtin_floor(
+  for (int i = 0; i < m; i++)
+    x[i] = wrap16(((int64_t)ypulse[i] * scale_s) >> 16);
+  x[m] = wrap16((int64_t)__builtin_floor(
       0.5 + (double)(-s * shr_round(g, gshift))
-                * (1.0 / (double)kTrigScale) * (double)costheta);
+                * (1.0 / (double)kTrigScale) * (double)costheta));
   for (int i = m + 1; i < n; i++)
-    x[i] = ((int64_t)ypulse[i - 1] * scale_s) >> 16;
+    x[i] = wrap16(((int64_t)ypulse[i - 1] * scale_s) >> 16);
   apply_householder(x, r16, n);
   for (int i = 0; i < n; i++)
     out[i] = (int32_t)shr_round(x[i] * qm_inv[i], qshift);

@@ -126,14 +126,32 @@ OD_RCP_INSHIFT = 15
 OD_RCP_OUTSHIFT = 14
 
 
+def _wrap16(v):
+    """od_val16 assignment semantics: wrap to int16 (the reference's
+    fixed-point vectors are int16; values at the boundary -- e.g.
+    l2r_norm == 32768 -- wrap, and the wrapped results are normative)."""
+    return ((v + 32768) & 65535) - 32768
+
+
+def _ilog_c(x: int) -> int:
+    """OD_ILOG via count-leading-zeros: for negative 32-bit inputs the
+    reference's CLZ sees the sign bit and yields 32 (reference:
+    src/odintrin.h:236-241)."""
+    if x < 0:
+        return 32
+    return _ilog(x)
+
+
 def od_rcp(x: int) -> int:
-    """Fixed-point reciprocal (reference: src/pvq.c:504-528)."""
-    i = _ilog(x) - 1
-    n = vshr_round(x, i - OD_RCP_INSHIFT) - (1 << OD_RCP_INSHIFT)
-    r = 30840 + mult16_16_q15(-15420, n)
-    r = r - mult16_16_q15(r, mult16_16_q15(r, n) + r - 32768)
-    r = r - (1 + mult16_16_q15(r, mult16_16_q15(r, n) + r - 32768))
-    return vshr_round(r, i - OD_RCP_OUTSHIFT)
+    """Fixed-point reciprocal (reference: src/pvq.c:504-528).  All
+    od_val16 intermediates wrap to int16 like the reference's."""
+    i = _ilog_c(x) - 1
+    n = _wrap16(vshr_round(x, i - OD_RCP_INSHIFT) - (1 << OD_RCP_INSHIFT))
+    r = _wrap16(30840 + mult16_16_q15(-15420, n))
+    r = _wrap16(r - mult16_16_q15(r, mult16_16_q15(r, n) + r - 32768))
+    r = _wrap16(r - (1 + mult16_16_q15(r, mult16_16_q15(r, n) + r
+                                       - 32768)))
+    return _wrap16(vshr_round(r, i - OD_RCP_OUTSHIFT))
 
 
 OD_RSQRT_INSHIFT = 16
@@ -320,10 +338,10 @@ def compute_k(qcg: int, itheta: int, noref: bool, n: int, beta: int) -> int:
 
 def compute_householder(r: np.ndarray, gr: int, shift: int):
     """Build the reflection vector in-place; returns (m, sign)
-    (reference: src/pvq.c:490-523)."""
+    (reference: src/pvq.c:490-523).  r entries are od_val16."""
     m = int(np.argmax(np.abs(r)))
     s = 1 if r[m] > 0 else -1
-    r[m] += shr_round(gr * s, shift)
+    r[m] = _wrap16(int(r[m]) + shr_round(gr * s, shift))
     return m, s
 
 
@@ -334,18 +352,23 @@ def apply_householder(x: np.ndarray, r: np.ndarray) -> np.ndarray:
     l2r = int(np.sum(r * r))
     proj = int(np.sum(r * x))
     l2r_shift = (_ilog(l2r) - 1) - 14
-    l2r_norm = vshr_round(l2r, l2r_shift)
+    # l2r_norm / proj_norm / proj_1 are od_val16 in the reference: they
+    # wrap to int16 (l2r_norm can round to exactly 32768 -> -32768, and
+    # the wrapped value is what od_rcp normatively sees).
+    l2r_norm = _wrap16(vshr_round(l2r, l2r_shift))
     rcp = od_rcp(l2r_norm)
     proj_shift = (_ilog(abs(proj)) - 1) - 14
-    proj_norm = vshr_round(proj, proj_shift)
-    proj_1 = mult16_16_q15(proj_norm, rcp)
+    proj_norm = _wrap16(vshr_round(proj, proj_shift))
+    proj_1 = _wrap16(mult16_16_q15(proj_norm, rcp))
     outshift = min(30, OD_RCP_OUTSHIFT - proj_shift - 1 + l2r_shift)
     if outshift >= 0:
         tmp = r * proj_1
         tmp = (tmp + (1 << outshift >> 1)) >> outshift
     else:
-        tmp = (r * proj_1) << -outshift
-    return (x - tmp).astype(np.int64)
+        tmp = np.array([_shl32(int(v), -outshift) for v in (r * proj_1)],
+                       np.int64)
+    # The output vector is od_val16 in the reference.
+    return ((x - tmp + 32768) & 65535) - 32768
 
 
 # --- synthesis (reference: src/pvq.c:1016-1116) ----------------------------
@@ -381,11 +404,13 @@ def synthesis_partial(ypulse, r16, n: int, noref: bool, g: int, theta: int,
         # (reference: src/pvq.c:1091,1096).
         scale_s = int(np.floor(0.5 + scale * (1.0 / OD_TRIG_SCALE)
                                * sintheta))
+        # x is an od_val16 vector in the reference (int16 wrap).
         x = np.empty(n, np.int64)
         x[:m] = (ypulse[:m] * scale_s) >> 16
         x[m] = int(np.floor(0.5 + (-s * shr_round(g, gshift))
                             * (1.0 / OD_TRIG_SCALE) * costheta))
         x[m + 1:n] = (ypulse[m:nn] * scale_s) >> 16
+        x = ((x + 32768) & 65535) - 32768
         x = apply_householder(x, r16)
         return shr_round_arr(x * qm_inv[:n], qshift).astype(np.int32)
 

@@ -108,7 +108,7 @@ def get_lib():
 
 
 def make_info(width, height, nplanes=3, dec=((0, 0), (1, 1), (1, 1)),
-              keyframe_rate=256, timebase=(30, 1)):
+              keyframe_rate=256, timebase=(30, 1), fpr=0):
     info = DaalaInfo()
     get_lib().daala_info_init(ctypes.byref(info))
     info.pic_width = width
@@ -120,6 +120,7 @@ def make_info(width, height, nplanes=3, dec=((0, 0), (1, 1), (1, 1)),
     info.timebase_numerator = timebase[0]
     info.timebase_denominator = timebase[1]
     info.keyframe_rate = keyframe_rate
+    info.full_precision_references = fpr
     return info
 
 
@@ -147,10 +148,11 @@ class RefEncoder:
     def __init__(self, width, height, quant=20, complexity=7, nplanes=3,
                  dec=((0, 0), (1, 1), (1, 1)), keyframe_rate=256,
                  activity_masking=None, qm=None, dering=None, b_frames=None,
-                 mv_level_min=None, mv_level_max=None):
+                 mv_level_min=None, mv_level_max=None, fpr=0):
         lib = get_lib()
         self.dec = dec
-        self.info = make_info(width, height, nplanes, dec, keyframe_rate)
+        self.info = make_info(width, height, nplanes, dec, keyframe_rate,
+                              fpr=fpr)
         self.ctx = lib.daala_encode_create(ctypes.byref(self.info))
         assert self.ctx
         self._ctl_int(OD_SET_QUANT, quant)
