@@ -1730,6 +1730,34 @@ static void pred_block(const Ctx& c, int vx, int vy, int log_mvb_sz) {
   }
 }
 
+/* Like pred_block, but only re-predicts leaf squares whose blend can
+ * reference the vertex (fvx, fvy): the vertex-setup tables read corners
+ * offset by [-1, +2] mvb units from the square origin, so a square at
+ * (vx, vy) with size sz is influenced only when fvx/fvy lie within
+ * [vx - sz, vx + 2*sz] x [vy - sz, vy + 2*sz].  Used by the encoder's
+ * candidate refinement: the caller guarantees the destination already
+ * holds the full prediction for the unchanged vertices, so skipping
+ * uninfluenced leaves is exact. */
+static void pred_block_filtered(const Ctx& c, int vx, int vy,
+                                int log_mvb_sz, int fvx, int fvy) {
+  int sz = 1 << log_mvb_sz;
+  if (fvx < vx - sz || fvx > vx + 2 * sz
+      || fvy < vy - sz || fvy > vy + 2 * sz) {
+    return;
+  }
+  int half = sz >> 1;
+  if (log_mvb_sz > 0
+      && c.valid[(vy + half) * (c.nh + 1) + vx + half]) {
+    pred_block_filtered(c, vx, vy, log_mvb_sz - 1, fvx, fvy);
+    pred_block_filtered(c, vx + half, vy, log_mvb_sz - 1, fvx, fvy);
+    pred_block_filtered(c, vx, vy + half, log_mvb_sz - 1, fvx, fvy);
+    pred_block_filtered(c, vx + half, vy + half, log_mvb_sz - 1, fvx,
+                        fvy);
+  } else {
+    pred_block(c, vx, vy, log_mvb_sz);
+  }
+}
+
 }  /* namespace obmc */
 
 extern "C" {
@@ -2024,6 +2052,36 @@ void ec_dering(const void* plane_, int ph, int pw, int sby, int sbx,
 }
 
 }  /* extern "C" */
+
+// Lightweight profiling counters (read via fc_get_prof).
+#include <chrono>
+double g_prof_pvq = 0, g_prof_rate = 0, g_prof_snap = 0;
+double g_prof_dct = 0, g_prof_dering = 0, g_prof_dist = 0, g_prof_filt = 0;
+double g_prof_me_glob = 0, g_prof_me_full = 0, g_prof_me_mesh = 0,
+       g_prof_me_refine = 0;
+// Stage timers are compiled out by default (build with -DFC_PROF=1 to
+// enable; the chrono calls are measurable on per-block paths).
+#ifndef FC_PROF
+# define FC_PROF 0
+#endif
+static inline double now_s() {
+#if FC_PROF
+  return std::chrono::duration<double>(
+      std::chrono::steady_clock::now().time_since_epoch()).count();
+#else
+  return 0.0;
+#endif
+}
+extern "C" void fc_get_prof(double *out) {
+  out[0] = g_prof_pvq; out[1] = g_prof_rate; out[2] = g_prof_snap;
+  out[3] = g_prof_dct; out[4] = g_prof_dering; out[5] = g_prof_dist;
+  out[6] = g_prof_filt;
+  out[7] = g_prof_me_glob; out[8] = g_prof_me_full;
+  out[9] = g_prof_me_mesh; out[10] = g_prof_me_refine;
+  g_prof_me_glob = g_prof_me_full = g_prof_me_mesh = g_prof_me_refine = 0;
+  g_prof_pvq = g_prof_rate = g_prof_snap = 0;
+  g_prof_dct = g_prof_dering = g_prof_dist = g_prof_filt = 0;
+}
 
 // Native whole-frame coefficient encoder (fc_encode_frame et al.).
 #include "frame_enc.inc"
