@@ -1,0 +1,84 @@
+"""Conformance on video-like content at scale: pans, object motion,
+scene cuts, texture, hard edges; up to 1080p (the reference CI gates on
+real clips, reference: ci/fetch-videos.sh — no network here, so the
+content classes are synthesized; see tests/content.py)."""
+
+import numpy as np
+import pytest
+
+try:
+    import codec_oracle as co
+    co.get_lib()
+    HAVE_ORACLE = True
+except Exception:  # pragma: no cover
+    HAVE_ORACLE = False
+
+import content
+from daala_tpu.codec import headers
+from daala_tpu.codec.decoder import Decoder
+from daala_tpu.codec.encoder import Encoder
+
+pytestmark = pytest.mark.skipif(not HAVE_ORACLE,
+                                reason="reference oracle unavailable")
+
+
+def _conform(frames, w, h, quant, kfr=16, b_frames=0, complexity=7):
+    """Encode with ours, decode with the reference decoder AND ours;
+    assert bit-exact output and the embedded encoder check."""
+    info = headers.Info(pic_width=w, pic_height=h)
+    enc = Encoder(info, quant=quant, complexity=complexity)
+    enc.keyframe_rate = kfr
+    enc.b_frames = b_frames
+    enc.enable_encoder_check = True
+    pkts = []
+    for fr in frames:
+        pkts += enc.encode_frame(fr)
+    pkts += enc.flush()
+    rdec = co.RefDecoder(enc.flush_headers())
+    dec = Decoder(info)
+    ref_out = [f for p in pkts for f in rdec.decode_packet(p)]
+    our_out = [f for p in pkts for f in dec.decode_packet(p)]
+    assert len(ref_out) == len(our_out) == len(frames)
+    for a, b in zip(ref_out, our_out):
+        for pli in range(3):
+            assert np.array_equal(np.asarray(a[pli]), np.asarray(b[pli]))
+    return sum(len(p) for p in pkts)
+
+
+def test_video_like_360p():
+    frames = content.make_clip(640, 360, 10, seed=1)
+    _conform(frames, 640, 360, quant=22, kfr=4, b_frames=0)
+
+
+def test_video_like_bframes():
+    frames = content.make_clip(320, 192, 9, seed=2)
+    _conform(frames, 320, 192, quant=18, kfr=8, b_frames=2)
+
+
+def test_video_like_1080p_intra_plus_inter():
+    frames = content.make_clip(1920, 1080, 2, seed=3)
+    _conform(frames, 1920, 1080, quant=30, kfr=256)
+
+
+def test_lossless_video_like():
+    """check_lossless.sh equivalent: decode(encode(x)) must equal x
+    byte-for-byte at -v 0 (reference: tools/check_lossless.sh:41-56)."""
+    frames = content.make_clip(128, 96, 6, seed=4)
+    info = headers.Info(pic_width=128, pic_height=96)
+    enc = Encoder(info, quant=0)
+    enc.keyframe_rate = 4
+    pkts = []
+    for fr in frames:
+        pkts += enc.encode_frame(fr)
+    pkts += enc.flush()
+    dec = Decoder(info)
+    out = [f for p in pkts for f in dec.decode_packet(p)]
+    assert len(out) == len(frames)
+    for a, b in zip(frames, out):
+        for pli in range(3):
+            assert np.array_equal(np.asarray(a[pli]), np.asarray(b[pli]))
+    rdec = co.RefDecoder(enc.flush_headers())
+    rout = [f for p in pkts for f in rdec.decode_packet(p)]
+    for a, b in zip(frames, rout):
+        for pli in range(3):
+            assert np.array_equal(np.asarray(a[pli]), np.asarray(b[pli]))
