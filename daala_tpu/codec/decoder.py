@@ -8,6 +8,8 @@ decode is host-side and sequential (it must be); the reconstruction math
 
 from __future__ import annotations
 
+import os as _os
+
 import numpy as np
 
 from daala_tpu.codec import headers, quantizer
@@ -25,6 +27,11 @@ from daala_tpu.codec import mc as MC
 OD_NBSIZES = 5
 OD_MAX_REORDER = 16
 OD_MAX_CODED_REFS = 2
+# The native (C++) whole-frame decoder (frame_dec.inc) is the default
+# production path; DAALA_TPU_NATIVE_FRAME=0 forces the pure-Python
+# implementation (also used automatically for accounting and FPR).
+_NATIVE_FRAME_DEFAULT = _os.environ.get("DAALA_TPU_NATIVE_FRAME",
+                                        "1") != "0"
 BETA_TABLES = {
     # OD_PVQ_BETA[use_masking][pli][bs] flattened: betas per band
     # (reference: src/pvq.c:206-268).
@@ -164,6 +171,103 @@ class Decoder:
                                             mv_res, width, height)
             level += 1
             log_mvb_sz -= 1
+
+    # -- native whole-frame decode (frame_dec.inc) --------------------------
+
+    def _use_native_frame(self, dec) -> bool:
+        """Native decode covers the production path; accounting needs
+        per-symbol Python hooks and FPR is Python-only (like the
+        encoder's native gate, encoder.py _encode_coefficients)."""
+        if not getattr(self, "use_native_frame", _NATIVE_FRAME_DEFAULT):
+            return False
+        if self.accounting_enabled or not hasattr(dec, "_h"):
+            return False
+        if self.info.full_precision_references:
+            return False
+        from daala_tpu import native as native_mod
+        return native_mod.get_lib() is not None
+
+    def _dec_mv_unpack_native(self, dec, num_refs):
+        """One-call native MV mesh unpack (frame_dec.inc fd_decode_mvs),
+        byte-identical to _dec_mv_unpack below."""
+        from daala_tpu import native as native_mod
+        lib = native_mod.get_lib()
+        st = self.state
+        a = st.adapt
+        g = self.mv_grid
+        cfg = np.array([
+            g.nhmvbs, g.nvmvbs,
+            g.valid.ctypes.data, g.ref.ctypes.data,
+            g.mv.ctypes.data, g.mv1.ctypes.data,
+            a.mv_ref_cdf.ctypes.data, a.mv_small_cdf.ctypes.data,
+            a.split_flag_cdf.ctypes.data,
+            a.mv_ex.ctypes.data, a.mv_ey.ctypes.data,
+            a.mv_model.cdf.ctypes.data,
+            a.mv_small_increment, a.split_flag_increment,
+            st.frame_type, num_refs,
+            self.info.frame_width, self.info.frame_height], np.int64)
+        lib.fd_decode_mvs(dec._h, cfg.ctypes.data)
+
+    def _decode_coefficients_native(self, dec, is_keyframe,
+                                    use_activity_masking,
+                                    use_haar_wavelet, self_img):
+        """One-call native coefficient decode (frame_dec.inc
+        fc_decode_frame): SB loops, postfilter, dering.  Byte-identical
+        to the Python loops in decode_packet (differential test:
+        tests/test_frame_native.py)."""
+        from daala_tpu import native as native_mod
+        from daala_tpu.entropy.adapt import native_ptr_table
+        lib = native_mod.get_lib()
+        st = self.state
+        info = self.info
+        nplanes = info.nplanes
+        pvq_qm = np.zeros((4, 30), np.int32)
+        for pli in range(nplanes):
+            pvq_qm[pli, :] = st.pvq_qm_q4[pli]
+        nvdr = st.frame_height >> 6
+        nhdr = st.frame_width >> 6
+        lv = np.zeros(nvdr * nhdr, np.uint8)
+        cfg = np.zeros(56, np.int64)
+        cfg[0] = nplanes
+        cfg[1] = st.frame_width
+        cfg[2] = st.frame_height
+        cfg[3] = info.pic_width
+        cfg[4] = info.pic_height
+        cfg[5] = st.nhsb
+        cfg[6] = st.nvsb
+        cfg[7] = st.quantizer
+        cfg[8] = st.coded_quantizer
+        cfg[10] = 1 if is_keyframe else 0
+        cfg[11] = 1 if use_haar_wavelet else 0
+        cfg[13] = 1 if use_activity_masking else 0
+        cfg[18] = st.bsize.ctypes.data
+        cfg[19] = st.bsize.strides[0]
+        cfg[20] = st.qm.ctypes.data
+        cfg[21] = st.qm_inv.ctypes.data
+        cfg[22] = pvq_qm.ctypes.data
+        cfg[23] = lv.ctypes.data
+        keep = [pvq_qm, lv]
+        ctmp = []
+        for pli in range(nplanes):
+            xd, yd = info.plane_dec[pli]
+            out_c = np.zeros((st.frame_height >> yd,
+                              st.frame_width >> xd), np.int32)
+            ctmp.append(out_c)
+            if not is_keyframe:
+                mc = np.ascontiguousarray(self_img.plane_view(pli))
+                keep.append(mc)
+                cfg[25 + 6 * pli] = mc.ctypes.data
+            cfg[26 + 6 * pli] = out_c.ctypes.data
+            cfg[27 + 6 * pli] = st.bskip[pli].ctypes.data
+            cfg[29 + 6 * pli] = st.sb_dc_mem[pli].ctypes.data
+            cfg[48 + 2 * pli] = xd
+            cfg[49 + 2 * pli] = yd
+        ap = native_ptr_table(st.adapt)
+        lib.fc_decode_frame(dec._h, ap.ctypes.data, cfg.ctypes.data)
+        if st.quantizer != 0:
+            st.dering_level = lv.reshape(nvdr, nhdr).astype(np.int32)
+        del keep
+        return ctmp
 
     # -- keyframe DC (reference: src/decode.c:605-654) ----------------------
 
@@ -409,6 +513,62 @@ class Decoder:
                                        hgrad, vgrad)
             filt.postfilter_split(ctx["c"], y0, x0, bs, f, hfilter, vfilter)
 
+    def _decode_coefficients(self, dec, is_keyframe, use_activity_masking,
+                             use_haar_wavelet, self_img):
+        """od_decode_coefficients, pure-Python path (reference:
+        src/decode.c:921-1111).  Used for accounting, FPR, and as the
+        differential reference for the native decoder."""
+        st = self.state
+        info = self.info
+        nplanes = info.nplanes
+        fw, fh = st.frame_width, st.frame_height
+        lossless = st.quantizer == 0
+        fpr = bool(info.full_precision_references)
+        ctmp = [np.zeros((fh >> info.plane_dec[p][1],
+                          fw >> info.plane_dec[p][0]), np.int32)
+                for p in range(nplanes)]
+        dtmp = [np.zeros_like(ctmp[p]) for p in range(nplanes)]
+        mctmp = [None] * nplanes
+        mdtmp = [None] * nplanes
+        if not is_keyframe:
+            from daala_tpu.codec.state import ref_plane_to_coeff
+            for pli in range(nplanes):
+                xd, yd = info.plane_dec[pli]
+                mctmp[pli] = ref_plane_to_coeff(self_img.plane_view(pli),
+                                                lossless, fpr=fpr)
+                if not use_haar_wavelet:
+                    filt.apply_prefilter_frame_sbs(mctmp[pli], st.nhsb,
+                                                   st.nvsb, xd, yd)
+                mdtmp[pli] = np.zeros_like(mctmp[pli])
+        ctx = {"is_keyframe": bool(is_keyframe), "use_activity_masking":
+               use_activity_masking, "d": dtmp, "l": None,
+               "use_haar_wavelet": use_haar_wavelet,
+               "mc": mctmp, "md": mdtmp}
+        for sby in range(st.nvsb):
+            for sbx in range(st.nhsb):
+                for pli in range(nplanes):
+                    xdec = info.plane_dec[pli][0]
+                    ctx["c"] = ctmp[pli]
+                    ctx["l"] = (np.zeros((64, 64), np.int32) if pli > 0
+                                else None)
+                    hgrad = vgrad = 0
+                    if is_keyframe:
+                        hgrad, vgrad = self._decode_haar_dc_sb(
+                            dec, pli, sbx, sby, xdec,
+                            sby > 0 and sbx < st.nhsb - 1, dtmp[pli])
+                    self._decode_recursive(dec, ctx, pli, sbx, sby,
+                                           OD_NBSIZES - 1, xdec, hgrad,
+                                           vgrad)
+        if not use_haar_wavelet:
+            for pli in range(nplanes):
+                xdec = info.plane_dec[pli][0]
+                filt.apply_postfilter_frame_sbs(ctmp[pli], st.nhsb,
+                                                st.nvsb, xdec,
+                                                info.plane_dec[pli][1])
+        if st.quantizer != 0:
+            self._decode_dering(dec, ctmp, is_keyframe)
+        return ctmp
+
     # -- frame decode -------------------------------------------------------
 
     def sync_to_packet(self, data: bytes):
@@ -474,8 +634,12 @@ class Decoder:
         self.ref_imgi[MC.OD_FRAME_SELF] = refi
         st.adapt.reset(is_keyframe)
         self_img = self.ref_imgs[refi]
+        use_native = self._use_native_frame(dec)
         if not is_keyframe:
-            self._dec_mv_unpack(dec, num_refs)
+            if use_native:
+                self._dec_mv_unpack_native(dec, num_refs)
+            else:
+                self._dec_mv_unpack(dec, num_refs)
             MC.mc_predict_frame(self.mv_grid, self.ref_imgs, self.ref_imgi,
                                 info, self_img)
         # -- od_decode_coefficients ----------------------------------------
@@ -485,50 +649,15 @@ class Decoder:
         nplanes = info.nplanes
         fw, fh = st.frame_width, st.frame_height
         lossless = st.quantizer == 0
-        ctmp = [np.zeros((fh >> info.plane_dec[p][1],
-                          fw >> info.plane_dec[p][0]), np.int32)
-                for p in range(nplanes)]
-        dtmp = [np.zeros_like(ctmp[p]) for p in range(nplanes)]
-        mctmp = [None] * nplanes
-        mdtmp = [None] * nplanes
         fpr = bool(info.full_precision_references)
-        if not is_keyframe:
-            from daala_tpu.codec.state import ref_plane_to_coeff
-            for pli in range(nplanes):
-                xd, yd = info.plane_dec[pli]
-                mctmp[pli] = ref_plane_to_coeff(self_img.plane_view(pli),
-                                                lossless, fpr=fpr)
-                if not use_haar_wavelet:
-                    filt.apply_prefilter_frame_sbs(mctmp[pli], st.nhsb,
-                                                   st.nvsb, xd, yd)
-                mdtmp[pli] = np.zeros_like(mctmp[pli])
-        ctx = {"is_keyframe": bool(is_keyframe), "use_activity_masking":
-               use_activity_masking, "d": dtmp, "l": None,
-               "use_haar_wavelet": use_haar_wavelet,
-               "mc": mctmp, "md": mdtmp}
-        for sby in range(st.nvsb):
-            for sbx in range(st.nhsb):
-                for pli in range(nplanes):
-                    xdec = info.plane_dec[pli][0]
-                    ctx["c"] = ctmp[pli]
-                    ctx["l"] = (np.zeros((64, 64), np.int32) if pli > 0
-                                else None)
-                    hgrad = vgrad = 0
-                    if is_keyframe:
-                        hgrad, vgrad = self._decode_haar_dc_sb(
-                            dec, pli, sbx, sby, xdec,
-                            sby > 0 and sbx < st.nhsb - 1, dtmp[pli])
-                    self._decode_recursive(dec, ctx, pli, sbx, sby,
-                                           OD_NBSIZES - 1, xdec, hgrad,
-                                           vgrad)
-        if not use_haar_wavelet:
-            for pli in range(nplanes):
-                xdec = info.plane_dec[pli][0]
-                filt.apply_postfilter_frame_sbs(ctmp[pli], st.nhsb,
-                                                st.nvsb, xdec,
-                                                info.plane_dec[pli][1])
-        if st.quantizer != 0:
-            self._decode_dering(dec, ctmp, is_keyframe)
+        if use_native:
+            ctmp = self._decode_coefficients_native(
+                dec, is_keyframe, use_activity_masking, use_haar_wavelet,
+                self_img)
+        else:
+            ctmp = self._decode_coefficients(dec, is_keyframe,
+                                             use_activity_masking,
+                                             use_haar_wavelet, self_img)
         # Store reconstruction into the SELF reference image.
         for pli in range(nplanes):
             self_img.plane_view(pli)[:, :] = coeff_to_ref_plane(

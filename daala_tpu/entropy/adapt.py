@@ -269,3 +269,42 @@ def _cdf_adapt_increment(val, cdf, n, increment):
             cdf[i] = (cdf[i] >> 1) + i + 1
     for i in range(val, n):
         cdf[i] += increment
+
+
+def native_ptr_table(a) -> np.ndarray:
+    """Pointer table into the numpy-backed adaptation state for the
+    native frame coder and decoder (layout: frame_enc.inc
+    AdaptPtrs::load).  The native engine mutates these arrays in place,
+    so the Python and native paths stay interchangeable mid-stream."""
+    pv = a.pvq
+    cw = pv.pvq_codeword_ctx
+    ptrs = [
+        a.skip_cdf.ctypes.data,
+        pv.pvq_gaintheta_cdf.ctypes.data,
+        pv.pvq_skip_dir_cdf.ctypes.data,
+        cw.pvq_k1_cdf.ctypes.data,
+        cw.pvq_split_cdf.ctypes.data,
+        cw.pvq_adapt.ctypes.data,
+        pv.pvq_exg.ctypes.data,
+        pv.pvq_ext.ctypes.data,
+    ]
+    ptrs += [m.cdf.ctypes.data for m in a.model_dc]
+    ptrs += [m.cdf.ctypes.data for m in pv.pvq_param_model]
+    ptrs += [
+        a.ex_dc.ctypes.data,
+        a.ex_sb_dc.ctypes.data,
+        a.haar_coeff_cdf.ctypes.data,
+        a.haar_split_cdf.ctypes.data,
+        a.haar_bits_cdf.ctypes.data,
+        a.dering_cdf.ctypes.data,
+        a.skip_increment,
+        pv.pvq_gaintheta_increment,
+        pv.pvq_skip_dir_increment,
+        cw.pvq_k1_increment,
+        cw.pvq_split_increment,
+        a.haar_coeff_increment,
+        a.haar_split_increment,
+        a.haar_bits_increment,
+        a.dering_increment,
+    ]
+    return np.array(ptrs, np.int64)

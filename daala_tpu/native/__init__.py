@@ -35,7 +35,8 @@ def get_lib():
         return None
     try:
         newest = os.path.getmtime(_SRC)
-        for name in ("lifting_gen.inc", "frame_enc.inc", "me_enc.inc"):
+        for name in ("lifting_gen.inc", "frame_enc.inc", "me_enc.inc",
+                     "frame_dec.inc"):
             p = os.path.join(_DIR, name)
             if os.path.exists(p):
                 newest = max(newest, os.path.getmtime(p))
@@ -174,6 +175,11 @@ def _configure(lib):
     lib.fc_encode_frame.argtypes = [c.c_void_p, c.c_void_p, c.c_void_p,
                                     c.c_void_p]
     lib.fc_encode_frame.restype = c.c_int
+    # Whole-frame decoder.
+    lib.fd_decode_mvs.argtypes = [c.c_void_p, c.c_void_p]
+    lib.fd_decode_mvs.restype = c.c_int
+    lib.fc_decode_frame.argtypes = [c.c_void_p, c.c_void_p, c.c_void_p]
+    lib.fc_decode_frame.restype = c.c_int
     # Motion estimation engine.
     lib.me_estimate.argtypes = [c.c_void_p]
     lib.me_select_mv_res.argtypes = [c.c_void_p]

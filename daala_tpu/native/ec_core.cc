@@ -2088,3 +2088,6 @@ extern "C" void fc_get_prof(double *out) {
 
 // Native motion-estimation engine (me_estimate et al.).
 #include "me_enc.inc"
+
+// Native whole-frame decoder (fd_decode_mvs / fc_decode_frame).
+#include "frame_dec.inc"

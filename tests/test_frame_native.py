@@ -69,3 +69,32 @@ def test_native_matches_python(name, kw, w, h, n, kfr, dec420):
     for i, (a, b) in enumerate(zip(py, nat)):
         assert a == b, "packet %d differs (%d vs %d bytes)" % (
             i, len(a), len(b))
+
+
+def _decode(native_path, pkts, w, h, dec420=True):
+    from daala_tpu.codec.decoder import Decoder
+    info = headers.Info(pic_width=w, pic_height=h)
+    if not dec420:
+        info = headers.Info(pic_width=w, pic_height=h,
+                            plane_dec=((0, 0), (0, 0), (0, 0), (0, 0)))
+    dec = Decoder(info)
+    dec.use_native_frame = native_path
+    return [f for p in pkts for f in dec.decode_packet(p)]
+
+
+@pytest.mark.parametrize("name,kw,w,h,n,kfr,dec420",
+                         CASES, ids=[c[0] for c in CASES])
+def test_native_decode_matches_python(name, kw, w, h, n, kfr, dec420):
+    """The native whole-frame decoder (frame_dec.inc fd_decode_mvs /
+    fc_decode_frame) must reconstruct byte-identically to the Python
+    decoder on every frame type."""
+    frames = _clip(w, h, n, dec420=dec420)
+    pkts = _encode(True, frames, w, h, kfr=kfr, dec420=dec420, **dict(kw))
+    py = _decode(False, pkts, w, h, dec420=dec420)
+    nat = _decode(True, pkts, w, h, dec420=dec420)
+    assert len(py) == len(nat) == n
+    for i, (a, b) in enumerate(zip(py, nat)):
+        for pli in range(3):
+            assert np.array_equal(np.asarray(a[pli]),
+                                  np.asarray(b[pli])), \
+                "frame %d plane %d differs" % (i, pli)
