@@ -12,6 +12,7 @@
 // this environment).  All handles are opaque pointers; buffers grow
 // automatically.
 
+#include <climits>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -1492,6 +1493,35 @@ static const int DX_OFF[4][4] =
 static const int DY_OFF[4][4] =
   {{4, 4, 0, 0}, {8, 0, 8, 0}, {12, 12, 0, 0}, {17, 0, 17, 0}};
 
+/* Memoizes predict1fmv outputs for the encoder's ME candidate loops.
+ * Keyed on everything the prediction depends on (ref index, leaf
+ * origin/size, MV); entries stay valid for a whole frame because the
+ * reference planes are fixed, so a hit returns bytes identical to
+ * recomputation.  In the refinement loops only one vertex MV changes
+ * per candidate, so three of a leaf's four corner predictions hit. */
+struct PredCache {
+  struct Ent { uint64_t key; uint32_t off; };
+  static constexpr int kLogSlots = 16;
+  static constexpr uint32_t kEmpty = 0xFFFFFFFFu;
+  std::vector<Ent> tab;
+  std::vector<uint8_t> pool;
+  size_t used = 0;
+
+  void reset() {
+    tab.assign((size_t)1 << kLogSlots, Ent{0, kEmpty});
+    pool.resize((size_t)4 << 20);
+    used = 0;
+  }
+  /* Call between top-level evals: one eval inserts well under 1 MB, so
+   * pointers handed out inside a single pred_block tree never dangle. */
+  void flush_if_full() {
+    if (used + ((size_t)1 << 20) > pool.size()) {
+      std::fill(tab.begin(), tab.end(), Ent{0, kEmpty});
+      used = 0;
+    }
+  }
+};
+
 struct Ctx {
   const uint8_t* valid;
   const uint8_t* refidx;
@@ -1504,6 +1534,11 @@ struct Ctx {
   int xdec, ydec;
   uint8_t* dst;
   int dstride;
+  PredCache* cache = nullptr;
+  /* When set (not INT_MIN), pred_block_from_setup skips leaves whose
+   * four blend corners do not include this vertex: their prediction
+   * cannot depend on it, and the destination already holds it. */
+  int fvx = INT_MIN, fvy = INT_MIN;
 };
 
 static inline int div_pow2_re(int x, int shift) {
@@ -1599,15 +1634,19 @@ static void blend_full(const uint8_t* const p[4], int log_x, int log_y,
   int32_t rnd = 1 << (lb2 - 1);
   for (int j = 0; j < ny; j++) {
     uint8_t* o = out + j * ostride;
+    const uint8_t* r0 = p[0] + (j << log_x);
+    const uint8_t* r1 = p[1] + (j << log_x);
+    const uint8_t* r2 = p[2] + (j << log_x);
+    const uint8_t* r3 = p[3] + (j << log_x);
     for (int i = 0; i < nx; i++) {
-      int32_t p0 = p[0][(j << log_x) + i];
-      int32_t p1 = p[1][(j << log_x) + i];
-      int32_t p2 = p[2][(j << log_x) + i];
-      int32_t p3 = p[3][(j << log_x) + i];
+      int32_t p0 = r0[i];
+      int32_t p1 = r1[i];
+      int32_t p2 = r2[i];
+      int32_t p3 = r3[i];
       int32_t a = (p0 << log_x) + (p1 - p0) * i;
       int32_t b = (p3 << log_x) + (p2 - p3) * i;
-      o[i] = (uint8_t)((((int64_t)a << log_y) + (int64_t)(b - a) * j + rnd)
-                       >> lb2);
+      /* 32-bit exact: |a|, |b| < 2^15 and log_y <= 6. */
+      o[i] = (uint8_t)(((a << log_y) + (b - a) * j + rnd) >> lb2);
     }
   }
 }
@@ -1642,17 +1681,36 @@ static void blend_full_split(const uint8_t* const p[4], int oc, int s,
     dsdj[k] >>= 1; dsdj[oc] += dsdj[k];
     dd[k] >>= 1;   dd[oc] += dd[k];
   }
+  /* 32-bit inner loop: |sw| < 2^15 and |p[k]-p0| <= 255 bound |acc| well
+   * under 2^31, so this is bit-identical to the 64-bit form (and lets
+   * the compiler vectorize the hot ME eval path). */
+  int32_t s032[4], dsdi32[4], dsdj32[4], dd32[4];
+  for (int k = 0; k < 4; k++) {
+    s032[k] = (int32_t)s0[k];
+    dsdi32[k] = (int32_t)dsdi[k];
+    dsdj32[k] = (int32_t)dsdj[k];
+    dd32[k] = (int32_t)dd[k];
+  }
+  int32_t rnd32 = (int32_t)rnd;
   for (int j = 0; j < ny; j++) {
     uint8_t* o = out + j * ostride;
+    const uint8_t* r0 = p[0] + (j << log_x);
+    const uint8_t* r1 = p[1] + (j << log_x);
+    const uint8_t* r2 = p[2] + (j << log_x);
+    const uint8_t* r3 = p[3] + (j << log_x);
+    int32_t b1 = s032[1] + j * dsdj32[1];
+    int32_t b2 = s032[2] + j * dsdj32[2];
+    int32_t b3 = s032[3] + j * dsdj32[3];
+    int32_t e1 = dsdi32[1] + j * dd32[1];
+    int32_t e2 = dsdi32[2] + j * dd32[2];
+    int32_t e3 = dsdi32[3] + j * dd32[3];
     for (int i = 0; i < nx; i++) {
-      int64_t p0 = p[0][(j << log_x) + i];
-      int64_t acc = p0 << lb2p1;
-      for (int k = 1; k < 4; k++) {
-        int64_t sw = s0[k] + (int64_t)i * dsdi[k] + (int64_t)j * dsdj[k]
-                     + (int64_t)i * j * dd[k];
-        acc += ((int64_t)p[k][(j << log_x) + i] - p0) * sw;
-      }
-      o[i] = (uint8_t)((acc + rnd) >> lb2p1);
+      int32_t p0 = r0[i];
+      int32_t acc = p0 << lb2p1;
+      acc += ((int32_t)r1[i] - p0) * (b1 + i * e1);
+      acc += ((int32_t)r2[i] - p0) * (b2 + i * e2);
+      acc += ((int32_t)r3[i] - p0) * (b3 + i * e3);
+      o[i] = (uint8_t)((acc + rnd32) >> lb2p1);
     }
   }
 }
@@ -1662,6 +1720,17 @@ static void pred_block_from_setup(const Ctx& c, int vx, int vy, int oc,
                                   int s, int log_mvb_sz) {
   const int* dxp = VERT_D + DX_OFF[oc][s];
   const int* dyp = VERT_D + DY_OFF[oc][s];
+  if (c.fvx != INT_MIN) {
+    bool refs_vertex = false;
+    for (int k = 0; k < 4; k++) {
+      if (vy + dyp[k] * (1 << log_mvb_sz) == c.fvy
+          && vx + dxp[k] * (1 << log_mvb_sz) == c.fvx) {
+        refs_vertex = true;
+        break;
+      }
+    }
+    if (!refs_vertex) return;
+  }
   int log_x = log_mvb_sz + LOG_MVBSIZE_MIN - c.xdec;
   int log_y = log_mvb_sz + LOG_MVBSIZE_MIN - c.ydec;
   int x = vx << (LOG_MVBSIZE_MIN - c.xdec);
@@ -1688,10 +1757,48 @@ static void pred_block_from_setup(const Ctx& c, int vx, int vy, int oc,
     }
     if (dup >= 0) {
       pp[k] = pp[dup];
-    } else {
-      predict1fmv(c, src, y, x, mvx[k], mvy[k], ny, nx, preds[k], nx);
-      pp[k] = preds[k];
+      continue;
     }
+    if (c.cache && !c.cache->tab.empty()) {
+      PredCache& pc = *c.cache;
+      /* Leaf origins are multiples of 8 and MVs are UMV-clamped, so the
+       * packed key is unique: src:2 logx:3 logy:3 x>>3:11 y>>3:11
+       * mvx:16 mvy:16 bits. */
+      uint64_t key = (uint64_t)src
+          | ((uint64_t)log_x << 2) | ((uint64_t)log_y << 5)
+          | ((uint64_t)((uint32_t)(x >> 3) & 0x7FF) << 8)
+          | ((uint64_t)((uint32_t)(y >> 3) & 0x7FF) << 19)
+          | ((uint64_t)(uint16_t)(mvx[k] + 32768) << 30)
+          | ((uint64_t)(uint16_t)(mvy[k] + 32768) << 46);
+      size_t mask = ((size_t)1 << PredCache::kLogSlots) - 1;
+      size_t h = (size_t)((key * 0x9E3779B97F4A7C15ull)
+                          >> (64 - PredCache::kLogSlots));
+      const uint8_t* hit = nullptr;
+      for (;;) {
+        PredCache::Ent& e = pc.tab[h];
+        if (e.off == PredCache::kEmpty) break;
+        if (e.key == key) {
+          hit = pc.pool.data() + e.off;
+          break;
+        }
+        h = (h + 1) & mask;
+      }
+      if (hit) {
+        pp[k] = hit;
+        continue;
+      }
+      size_t need = (size_t)ny * nx;
+      if (pc.used + need <= pc.pool.size()) {
+        uint8_t* buf = pc.pool.data() + pc.used;
+        predict1fmv(c, src, y, x, mvx[k], mvy[k], ny, nx, buf, nx);
+        pc.tab[h] = PredCache::Ent{key, (uint32_t)pc.used};
+        pc.used += need;
+        pp[k] = buf;
+        continue;
+      }
+    }
+    predict1fmv(c, src, y, x, mvx[k], mvy[k], ny, nx, preds[k], nx);
+    pp[k] = preds[k];
   }
   uint8_t* dst = c.dst + (size_t)y * c.dstride + x;
   if (s == 3) {
@@ -2058,7 +2165,7 @@ void ec_dering(const void* plane_, int ph, int pw, int sby, int sbx,
 double g_prof_pvq = 0, g_prof_rate = 0, g_prof_snap = 0;
 double g_prof_dct = 0, g_prof_dering = 0, g_prof_dist = 0, g_prof_filt = 0;
 double g_prof_me_glob = 0, g_prof_me_full = 0, g_prof_me_mesh = 0,
-       g_prof_me_refine = 0;
+       g_prof_me_refine = 0, g_prof_me_pred = 0, g_prof_me_sad = 0;
 // Stage timers are compiled out by default (build with -DFC_PROF=1 to
 // enable; the chrono calls are measurable on per-block paths).
 #ifndef FC_PROF
@@ -2078,7 +2185,9 @@ extern "C" void fc_get_prof(double *out) {
   out[6] = g_prof_filt;
   out[7] = g_prof_me_glob; out[8] = g_prof_me_full;
   out[9] = g_prof_me_mesh; out[10] = g_prof_me_refine;
+  out[11] = g_prof_me_pred; out[12] = g_prof_me_sad;
   g_prof_me_glob = g_prof_me_full = g_prof_me_mesh = g_prof_me_refine = 0;
+  g_prof_me_pred = g_prof_me_sad = 0;
   g_prof_pvq = g_prof_rate = g_prof_snap = 0;
   g_prof_dct = g_prof_dering = g_prof_dist = g_prof_filt = 0;
 }
