@@ -13,6 +13,9 @@
 // automatically.
 
 #include <climits>
+#if defined(__AVX2__)
+# include <immintrin.h>
+#endif
 #include <cstdint>
 #include <cstring>
 #include <vector>
