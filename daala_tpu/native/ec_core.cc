@@ -1030,27 +1030,40 @@ double ec_pvq_search_rdo_double(const double *xcoeff, int n, int k,
 // ---- single-block reversible DCTs -------------------------------------
 // Lifting kernels generated from the normative networks (see the .inc
 // header for provenance); 2-D composition mirrors daala_tpu/ops/dct.py
-// (reference: src/dct.c:152-163).
+// (reference: src/dct.c:152-163).  The kernels are type-generic
+// templates (scalar int32_t or GCC vector types), so they must live
+// outside the extern "C" block.
+
+}  // extern "C" (paused for the template kernels)
 
 #include "lifting_gen.inc"
+
+// Vector lanes for batched column transforms: elementwise integer ops
+// are lane-exact, so these produce bit-identical coefficients to the
+// scalar kernels.
+typedef int32_t dct_v4 __attribute__((vector_size(16)));
+typedef int32_t dct_v8 __attribute__((vector_size(32)));
+typedef int32_t dct_v16 __attribute__((vector_size(64)));
+
+extern "C" {
 
 typedef void (*lift_fn)(int32_t *);
 static lift_fn fdct_tab(int n) {
   switch (n) {
-    case 4: return fdct4_c;
-    case 8: return fdct8_c;
-    case 16: return fdct16_c;
-    case 32: return fdct32_c;
-    default: return fdct64_c;
+    case 4: return fdct4_c<int32_t>;
+    case 8: return fdct8_c<int32_t>;
+    case 16: return fdct16_c<int32_t>;
+    case 32: return fdct32_c<int32_t>;
+    default: return fdct64_c<int32_t>;
   }
 }
 static lift_fn idct_tab(int n) {
   switch (n) {
-    case 4: return idct4_c;
-    case 8: return idct8_c;
-    case 16: return idct16_c;
-    case 32: return idct32_c;
-    default: return idct64_c;
+    case 4: return idct4_c<int32_t>;
+    case 8: return idct8_c<int32_t>;
+    case 16: return idct16_c<int32_t>;
+    case 32: return idct32_c<int32_t>;
+    default: return idct64_c<int32_t>;
   }
 }
 
