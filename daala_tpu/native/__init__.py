@@ -47,16 +47,21 @@ def get_lib():
             # g++ output on the same file and cache a truncated .so.
             tmp = "%s.%d.tmp" % (_LIB, os.getpid())
             try:
+                # -ffp-contract=off: the RDO decision paths replay the
+                # Python implementation's strict-IEEE double math; fused
+                # multiply-adds could flip near-tie comparisons.
                 try:
                     subprocess.run(
                         ["g++", "-O3", "-march=native", "-fwrapv",
-                         "-std=c++17", "-shared", "-fPIC", _SRC, "-o",
-                         tmp], check=True, capture_output=True)
+                         "-ffp-contract=off", "-std=c++17", "-shared",
+                         "-fPIC", _SRC, "-o", tmp],
+                        check=True, capture_output=True)
                 except subprocess.CalledProcessError:
                     # Toolchains without -march=native support.
                     subprocess.run(
-                        ["g++", "-O3", "-fwrapv", "-std=c++17", "-shared",
-                         "-fPIC", _SRC, "-o", tmp],
+                        ["g++", "-O3", "-fwrapv", "-ffp-contract=off",
+                         "-std=c++17", "-shared", "-fPIC", _SRC, "-o",
+                         tmp],
                         check=True, capture_output=True)
                 # Verify the freshly-built library actually loads before
                 # publishing it at the cached path.

@@ -13,6 +13,26 @@
 // automatically.
 
 #include <climits>
+#include <chrono>
+double g_prof_pvq = 0, g_prof_rate = 0, g_prof_snap = 0;
+double g_prof_dct = 0, g_prof_dering = 0, g_prof_dist = 0, g_prof_filt = 0;
+double g_prof_me_glob = 0, g_prof_me_full = 0, g_prof_me_mesh = 0,
+       g_prof_me_refine = 0, g_prof_me_pred = 0, g_prof_me_sad = 0;
+double g_prof_pvq_search = 0, g_prof_pvq_rate = 0;
+// Stage timers are compiled out by default (build with -DFC_PROF=1 to
+// enable; the chrono calls are measurable on per-block paths).
+#ifndef FC_PROF
+# define FC_PROF 0
+#endif
+static inline double now_s() {
+#if FC_PROF
+  return std::chrono::duration<double>(
+      std::chrono::steady_clock::now().time_since_epoch()).count();
+#else
+  return 0.0;
+#endif
+}
+
 #if defined(__AVX2__)
 # include <immintrin.h>
 #endif
@@ -646,7 +666,18 @@ int ec_pvq_codeword_rate_q3(const int32_t *y, int n, int k,
                             const int32_t *k1_cdf,
                             const int32_t *split_cdf, int k1_inc,
                             int split_inc) {
-  EcEnc e;
+  // Hot RDO path: reuse one simulation encoder per thread (the vectors
+  // keep their capacity) instead of constructing/destroying one per
+  // candidate.
+  static thread_local EcEnc e;
+  e.low = 0;
+  e.rng = 0x8000;
+  e.cnt = -9;
+  e.precarry.clear();
+  e.end_window = 0;
+  e.nend_bits = 0;
+  e.end_bytes.clear();
+  e.error = 0;
   int32_t k1[12 * 16];
   int32_t sp[98 * 8];
   std::memcpy(k1, k1_cdf, sizeof(k1));
@@ -654,10 +685,10 @@ int ec_pvq_codeword_rate_q3(const int32_t *y, int n, int k,
   PvqCwCtx c{k1, sp, k1_inc, split_inc};
   int tell = tell_frac_impl(e.tell(), e.rng);
   enc_band_splits(&e, &c, y, n, k, 0);
-  for (int i = 0; i < n; i++) {
-    if (y[i]) e.encode_bits(y[i] < 0 ? 1 : 0, 1);
-  }
-  return tell_frac_impl(e.tell(), e.rng) - tell;
+  int nsigns = 0;
+  for (int i = 0; i < n; i++) nsigns += (y[i] != 0);
+  // Each sign is one raw bit: exactly 8 in tell_frac Q3 units.
+  return tell_frac_impl(e.tell(), e.rng) - tell + 8 * nsigns;
 }
 
 }  // extern "C"
@@ -1106,14 +1137,24 @@ void ec_dct2d_batch(int32_t *blocks, int nblk, int n, int forward) {
   }
 }
 
+// memo_k/memo_rate: optional 1-entry memo for the codeword rate.  The
+// candidate loops in ec_pvq_theta only regenerate the pulse vector when
+// k changes, so consecutive candidates with equal k share the exact
+// codeword cost (the adaptation CDFs are fixed during the search).
 static double pvq_rate_c(int64_t qg, int64_t icgr, int64_t theta,
                          int64_t ts, const int32_t *y0, int64_t k, int n,
                          int is_keyframe, int pli, int speed,
                          const int32_t *k1_cdf, const int32_t *split_cdf,
-                         int k1_inc, int split_inc) {
+                         int k1_inc, int split_inc,
+                         int64_t *memo_k = nullptr,
+                         double *memo_rate = nullptr) {
+  double t0r = now_s();
+  struct RProf { double t0; ~RProf() { g_prof_pvq_rate += now_s() - t0; } } rp{t0r};
   double rate;
   if (k == 0) {
     rate = 0.0;
+  } else if (memo_k && *memo_k == k) {
+    rate = *memo_rate;
   } else if (speed > 0) {
     int lim = n - (theta != -1 ? 1 : 0);
     int64_t total = 0;
@@ -1129,6 +1170,10 @@ static double pvq_rate_c(int64_t qg, int64_t icgr, int64_t theta,
     rate = ec_pvq_codeword_rate_q3(y0, n - (theta != -1 ? 1 : 0), (int)k,
                                    k1_cdf, split_cdf, k1_inc,
                                    split_inc) / 8.0;
+  }
+  if (memo_k && k != 0) {
+    *memo_k = k;
+    *memo_rate = rate;
   }
   if (qg > 0 && theta >= 0) {
     rate += .9 * __builtin_log2((double)ts);
@@ -1267,6 +1312,8 @@ void ec_pvq_theta(int32_t *out, const int32_t *x0, const int32_t *r0,
     for (int i = 0; i < n; i++) y_tmp[i] = 0;
     double cos_dist = 0.0;
     int64_t prev_k = 0;
+    int64_t memo_k = -1;
+    double memo_rate = 0.0;
     for (int idx = 0; idx < nitems; idx++) {
       int64_t k = items[idx].k, gi = items[idx].i, j = items[idx].j;
       int64_t qcg = items[idx].qcg, qtheta = items[idx].qtheta;
@@ -1283,10 +1330,12 @@ void ec_pvq_theta(int32_t *out, const int32_t *x0, const int32_t *r0,
         cos_dist = 0.0;
         for (int i = 0; i < n - 1; i++) y_tmp[i] = 0;
       } else if (k != prev_k) {
+        double t0s = now_s();
         cos_dist = ec_pvq_search_rdo_double(
             xr_d, n - 1, (int)k, y_tmp,
             (double)qcg * (double)cg * sin_prod / cg2,
             pvq_norm_lambda, (int)prev_k);
+        g_prof_pvq_search += now_s() - t0s;
       }
       prev_k = k;
       dist_theta =
@@ -1298,7 +1347,8 @@ void ec_pvq_theta(int32_t *out, const int32_t *x0, const int32_t *r0,
       double cost = d2 + pvq_norm_lambda
                             * pvq_rate_c(gi, icgr, j, ts, y_tmp, k, n,
                                          is_keyframe, pli, speed, k1_cdf,
-                                         split_cdf, k1_inc, split_inc);
+                                         split_cdf, k1_inc, split_inc,
+                                         &memo_k, &memo_rate);
       if (cost < best_cost) {
         best_cost = cost;
         best_dist = d2;
@@ -1316,6 +1366,8 @@ void ec_pvq_theta(int32_t *out, const int32_t *x0, const int32_t *r0,
                    || cg < shl32(2, kCgainShift))) {
     int64_t gain_bound = cg >> kCgainShift;
     int64_t prev_k = 0;
+    int64_t memo_k2 = -1;
+    double memo_rate2 = 0.0;
     int32_t y_tmp[1024];
     for (int i = 0; i < n; i++) y_tmp[i] = 0;
     double x16_d[1024];
@@ -1327,9 +1379,11 @@ void ec_pvq_theta(int32_t *out, const int32_t *x0, const int32_t *r0,
       double d1 = gain_weight * (double)(qcg - cg) * (double)(qcg - cg);
       d1 /= cg2;
       if (d1 > dist0 && k != 0) continue;
+      double t0s = now_s();
       double cos_dist = ec_pvq_search_rdo_double(
           x16_d, n, (int)k, y_tmp,
           (double)qcg * (double)cg / cg2, pvq_norm_lambda, (int)prev_k);
+      g_prof_pvq_search += now_s() - t0s;
       prev_k = k;
       double d2 = gain_weight * (double)(qcg - cg) * (double)(qcg - cg)
                   + (double)qcg * (double)cg * (2 - 2 * cos_dist);
@@ -1337,7 +1391,8 @@ void ec_pvq_theta(int32_t *out, const int32_t *x0, const int32_t *r0,
       double cost = d2 + pvq_norm_lambda
                             * pvq_rate_c(i, 0, -1, 0, y_tmp, k, n,
                                          is_keyframe, pli, speed, k1_cdf,
-                                         split_cdf, k1_inc, split_inc);
+                                         split_cdf, k1_inc, split_inc,
+                                         &memo_k2, &memo_rate2);
       if (cost <= best_cost) {
         best_cost = cost;
         best_dist = d2;
@@ -1434,17 +1489,39 @@ double ec_pvq_search_rdo_double(const double *xcoeff, int n, int k,
       delta_rate = 9.3 / n - accel_rate;
     }
   }
+  // Both argmax scans below process fixed-width chunks: the chunk pass
+  // evaluates every candidate against the best from BEFORE the chunk
+  // (vectorizable, branch-free) and only chunks containing at least one
+  // improvement are rescanned in order.  A candidate that beats the
+  // running best also beats the older chunk-entry best (the running
+  // best only improves), and the rescan replays the exact sequential
+  // comparisons, so the selected pulse positions are identical to the
+  // plain loop (and to the Python implementation).
+  constexpr int kChunk = 16;
   while (i < k - rdo_pulses) {
     int pos = 0;
-    double best_xy = -10.0, best_yy = 1.0;
-    for (j = 0; j < n; j++) {
-      double tmp_xy = xy + x[j];
-      double tmp_yy = yy + 2 * ypulse[j] + 1;
-      tmp_xy *= tmp_xy;
-      if (j == 0 || tmp_xy * best_yy > best_xy * tmp_yy) {
-        best_xy = tmp_xy;
-        best_yy = tmp_yy;
-        pos = j;
+    // j == 0 seeds the best unconditionally (mirrors the Python loop).
+    double best_xy = (xy + x[0]) * (xy + x[0]);
+    double best_yy = yy + 2 * ypulse[0] + 1;
+    for (int j0 = 1; j0 < n; j0 += kChunk) {
+      int j1 = j0 + kChunk < n ? j0 + kChunk : n;
+      int any = 0;
+      for (j = j0; j < j1; j++) {
+        double tmp_xy = xy + x[j];
+        double tmp_yy = yy + 2 * ypulse[j] + 1;
+        tmp_xy *= tmp_xy;
+        any |= (tmp_xy * best_yy > best_xy * tmp_yy);
+      }
+      if (!any) continue;
+      for (j = j0; j < j1; j++) {
+        double tmp_xy = xy + x[j];
+        double tmp_yy = yy + 2 * ypulse[j] + 1;
+        tmp_xy *= tmp_xy;
+        if (tmp_xy * best_yy > best_xy * tmp_yy) {
+          best_xy = tmp_xy;
+          best_yy = tmp_yy;
+          pos = j;
+        }
       }
     }
     xy += x[pos];
@@ -1458,17 +1535,38 @@ double ec_pvq_search_rdo_double(const double *xcoeff, int n, int k,
       rst[ii] = rsqrt_tab((int)yy + 2 * ii + 1);
     }
     int pos = 0;
-    double best_cost = -1e5;
-    for (j = 0; j < n; j++) {
-      double tmp_xy = xy + x[j];
-      int yj = ypulse[j];
+    double best_cost;
+    {
+      double tmp_xy = xy + x[0];
+      int yj = ypulse[0];
       double tmp_yy = yj < 4 ? rst[yj]
                              : rsqrt_tab((int)yy + 2 * yj + 1);
-      tmp_xy = 2 * tmp_xy * norm_1 * tmp_yy
-               - lambda * j * (delta_rate + j * accel_rate);
-      if (j == 0 || tmp_xy > best_cost) {
-        best_cost = tmp_xy;
-        pos = j;
+      best_cost = 2 * tmp_xy * norm_1 * tmp_yy;
+    }
+    for (int j0 = 1; j0 < n; j0 += kChunk) {
+      int j1 = j0 + kChunk < n ? j0 + kChunk : n;
+      int any = 0;
+      for (j = j0; j < j1; j++) {
+        double tmp_xy = xy + x[j];
+        int yj = ypulse[j];
+        double tmp_yy = yj < 4 ? rst[yj]
+                               : rsqrt_tab((int)yy + 2 * yj + 1);
+        tmp_xy = 2 * tmp_xy * norm_1 * tmp_yy
+                 - lambda * j * (delta_rate + j * accel_rate);
+        any |= (tmp_xy > best_cost);
+      }
+      if (!any) continue;
+      for (j = j0; j < j1; j++) {
+        double tmp_xy = xy + x[j];
+        int yj = ypulse[j];
+        double tmp_yy = yj < 4 ? rst[yj]
+                               : rsqrt_tab((int)yy + 2 * yj + 1);
+        tmp_xy = 2 * tmp_xy * norm_1 * tmp_yy
+                 - lambda * j * (delta_rate + j * accel_rate);
+        if (tmp_xy > best_cost) {
+          best_cost = tmp_xy;
+          pos = j;
+        }
       }
     }
     xy += x[pos];
@@ -2177,24 +2275,6 @@ void ec_dering(const void* plane_, int ph, int pw, int sby, int sbx,
 }  /* extern "C" */
 
 // Lightweight profiling counters (read via fc_get_prof).
-#include <chrono>
-double g_prof_pvq = 0, g_prof_rate = 0, g_prof_snap = 0;
-double g_prof_dct = 0, g_prof_dering = 0, g_prof_dist = 0, g_prof_filt = 0;
-double g_prof_me_glob = 0, g_prof_me_full = 0, g_prof_me_mesh = 0,
-       g_prof_me_refine = 0, g_prof_me_pred = 0, g_prof_me_sad = 0;
-// Stage timers are compiled out by default (build with -DFC_PROF=1 to
-// enable; the chrono calls are measurable on per-block paths).
-#ifndef FC_PROF
-# define FC_PROF 0
-#endif
-static inline double now_s() {
-#if FC_PROF
-  return std::chrono::duration<double>(
-      std::chrono::steady_clock::now().time_since_epoch()).count();
-#else
-  return 0.0;
-#endif
-}
 extern "C" void fc_get_prof(double *out) {
   out[0] = g_prof_pvq; out[1] = g_prof_rate; out[2] = g_prof_snap;
   out[3] = g_prof_dct; out[4] = g_prof_dering; out[5] = g_prof_dist;
@@ -2202,6 +2282,8 @@ extern "C" void fc_get_prof(double *out) {
   out[7] = g_prof_me_glob; out[8] = g_prof_me_full;
   out[9] = g_prof_me_mesh; out[10] = g_prof_me_refine;
   out[11] = g_prof_me_pred; out[12] = g_prof_me_sad;
+  out[13] = g_prof_pvq_search; out[14] = g_prof_pvq_rate;
+  g_prof_pvq_search = g_prof_pvq_rate = 0;
   g_prof_me_glob = g_prof_me_full = g_prof_me_mesh = g_prof_me_refine = 0;
   g_prof_me_pred = g_prof_me_sad = 0;
   g_prof_pvq = g_prof_rate = g_prof_snap = 0;
