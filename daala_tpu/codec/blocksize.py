@@ -182,6 +182,21 @@ def split_superblocks(state, padded_luma, pred_luma, q):
     is decided as four 32x32 quadrants (the reference's splitter predates
     64x64 superblocks and only covers 32x32, reference:
     src/block_size_enc.c:330-460)."""
+    from daala_tpu import native as native_mod
+    lib = native_mod.get_lib()
+    if lib is not None:
+        # Whole-frame native pass (bs_enc.inc); same statistics and
+        # decision rules, ~100x the per-quadrant numpy loop below.
+        luma = np.ascontiguousarray(padded_luma)
+        pred = None if pred_luma is None \
+            else np.ascontiguousarray(pred_luma)
+        cfg = np.array([
+            state.nvsb, state.nhsb, luma.shape[0], luma.shape[1],
+            luma.ctypes.data, 0 if pred is None else pred.ctypes.data,
+            int(q), state.bsize.ctypes.data,
+            state.bsize.strides[0]], np.int64)
+        lib.bs_split_superblocks(cfg.ctypes.data)
+        return
     fh, fw = padded_luma.shape
     # Edge-extend by the 6-pixel analysis margin.
     m = 8

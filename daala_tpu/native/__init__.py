@@ -36,7 +36,7 @@ def get_lib():
     try:
         newest = os.path.getmtime(_SRC)
         for name in ("lifting_gen.inc", "frame_enc.inc", "me_enc.inc",
-                     "frame_dec.inc"):
+                     "frame_dec.inc", "bs_enc.inc"):
             p = os.path.join(_DIR, name)
             if os.path.exists(p):
                 newest = max(newest, os.path.getmtime(p))
@@ -185,6 +185,8 @@ def _configure(lib):
     lib.fd_decode_mvs.restype = c.c_int
     lib.fc_decode_frame.argtypes = [c.c_void_p, c.c_void_p, c.c_void_p]
     lib.fc_decode_frame.restype = c.c_int
+    # Open-loop block-size splitter.
+    lib.bs_split_superblocks.argtypes = [c.c_void_p]
     # Motion estimation engine.
     lib.me_estimate.argtypes = [c.c_void_p]
     lib.me_select_mv_res.argtypes = [c.c_void_p]

@@ -2298,3 +2298,6 @@ extern "C" void fc_get_prof(double *out) {
 
 // Native whole-frame decoder (fd_decode_mvs / fc_decode_frame).
 #include "frame_dec.inc"
+
+// Native open-loop block-size splitter (bs_split_superblocks).
+#include "bs_enc.inc"
