@@ -507,7 +507,8 @@ def _majority_ref(grid, vx, vy, mvb_sz, nh, nv):
 
 
 def refine_mesh(grid: MVGrid, cur_luma, ref_images, info, lam_sad,
-                search_range=8, max_level=2, vis=None):
+                search_range=8, max_level=2, vis=None, lam=0,
+                adapt=None, frame_type=1):
     """Encoder-side adaptive mesh subdivision.
 
     TPU-friendly replacement for the reference's decimation-heap + Viterbi
@@ -560,8 +561,17 @@ def refine_mesh(grid: MVGrid, cur_luma, ref_images, info, lam_sad,
                               min(n, h - y0), min(n, w - x0))
         return sad
 
+    sre = mv_small_rate_est(adapt) if adapt is not None else None
+
+    def _deps_rate(vx, vy):
+        if sre is None:
+            return 0
+        return sum(vertex_bits_q3(grid, sre, wx, wy, 0, frame_type)
+                   for wy, wx in _dependents(grid, vx, vy))
+
     def try_vertex(vx, vy, mvb_sz):
         blocks = _affected_l0_blocks(vx, vy, mvb_sz, nh, nv)
+        rate0 = _deps_rate(vx, vy)
         sad0 = eval_blocks(blocks)
         ridx = _majority_ref(grid, vx, vy, mvb_sz, nh, nv)
         rimg = ref_images.get(ridx)
@@ -584,7 +594,11 @@ def refine_mesh(grid: MVGrid, cur_luma, ref_images, info, lam_sad,
         else:
             grid.mv[vy, vx] = (mvx, mvy)
         sad1 = eval_blocks(blocks)
-        if sad0 - sad1 > lam_sad:
+        # Rate-aware split decision: the SAD gain must pay for the new
+        # vertex's MV bits (and its effect on the neighbours'
+        # predictors), with lam_sad as the acceptance margin.
+        rate1 = _deps_rate(vx, vy)
+        if ((sad0 - sad1) << 5) > lam * (rate1 - rate0) + (lam_sad << 5):
             return True
         grid.valid[vy, vx] = 0
         grid.ref[vy, vx] = 0
