@@ -693,6 +693,10 @@ class Decoder:
         # Coding-order recon, exposed for the encoder's self-check
         # (reference: src/encode.c:3231-3272 reads OD_FRAME_SELF).
         self.last_recon = planes
+        from daala_tpu.utils import dump as _dump
+        if _dump.images_dir():
+            # OD_DUMP_IMAGES analogue: decoded frames in coding order.
+            _dump.dump_yuv(_dump.images_dir(), "out", planes, info)
         slot = frame_number % OD_MAX_REORDER
         assert self._out_slots[slot] is None
         self._out_slots[slot] = planes

@@ -1237,6 +1237,13 @@ class Encoder:
                 self.recon.append(crop)
             else:
                 self.recon.append(crop.copy())
+        from daala_tpu.utils import dump as _dump
+        if _dump.images_dir():
+            # OD_DUMP_IMAGES analogue: the encoder's input frames.
+            _dump.dump_yuv(_dump.images_dir(), "input", planes_u8, info)
+        if _dump.recons_dir():
+            # OD_DUMP_RECONS analogue (reference: src/state.c:736-828).
+            _dump.dump_yuv(_dump.recons_dir(), "recon", self.recon, info)
         if self.enable_encoder_check:
             self._encoder_check(packet)
         return self._packet
