@@ -96,6 +96,16 @@ class Encoder:
             self.quality = -1
         from daala_tpu.codec.rate import RateControl
         self.rc = RateControl(self, bitrate)
+        # OD_DUMP_BSIZE_DIST analogue (reference: src/encode.c:369-529,
+        # 1828-1838, 3176-3186): per-frame chosen 32x32-level RDO
+        # distortion per plane, written to the env-named file.  Needs
+        # the Python frame path (the env also disables the native one).
+        self._bsize_dist = [0.0] * 4
+        self._bsize_dist_total = [0.0] * 4
+        self._bsize_dist_file = None
+        _bd = _os.environ.get("DAALA_TPU_DUMP_BSIZE_DIST")
+        if _bd:
+            self._bsize_dist_file = open(_bd, "w")
         self.complexity = complexity
         self.use_activity_masking = use_activity_masking
         self.qm_choice = qm
@@ -762,8 +772,15 @@ class Encoder:
                     c_orig, nosplit, n, self.use_activity_masking,
                     st.coded_quantizer, flat)
                 lam = self.bs_rdo_lambda
-                if skip_split or (dist_nosplit + lam * rate_nosplit
-                                  < dist_split + lam * rate_split):
+                chose_nosplit = skip_split or (
+                    dist_nosplit + lam * rate_nosplit
+                    < dist_split + lam * rate_split)
+                if bsi == OD_NBSIZES - 2:
+                    # OD_DUMP_BSIZE_DIST accumulation (reference:
+                    # src/encode.c:1828-1838).
+                    self._bsize_dist[pli] += (dist_nosplit if chose_nosplit
+                                              else dist_split)
+                if chose_nosplit:
                     self._rollback_full(cp_post)
                     c[y0:y0 + n, x0:x0 + n] = nosplit
                     # Merge: record this block size in the map (8x8
@@ -813,6 +830,18 @@ class Encoder:
             for d, fr in self._pending[:-1]:
                 out.append(self._encode_one(fr, 2, d))
             self._pending = []
+        if self._bsize_dist_file is not None:
+            # Final totals row (reference: daala_encode_free,
+            # src/encode.c:3176-3186).
+            import math as _math
+            self._bsize_dist_file.write("Total: ")
+            for pli in range(self.info.nplanes):
+                v = self._bsize_dist_total[pli]
+                self._bsize_dist_file.write(
+                    "%-7G\t" % (10 * _math.log10(v) if v > 0
+                                else float("-inf")))
+            self._bsize_dist_file.write("\n")
+            self._bsize_dist_file.flush()
         return out
 
     def _closed_form_type(self):
@@ -930,7 +959,8 @@ class Encoder:
         src/encode.c:2942-2948)."""
         if (getattr(self, "use_native_frame", _NATIVE_FRAME_DEFAULT)
                 and hasattr(self.enc, "_h")
-                and not self.info.full_precision_references):
+                and not self.info.full_precision_references
+                and self._bsize_dist_file is None):
             return self._encode_coefficients_native(
                 padded_in, self_img, is_keyframe, use_haar_wavelet,
                 rdo_only)
@@ -1237,6 +1267,16 @@ class Encoder:
                 self.recon.append(crop)
             else:
                 self.recon.append(crop.copy())
+        if self._bsize_dist_file is not None:
+            import math as _math
+            for pli in range(nplanes):
+                v = self._bsize_dist[pli]
+                self._bsize_dist_file.write(
+                    "%-7G\t" % (10 * _math.log10(v) if v > 0
+                                else float("-inf")))
+                self._bsize_dist_total[pli] += v
+                self._bsize_dist[pli] = 0.0
+            self._bsize_dist_file.write("\n")
         from daala_tpu.utils import dump as _dump
         if _dump.images_dir():
             # OD_DUMP_IMAGES analogue: the encoder's input frames.

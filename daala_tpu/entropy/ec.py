@@ -18,6 +18,8 @@ for a frame in parallel, and the host serializes/parses the actual bytes
 
 from __future__ import annotations
 
+import math
+
 M32 = 0xFFFFFFFF
 WINDOW_SIZE = 32
 UINT_BITS = 4  # OD_EC_UINT_BITS (reference: src/entcode.h:100)
@@ -89,6 +91,15 @@ class Encoder:
         self.nend_bits = 0
         self.end_bytes = []  # flushed raw bytes, first-flushed first
         self.error = 0
+        # OD_MEASURE_EC_OVERHEAD analogue (reference: src/entenc.h:31,
+        # src/entenc.c:147-543): accumulate the Shannon-ideal bits per
+        # coded symbol; done() reports the coder's overhead.  Debug-only
+        # (requires the Python engine: DAALA_TPU_NATIVE=0).
+        import os as _o
+        self.measure_overhead = bool(
+            _o.environ.get("DAALA_TPU_MEASURE_EC_OVERHEAD"))
+        self.entropy = 0.0
+        self.nb_symbols = 0
 
     # -- internal -----------------------------------------------------------
 
@@ -116,6 +127,9 @@ class Encoder:
     def encode(self, fl: int, fh: int, ft: int):
         """od_ec_encode: ft in [16384, 32768] (reference: src/entenc.c:173)."""
         assert fl < fh <= ft and 16384 <= ft <= 32768
+        if self.measure_overhead:
+            self.entropy -= math.log2((fh - fl) / ft)
+            self.nb_symbols += 1
         l = self.low
         r = self.rng
         assert ft <= r
@@ -135,6 +149,9 @@ class Encoder:
     def encode_q15(self, fl: int, fh: int):
         """od_ec_encode_q15: ft == 32768 (reference: src/entenc.c:224)."""
         assert fl < fh <= 32768
+        if self.measure_overhead:
+            self.entropy -= math.log2((fh - fl) / 32768.0)
+            self.nb_symbols += 1
         l = self.low
         r = self.rng
         assert 32768 <= r
@@ -151,6 +168,10 @@ class Encoder:
     def encode_bool_q15(self, val: int, fz: int):
         """od_ec_encode_bool_q15 (reference: src/entenc.c:314)."""
         assert 0 < fz < 32768
+        if self.measure_overhead:
+            self.entropy -= math.log2(
+                ((32768 - fz) if val else fz) / 32768.0)
+            self.nb_symbols += 1
         r = self.rng
         v = (fz * r) >> 15
         l = self.low + (v if val else 0)
@@ -182,6 +203,10 @@ class Encoder:
         """od_ec_enc_bits: raw bits, written backward from the stream end
         (reference: src/entenc.c:431)."""
         assert 0 <= ftb <= 25 and fl < (1 << ftb)
+        if self.measure_overhead:
+            # Raw bits are counted at face value (reference:
+            # src/entenc.c:436-438).
+            self.entropy += ftb
         end_window = self.end_window
         nend_bits = self.nend_bits
         if nend_bits + ftb > WINDOW_SIZE:
@@ -212,6 +237,16 @@ class Encoder:
     def done(self) -> bytes:
         """od_ec_enc_done: flush, carry-propagate, merge raw bits
         (reference: src/entenc.c:527)."""
+        if self.measure_overhead and self.nb_symbols:
+            import sys as _sys
+            # Don't count the 1 bit lost to raw bits (reference:
+            # src/entenc.c:541-552).
+            tell = self.tell() - 1
+            print("overhead: %f%%" % (100.0 * (tell - self.entropy)
+                                      / max(self.entropy, 1e-9)),
+                  file=_sys.stderr)
+            print("efficiency: %f bits/symbol"
+                  % (tell / self.nb_symbols), file=_sys.stderr)
         l = self.low
         r = self.rng
         c = self.cnt
@@ -269,7 +304,7 @@ class Encoder:
         """od_ec_enc_checkpoint (reference: src/entenc.c:674)."""
         return (self.low, self.rng, self.cnt, len(self.precarry),
                 self.end_window, self.nend_bits, len(self.end_bytes),
-                self.error)
+                self.error, self.entropy, self.nb_symbols)
 
     def rollback(self, cp):
         """od_ec_enc_rollback (reference: src/entenc.c:684).
@@ -280,7 +315,8 @@ class Encoder:
         the bytes are then stale but the rate accounting is exact,
         reference: src/encode.c:1808-1812)."""
         (self.low, self.rng, self.cnt, np_, self.end_window,
-         self.nend_bits, ne, self.error) = cp
+         self.nend_bits, ne, self.error, self.entropy,
+         self.nb_symbols) = cp
         if len(self.precarry) >= np_:
             del self.precarry[np_:]
         else:
