@@ -11,6 +11,8 @@ this is plain vectorized numpy with no bit-exactness requirement.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 OD_DIST_LP_MID = 5
@@ -77,8 +79,14 @@ def compute_dist(x, y, n, use_activity_masking, coded_quantizer,
     else:
         calibration = 1.62
         var_stat = np.min(varx, axis=(-2, -1))
-    activity = calibration * \
-        (0.25 + var_stat / (1 << 2 * _COEFF_SHIFT)) ** (-1.0 / 6)
+    # libm pow per element, NOT numpy's vectorized ** — numpy 2.x uses a
+    # SIMD pow that differs from libm by 1 ulp on some inputs, which
+    # would break bit-parity with the native engine (and the reference C,
+    # which also calls libm pow: src/encode.c:1144).
+    base = 0.25 + var_stat / (1 << 2 * _COEFF_SHIFT)
+    activity = calibration * np.array(
+        [math.pow(b, -1.0 / 6) for b in base.ravel()],
+        dtype=np.float64).reshape(base.shape)
     lp_sum = np.sum(eb * eb, axis=(-2, -1)) * \
         (0.92 / float(OD_DIST_LP_NORM) ** 4)
     total = float(np.sum(activity * activity * (lp_sum + vardist)))

@@ -53,14 +53,16 @@ def get_lib():
                 try:
                     subprocess.run(
                         ["g++", "-O3", "-march=native", "-fwrapv",
-                         "-ffp-contract=off", "-std=c++17", "-shared",
+                         "-ffp-contract=off", "-fno-math-errno",
+                         "-std=c++17", "-shared",
                          "-fPIC", _SRC, "-o", tmp],
                         check=True, capture_output=True)
                 except subprocess.CalledProcessError:
                     # Toolchains without -march=native support.
                     subprocess.run(
                         ["g++", "-O3", "-fwrapv", "-ffp-contract=off",
-                         "-std=c++17", "-shared", "-fPIC", _SRC, "-o",
+                         "-fno-math-errno", "-std=c++17", "-shared",
+                         "-fPIC", _SRC, "-o",
                          tmp],
                         check=True, capture_output=True)
                 # Verify the freshly-built library actually loads before

@@ -2293,6 +2293,16 @@ extern "C" void fc_get_prof(double *out) {
 // Native whole-frame coefficient encoder (fc_encode_frame et al.).
 #include "frame_enc.inc"
 
+// Test/benchmark entry for the RDO distortion metric (the SIMD form must
+// stay bit-identical to daala_tpu/codec/dist.py compute_dist).
+extern "C" double fc_compute_dist(const int32_t *x, int xstride,
+                                  const int32_t *y, int ystride, int n,
+                                  int use_activity_masking,
+                                  int coded_quantizer, int flat_qm) {
+  return fc::compute_dist(x, xstride, y, ystride, n, use_activity_masking,
+                          coded_quantizer, flat_qm);
+}
+
 // Native motion-estimation engine (me_estimate et al.).
 #include "me_enc.inc"
 

@@ -98,3 +98,36 @@ def test_native_decode_matches_python(name, kw, w, h, n, kfr, dec420):
             assert np.array_equal(np.asarray(a[pli]),
                                   np.asarray(b[pli])), \
                 "frame %d plane %d differs" % (i, pli)
+
+
+def test_native_compute_dist_matches_python():
+    """The SIMD distortion metric (fc_compute_dist) must be bit-identical
+    to daala_tpu/codec/dist.py compute_dist: RDO tie-breaks depend on it."""
+    import ctypes
+    from daala_tpu.codec.dist import compute_dist
+
+    lib = native.get_lib()
+    lib.fc_compute_dist.restype = ctypes.c_double
+    lib.fc_compute_dist.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                    ctypes.c_void_p, ctypes.c_int,
+                                    ctypes.c_int, ctypes.c_int,
+                                    ctypes.c_int, ctypes.c_int]
+    rng = np.random.default_rng(7)
+    for n in (8, 16, 32, 64):
+        for mask in (0, 1):
+            for flat in (0, 1):
+                for cq in (20, 36, 40, 47, 55):
+                    # lapped-domain magnitudes (OD_COEFF_SHIFT scaled),
+                    # plus near-identical pairs to stress cancellation
+                    x = rng.integers(-5000, 5000, (n, n)).astype(np.int32)
+                    if rng.random() < 0.3:
+                        y = x + rng.integers(-3, 4, (n, n)).astype(np.int32)
+                    else:
+                        y = rng.integers(-5000, 5000, (n, n)) \
+                            .astype(np.int32)
+                    y = y.astype(np.int32)
+                    want = compute_dist(x, y, n, mask, cq, bool(flat))
+                    got = lib.fc_compute_dist(
+                        x.ctypes.data, n, y.ctypes.data, n, n, mask, cq,
+                        flat)
+                    assert got == want, (n, mask, flat, cq)

@@ -76,7 +76,9 @@ def main():
                                    info.pic_height,
                                    fps=(info.timebase_numerator,
                                         info.timebase_denominator),
-                                   chroma=chroma)
+                                   chroma=chroma,
+                                   aspect=(info.pixel_aspect_numerator,
+                                           info.pixel_aspect_denominator))
                 continue
             vcount += 1
             if vcount - 1 < start_index:

@@ -65,7 +65,9 @@ def main():
                   nplanes=rd.nplanes, plane_dec=dec,
                   keyframe_rate=args.keyframe_rate,
                   timebase_numerator=rd.fps[0],
-                  timebase_denominator=rd.fps[1])
+                  timebase_denominator=rd.fps[1],
+                  pixel_aspect_numerator=rd.aspect[0],
+                  pixel_aspect_denominator=rd.aspect[1])
     if args.workers > 1:
         # Segment-parallel: read the clip, fan segments out to processes
         # (daala_tpu/parallel/mesh.py), then mux in order.
@@ -75,7 +77,9 @@ def main():
                            nplanes=rd.nplanes, plane_dec=dec,
                            keyframe_rate=min(args.keyframe_rate, seg),
                            timebase_numerator=rd.fps[0],
-                           timebase_denominator=rd.fps[1])
+                           timebase_denominator=rd.fps[1],
+                           pixel_aspect_numerator=rd.aspect[0],
+                           pixel_aspect_denominator=rd.aspect[1])
         frames = []
         for planes in rd:
             frames.append(planes)
