@@ -547,7 +547,33 @@ struct PvqCwCtx {
   int32_t *k1_cdf;     // 12 rows x 16
   int32_t *split_cdf;  // 98 rows x 8
   int32_t k1_inc, split_inc;
+  // Lazy per-row copy-on-read for the rate simulation: when src/epoch
+  // pointers are set, a row is copied from the live CDFs into the
+  // scratch arrays the first time this call touches it (stale rows from
+  // earlier calls are detected by epoch).  Real coding leaves these
+  // null and mutates the live CDFs directly.
+  const int32_t *k1_src = nullptr, *sp_src = nullptr;
+  uint32_t *k1_ep = nullptr, *sp_ep = nullptr;
+  uint32_t epoch = 0;
 };
+
+static inline int32_t *cw_k1_row(PvqCwCtx *c, int id) {
+  int32_t *row = c->k1_cdf + 16 * id;
+  if (c->k1_ep && c->k1_ep[id] != c->epoch) {
+    std::memcpy(row, c->k1_src + 16 * id, 16 * sizeof(int32_t));
+    c->k1_ep[id] = c->epoch;
+  }
+  return row;
+}
+
+static inline int32_t *cw_sp_row(PvqCwCtx *c, int fctx) {
+  int32_t *row = c->split_cdf + 8 * fctx;
+  if (c->sp_ep && c->sp_ep[fctx] != c->epoch) {
+    std::memcpy(row, c->sp_src + 8 * fctx, 8 * sizeof(int32_t));
+    c->sp_ep[fctx] = c->epoch;
+  }
+  return row;
+}
 
 static void enc_pvq_split(EcEnc *e, PvqCwCtx *c, int count, int total,
                           int ctx) {
@@ -561,7 +587,7 @@ static void enc_pvq_split(EcEnc *e, PvqCwCtx *c, int count, int total,
     total >>= shift;
   }
   int fctx = 7 * ctx + total - 1;
-  cdf_adapt_enc(e, count, c->split_cdf + 8 * fctx, total + 1,
+  cdf_adapt_enc(e, count, cw_sp_row(c, fctx), total + 1,
                 c->split_inc);
   if (shift) e->encode_bits((uint32_t)rest, shift);
 }
@@ -573,7 +599,7 @@ static void enc_band_splits(EcEnc *e, PvqCwCtx *c, const int32_t *y,
     int cdf_id = pvq_k1_ctx(n, level == 0);
     int pos = 0;
     while (!y[pos]) pos++;
-    cdf_adapt_enc(e, pos, c->k1_cdf + 16 * cdf_id, n, c->k1_inc);
+    cdf_adapt_enc(e, pos, cw_k1_row(c, cdf_id), n, c->k1_inc);
   } else {
     int mid = n >> 1;
     int cr = k;
@@ -678,11 +704,24 @@ int ec_pvq_codeword_rate_q3(const int32_t *y, int n, int k,
   e.nend_bits = 0;
   e.end_bytes.clear();
   e.error = 0;
-  int32_t k1[12 * 16];
-  int32_t sp[98 * 8];
-  std::memcpy(k1, k1_cdf, sizeof(k1));
-  std::memcpy(sp, split_cdf, sizeof(sp));
+  // Scratch CDFs are populated lazily per row (copy-on-read): a rate
+  // call typically touches a handful of the 110 rows, so copying all
+  // ~3.9KB per candidate dominated this path.
+  static thread_local int32_t k1[12 * 16];
+  static thread_local int32_t sp[98 * 8];
+  static thread_local uint32_t k1_ep[12], sp_ep[98];
+  static thread_local uint32_t epoch = 0;
+  if (++epoch == 0) {
+    std::memset(k1_ep, 0, sizeof(k1_ep));
+    std::memset(sp_ep, 0, sizeof(sp_ep));
+    epoch = 1;
+  }
   PvqCwCtx c{k1, sp, k1_inc, split_inc};
+  c.k1_src = k1_cdf;
+  c.sp_src = split_cdf;
+  c.k1_ep = k1_ep;
+  c.sp_ep = sp_ep;
+  c.epoch = epoch;
   int tell = tell_frac_impl(e.tell(), e.rng);
   enc_band_splits(&e, &c, y, n, k, 0);
   int nsigns = 0;
@@ -1498,6 +1537,9 @@ double ec_pvq_search_rdo_double(const double *xcoeff, int n, int k,
   // comparisons, so the selected pulse positions are identical to the
   // plain loop (and to the Python implementation).
   constexpr int kChunk = 16;
+  typedef double ps_v8df __attribute__((vector_size(64)));
+  typedef int32_t ps_v8si __attribute__((vector_size(32)));
+  typedef int64_t ps_v8di __attribute__((vector_size(64)));
   while (i < k - rdo_pulses) {
     int pos = 0;
     // j == 0 seeds the best unconditionally (mirrors the Python loop).
@@ -1506,7 +1548,25 @@ double ec_pvq_search_rdo_double(const double *xcoeff, int n, int k,
     for (int j0 = 1; j0 < n; j0 += kChunk) {
       int j1 = j0 + kChunk < n ? j0 + kChunk : n;
       int any = 0;
-      for (j = j0; j < j1; j++) {
+      j = j0;
+      // SIMD any-detection: identical per-lane arithmetic to the scalar
+      // expressions below, so the improvement mask is exact.
+      for (; j + 8 <= j1; j += 8) {
+        ps_v8df vx;
+        ps_v8si vyp;
+        std::memcpy(&vx, x + j, sizeof(vx));
+        std::memcpy(&vyp, ypulse + j, sizeof(vyp));
+        ps_v8df t_xy = xy + vx;
+        ps_v8df t_yy =
+            (yy + __builtin_convertvector(2 * vyp, ps_v8df)) + 1.0;
+        t_xy *= t_xy;
+        ps_v8di m = (t_xy * best_yy > best_xy * t_yy);
+        int64_t mm[8];
+        std::memcpy(mm, &m, sizeof(mm));
+        any |= (mm[0] | mm[1] | mm[2] | mm[3] | mm[4] | mm[5] | mm[6]
+                | mm[7]) != 0;
+      }
+      for (; j < j1; j++) {
         double tmp_xy = xy + x[j];
         double tmp_yy = yy + 2 * ypulse[j] + 1;
         tmp_xy *= tmp_xy;
@@ -1546,7 +1606,34 @@ double ec_pvq_search_rdo_double(const double *xcoeff, int n, int k,
     for (int j0 = 1; j0 < n; j0 += kChunk) {
       int j1 = j0 + kChunk < n ? j0 + kChunk : n;
       int any = 0;
-      for (j = j0; j < j1; j++) {
+      j = j0;
+      // SIMD any-detection (exact): vector lanes evaluate the same
+      // expressions; groups where some ypulse >= 4 (rare — pulses
+      // concentrate late) fall back to the scalar loop below.
+      for (; j + 8 <= j1; j += 8) {
+        ps_v8si vyp;
+        std::memcpy(&vyp, ypulse + j, sizeof(vyp));
+        int32_t yl[8];
+        std::memcpy(yl, &vyp, sizeof(yl));
+        if ((yl[0] | yl[1] | yl[2] | yl[3] | yl[4] | yl[5] | yl[6]
+             | yl[7]) & ~3)
+          break;
+        ps_v8df vx;
+        std::memcpy(&vx, x + j, sizeof(vx));
+        ps_v8df t_yy = {rst[yl[0]], rst[yl[1]], rst[yl[2]], rst[yl[3]],
+                        rst[yl[4]], rst[yl[5]], rst[yl[6]], rst[yl[7]]};
+        ps_v8df vj = {(double)(j + 0), (double)(j + 1), (double)(j + 2),
+                      (double)(j + 3), (double)(j + 4), (double)(j + 5),
+                      (double)(j + 6), (double)(j + 7)};
+        ps_v8df t = 2 * (xy + vx) * norm_1 * t_yy
+                    - lambda * vj * (delta_rate + vj * accel_rate);
+        ps_v8di m = (t > best_cost);
+        int64_t mm[8];
+        std::memcpy(mm, &m, sizeof(mm));
+        any |= (mm[0] | mm[1] | mm[2] | mm[3] | mm[4] | mm[5] | mm[6]
+                | mm[7]) != 0;
+      }
+      for (; j < j1; j++) {
         double tmp_xy = xy + x[j];
         int yj = ypulse[j];
         double tmp_yy = yj < 4 ? rst[yj]
@@ -1674,7 +1761,7 @@ static inline void get_mv(const Ctx& c, int gy, int gx,
  * reference bit-exactly including the int16 wrap of the first stage. */
 static void predict1fmv(const Ctx& c, int src, int y0, int x0,
                         int mvx, int mvy, int ny, int nx,
-                        uint8_t* out, int ostride) {
+                        uint8_t* __restrict__ out, int ostride) {
   const uint8_t* plane = c.planes[src];
   const int ps = c.pstride;
   int sy = c.pad + y0 + (mvy >> 3);
@@ -1705,12 +1792,17 @@ static void predict1fmv(const Ctx& c, int src, int y0, int x0,
   }
   int nrows = ny + 5;
   for (int r = 0; r < nrows; r++) {
-    const uint8_t* w = plane + (size_t)(sy - 2 + r) * ps + sx - 2;
-    int16_t* br = buff + (size_t)r * bstride;
+    const uint8_t* __restrict__ w =
+        plane + (size_t)(sy - 2 + r) * ps + sx - 2;
+    int16_t* __restrict__ br = buff + (size_t)r * bstride;
     if (fxi) {
+      // Unrolled 6-tap so the column loop auto-vectorizes.
+      int32_t f0 = fx[0], f1 = fx[1], f2 = fx[2], f3 = fx[3], f4 = fx[4],
+              f5 = fx[5];
       for (int col = 0; col < nx; col++) {
-        int32_t acc = 0;
-        for (int k = 0; k < 6; k++) acc += w[col + k] * fx[k];
+        int32_t acc = w[col] * f0 + w[col + 1] * f1 + w[col + 2] * f2
+                      + w[col + 3] * f3 + w[col + 4] * f4
+                      + w[col + 5] * f5;
         br[col] = (int16_t)(acc - (128 << 7));
       }
     } else {
@@ -1720,19 +1812,27 @@ static void predict1fmv(const Ctx& c, int src, int y0, int x0,
     }
   }
   for (int r = 0; r < ny; r++) {
-    uint8_t* o = out + r * ostride;
+    uint8_t* __restrict__ o = out + r * ostride;
     if (fyi) {
+      const int16_t* __restrict__ b0 = buff + (size_t)r * bstride;
+      const int16_t* __restrict__ b1 = b0 + bstride;
+      const int16_t* __restrict__ b2 = b1 + bstride;
+      const int16_t* __restrict__ b3 = b2 + bstride;
+      const int16_t* __restrict__ b4 = b3 + bstride;
+      const int16_t* __restrict__ b5 = b4 + bstride;
+      int32_t f0 = fy[0], f1 = fy[1], f2 = fy[2], f3 = fy[3], f4 = fy[4],
+              f5 = fy[5];
       for (int col = 0; col < nx; col++) {
-        int32_t acc = 0;
-        for (int k = 0; k < 6; k++)
-          acc += (int32_t)buff[(size_t)(r + k) * bstride + col] * fy[k];
+        int32_t acc = (int32_t)b0[col] * f0 + (int32_t)b1[col] * f1
+                      + (int32_t)b2[col] * f2 + (int32_t)b3[col] * f3
+                      + (int32_t)b4[col] * f4 + (int32_t)b5[col] * f5;
         int32_t v = (acc + (1 << 13) + (128 << 14)) >> 14;
         o[col] = (uint8_t)(v < 0 ? 0 : (v > 255 ? 255 : v));
       }
     } else {
+      const int16_t* __restrict__ b2 = buff + (size_t)(r + 2) * bstride;
       for (int col = 0; col < nx; col++) {
-        int32_t v = ((int32_t)buff[(size_t)(r + 2) * bstride + col]
-                     + (1 << 6) + (128 << 7)) >> 7;
+        int32_t v = ((int32_t)b2[col] + (1 << 6) + (128 << 7)) >> 7;
         o[col] = (uint8_t)(v < 0 ? 0 : (v > 255 ? 255 : v));
       }
     }
@@ -1741,17 +1841,21 @@ static void predict1fmv(const Ctx& c, int src, int y0, int x0,
 
 /* reference: src/mc.c:352-378 */
 static void blend_full(const uint8_t* const p[4], int log_x, int log_y,
-                       uint8_t* out, int ostride) {
+                       uint8_t* __restrict__ out, int ostride) {
   int nx = 1 << log_x;
   int ny = 1 << log_y;
   int lb2 = log_x + log_y;
   int32_t rnd = 1 << (lb2 - 1);
+  const uint8_t* __restrict__ q0 = p[0];
+  const uint8_t* __restrict__ q1 = p[1];
+  const uint8_t* __restrict__ q2 = p[2];
+  const uint8_t* __restrict__ q3 = p[3];
   for (int j = 0; j < ny; j++) {
-    uint8_t* o = out + j * ostride;
-    const uint8_t* r0 = p[0] + (j << log_x);
-    const uint8_t* r1 = p[1] + (j << log_x);
-    const uint8_t* r2 = p[2] + (j << log_x);
-    const uint8_t* r3 = p[3] + (j << log_x);
+    uint8_t* __restrict__ o = out + j * ostride;
+    const uint8_t* __restrict__ r0 = q0 + (j << log_x);
+    const uint8_t* __restrict__ r1 = q1 + (j << log_x);
+    const uint8_t* __restrict__ r2 = q2 + (j << log_x);
+    const uint8_t* __restrict__ r3 = q3 + (j << log_x);
     for (int i = 0; i < nx; i++) {
       int32_t p0 = r0[i];
       int32_t p1 = r1[i];
@@ -1767,8 +1871,8 @@ static void blend_full(const uint8_t* const p[4], int log_x, int log_y,
 
 /* reference: src/mc.c:1650-1750 */
 static void blend_full_split(const uint8_t* const p[4], int oc, int s,
-                             int log_x, int log_y, uint8_t* out,
-                             int ostride) {
+                             int log_x, int log_y,
+                             uint8_t* __restrict__ out, int ostride) {
   int nx = 1 << log_x;
   int ny = 1 << log_y;
   int lb2p1 = log_x + log_y + 1;
@@ -1806,12 +1910,16 @@ static void blend_full_split(const uint8_t* const p[4], int oc, int s,
     dd32[k] = (int32_t)dd[k];
   }
   int32_t rnd32 = (int32_t)rnd;
+  const uint8_t* __restrict__ q0 = p[0];
+  const uint8_t* __restrict__ q1 = p[1];
+  const uint8_t* __restrict__ q2 = p[2];
+  const uint8_t* __restrict__ q3 = p[3];
   for (int j = 0; j < ny; j++) {
-    uint8_t* o = out + j * ostride;
-    const uint8_t* r0 = p[0] + (j << log_x);
-    const uint8_t* r1 = p[1] + (j << log_x);
-    const uint8_t* r2 = p[2] + (j << log_x);
-    const uint8_t* r3 = p[3] + (j << log_x);
+    uint8_t* __restrict__ o = out + j * ostride;
+    const uint8_t* __restrict__ r0 = q0 + (j << log_x);
+    const uint8_t* __restrict__ r1 = q1 + (j << log_x);
+    const uint8_t* __restrict__ r2 = q2 + (j << log_x);
+    const uint8_t* __restrict__ r3 = q3 + (j << log_x);
     int32_t b1 = s032[1] + j * dsdj32[1];
     int32_t b2 = s032[2] + j * dsdj32[2];
     int32_t b3 = s032[3] + j * dsdj32[3];
