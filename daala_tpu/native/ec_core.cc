@@ -533,6 +533,66 @@ static void cdf_adapt_enc(EcEnc *e, int val, int32_t *cdf, int n,
   for (int i = val; i < n; i++) cdf[i] += inc;
 }
 
+// ---- adaptation undo journal -------------------------------------------
+// High-frequency encoder checkpoints (the per-block PVQ skip RDO and the
+// late block-skip RDO) used to memcpy the entire ~28KB adaptation state;
+// a block only touches a handful of CDF rows, so the native frame encoder
+// records old values at each mutation site instead and replays them in
+// reverse on rollback.  Spans nest (pvq-skip inside late-skip): each span
+// remembers the journal marks at open.  The full-snapshot path remains
+// for the block-size RDO merge (which needs roll-FORWARD restores).
+struct AdaptJournal {
+  struct Row {
+    int32_t *p;
+    int32_t v[16];
+    int32_t n;
+  };
+  struct E64 {
+    int64_t *p;
+    int64_t v;
+  };
+  std::vector<Row> rows;
+  std::vector<E64> e64;
+  int depth = 0;
+};
+
+static thread_local AdaptJournal *g_adapt_journal = nullptr;
+
+static inline void jr_row(int32_t *p, int n) {
+  AdaptJournal *j = g_adapt_journal;
+  if (!j || !j->depth) return;
+  j->rows.emplace_back();
+  AdaptJournal::Row &r = j->rows.back();
+  r.p = p;
+  r.n = n;
+  std::memcpy(r.v, p, (size_t)n * sizeof(int32_t));
+}
+
+static inline void jr_64(int64_t *p) {
+  AdaptJournal *j = g_adapt_journal;
+  if (!j || !j->depth) return;
+  j->e64.push_back({p, *p});
+}
+
+static inline void jr_rollback(AdaptJournal &j, size_t r0, size_t e0) {
+  for (size_t i = j.rows.size(); i > r0; i--) {
+    AdaptJournal::Row &r = j.rows[i - 1];
+    std::memcpy(r.p, r.v, (size_t)r.n * sizeof(int32_t));
+  }
+  j.rows.resize(r0);
+  for (size_t i = j.e64.size(); i > e0; i--) {
+    *j.e64[i - 1].p = j.e64[i - 1].v;
+  }
+  j.e64.resize(e0);
+}
+
+static inline void jr_commit(AdaptJournal &j) {
+  if (--j.depth == 0) {
+    j.rows.clear();
+    j.e64.clear();
+  }
+}
+
 static inline int pvq_size_ctx(int n) {
   int logn = ilog_z((uint32_t)(n - 1));
   int odd = n & 1;
@@ -559,18 +619,28 @@ struct PvqCwCtx {
 
 static inline int32_t *cw_k1_row(PvqCwCtx *c, int id) {
   int32_t *row = c->k1_cdf + 16 * id;
-  if (c->k1_ep && c->k1_ep[id] != c->epoch) {
-    std::memcpy(row, c->k1_src + 16 * id, 16 * sizeof(int32_t));
-    c->k1_ep[id] = c->epoch;
+  if (c->k1_ep) {
+    if (c->k1_ep[id] != c->epoch) {
+      std::memcpy(row, c->k1_src + 16 * id, 16 * sizeof(int32_t));
+      c->k1_ep[id] = c->epoch;
+    }
+  } else {
+    // Real coding (not the COW rate simulation): live rows are about to
+    // be adapted — journal them for the RDO checkpoint spans.
+    jr_row(row, 16);
   }
   return row;
 }
 
 static inline int32_t *cw_sp_row(PvqCwCtx *c, int fctx) {
   int32_t *row = c->split_cdf + 8 * fctx;
-  if (c->sp_ep && c->sp_ep[fctx] != c->epoch) {
-    std::memcpy(row, c->sp_src + 8 * fctx, 8 * sizeof(int32_t));
-    c->sp_ep[fctx] = c->epoch;
+  if (c->sp_ep) {
+    if (c->sp_ep[fctx] != c->epoch) {
+      std::memcpy(row, c->sp_src + 8 * fctx, 8 * sizeof(int32_t));
+      c->sp_ep[fctx] = c->epoch;
+    }
+  } else {
+    jr_row(row, 8);
   }
   return row;
 }
