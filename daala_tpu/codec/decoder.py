@@ -180,6 +180,8 @@ class Decoder:
         encoder's native gate, encoder.py _encode_coefficients)."""
         if not getattr(self, "use_native_frame", _NATIVE_FRAME_DEFAULT):
             return False
+        if getattr(self, "use_device_synthesis", False):
+            return False
         if self.accounting_enabled or not hasattr(dec, "_h"):
             return False
         if self.info.full_precision_references:
@@ -447,7 +449,8 @@ class Decoder:
         blk = part.coding_to_raster(out[None].astype(np.int32), n,
                                     base=base[None])[0]
         d[y0:y0 + n, x0:x0 + n] = blk
-        c[y0:y0 + n, x0:x0 + n] = dct.idct2d(blk[None])[0]
+        if not ctx.get("device_synthesis", False):
+            c[y0:y0 + n, x0:x0 + n] = dct.idct2d(blk[None])[0]
 
     # -- recursive parse (reference: src/decode.c:726-826) ------------------
 
@@ -511,7 +514,9 @@ class Decoder:
                 self._decode_recursive(dec, ctx, pli, 2 * bx + sub[0],
                                        2 * by + sub[1], bsi - 1, xdec,
                                        hgrad, vgrad)
-            filt.postfilter_split(ctx["c"], y0, x0, bs, f, hfilter, vfilter)
+            if not ctx.get("device_synthesis", False):
+                filt.postfilter_split(ctx["c"], y0, x0, bs, f, hfilter,
+                                      vfilter)
 
     def _decode_coefficients(self, dec, is_keyframe, use_activity_masking,
                              use_haar_wavelet, self_img):
@@ -540,10 +545,13 @@ class Decoder:
                     filt.apply_prefilter_frame_sbs(mctmp[pli], st.nhsb,
                                                    st.nvsb, xd, yd)
                 mdtmp[pli] = np.zeros_like(mctmp[pli])
+        device_synth = (bool(getattr(self, "use_device_synthesis", False))
+                        and not use_haar_wavelet)
         ctx = {"is_keyframe": bool(is_keyframe), "use_activity_masking":
                use_activity_masking, "d": dtmp, "l": None,
                "use_haar_wavelet": use_haar_wavelet,
-               "mc": mctmp, "md": mdtmp}
+               "mc": mctmp, "md": mdtmp,
+               "device_synthesis": device_synth}
         for sby in range(st.nvsb):
             for sbx in range(st.nhsb):
                 for pli in range(nplanes):
@@ -559,7 +567,13 @@ class Decoder:
                     self._decode_recursive(dec, ctx, pli, sbx, sby,
                                            OD_NBSIZES - 1, xdec, hgrad,
                                            vgrad)
-        if not use_haar_wavelet:
+        if device_synth:
+            # Device back-end: one jitted masked IDCT + postfilter pass
+            # per plane (daala_tpu/models/synthesis.py), bit-exact with
+            # the host loop above.
+            from daala_tpu.models.synthesis import synthesize_frame
+            ctmp = synthesize_frame(st, info, dtmp)
+        elif not use_haar_wavelet:
             for pli in range(nplanes):
                 xdec = info.plane_dec[pli][0]
                 filt.apply_postfilter_frame_sbs(ctmp[pli], st.nhsb,
