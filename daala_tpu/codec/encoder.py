@@ -1073,6 +1073,13 @@ class Encoder:
         # src/encode.c:2984-2990).
         if self.b_frames != 0 and frame_type == 1:
             self.ref_imgi[MC.OD_FRAME_PREV] = self.ref_imgi[MC.OD_FRAME_NEXT]
+        # P frames code two references (PREV + GOLD) unless they are the
+        # same image (reference: src/encode.c:3007-3017).
+        if (frame_type == 1
+                and self.ref_imgi[MC.OD_FRAME_GOLD] >= 0
+                and self.ref_imgi[MC.OD_FRAME_GOLD]
+                    != self.ref_imgi[MC.OD_FRAME_PREV]):
+            num_refs = 2
         # Select a free SELF slot (reference: src/encode.c:2999-3002).
         refi = 0
         while refi in (self.ref_imgi[MC.OD_FRAME_GOLD],
@@ -1118,21 +1125,28 @@ class Encoder:
                                                 pic_w, pic_h))
         if not is_keyframe:
             # Motion estimation + OBMC prediction into SELF.
+            lam_mv = max(40, (145000 * self.target_quantizer) >> 20)
+            if self.b_frames:
+                # Reference B-frame lambda scaling (src/mcenc.c:6411-6418).
+                lam_mv = int(lam_mv * 1.30)
             refs = [(MC.OD_FRAME_PREV,
                      self.ref_imgs[self.ref_imgi[MC.OD_FRAME_PREV]])]
             if frame_type == 2:
                 refs.append((MC.OD_FRAME_NEXT,
                              self.ref_imgs[self.ref_imgi[
                                  MC.OD_FRAME_NEXT]]))
+            elif num_refs > 1 and lam_mv < 150:
+                # Golden-frame reference for P frames; at very high
+                # lambdas the multiref signaling overhead is too high
+                # (reference: src/mcenc.c:6472-6479).
+                refs.append((MC.OD_FRAME_GOLD,
+                             self.ref_imgs[self.ref_imgi[
+                                 MC.OD_FRAME_GOLD]]))
             if info.full_precision_references:
                 # The search (non-normative) runs on 8-bit shadows of the
                 # 12-bit references; the normative OBMC prediction below
                 # uses the true full-precision planes.
                 refs = [(ri, _shadow8(rimg)) for ri, rimg in refs]
-            lam_mv = max(40, (145000 * self.target_quantizer) >> 20)
-            if self.b_frames:
-                # Reference B-frame lambda scaling (src/mcenc.c:6411-6418).
-                lam_mv = int(lam_mv * 1.30)
             vis = (info.pic_height, info.pic_width)
             # Threshold models the split-flag + MV-delta cost at the
             # reference's mv lambda (src/rate.c:1072-1075).
@@ -1145,7 +1159,9 @@ class Encoder:
                                  self.search_range, lam_mv, st.adapt, vis,
                                  self.complexity, lam_sad, frame_type,
                                  max_level=self.mv_max_level,
-                                 iters=self._mv_refine_iters()))
+                                 iters=self._mv_refine_iters(),
+                                 decimate=getattr(self, "mv_decimate",
+                                                  0)))
             if not use_native_me:
                 mvest.estimate_multi(self.mv_grid, padded_in[0], refs,
                                      info, self.search_range, lam=lam_mv,
@@ -1168,6 +1184,12 @@ class Encoder:
                                          adapt=st.adapt,
                                          frame_type=frame_type, vis=vis,
                                          iters=self._mv_refine_iters())
+            hook = getattr(self, "mv_override_cb", None)
+            if hook is not None:
+                hook(self.frame_count, self.mv_grid,
+                     dict(refs=refs, padded_in=padded_in, info=info,
+                          vis=vis, lam_mv=lam_mv, lam_sad=lam_sad,
+                          adapt=st.adapt, frame_type=frame_type))
             mv_res = None
             if use_native_me:
                 # _select_mv_res uses the unscaled mv lambda

@@ -368,7 +368,8 @@ def _ref_slot_planes(refs_list, info, pli=0):
         ref_imgi[MC.OD_FRAME_PREV] = slots[MC.OD_FRAME_NEXT]
     if ref_imgi[MC.OD_FRAME_NEXT] < 0 and MC.OD_FRAME_PREV in slots:
         ref_imgi[MC.OD_FRAME_NEXT] = slots[MC.OD_FRAME_PREV]
-    ref_imgi[MC.OD_FRAME_GOLD] = ref_imgi[MC.OD_FRAME_PREV]
+    if ref_imgi[MC.OD_FRAME_GOLD] < 0:
+        ref_imgi[MC.OD_FRAME_GOLD] = ref_imgi[MC.OD_FRAME_PREV]
     planes = []
     for r in range(4):
         idx = ref_imgi[r]
@@ -381,7 +382,8 @@ def _ref_slot_planes(refs_list, info, pli=0):
 
 def estimate_all_native(grid, cur_luma, refs, info, search_range, lam,
                         adapt, vis, complexity, lam_sad, frame_type,
-                        max_level=2, iters=2, mesh_search_range=8):
+                        max_level=2, iters=2, mesh_search_range=8,
+                        decimate=0):
     """One native call covering estimate_multi + refine_mesh +
     refine_mvs (daala_tpu/native/me_enc.inc me_estimate), with decisions
     identical to the Python pipeline.  Returns True when the native
@@ -395,7 +397,8 @@ def estimate_all_native(grid, cur_luma, refs, info, search_range, lam,
     cur = np.ascontiguousarray(cur_luma, np.uint8)
     planes4 = _ref_slot_planes(refs, info)
     gout = np.zeros(4, np.int32)
-    cfg = np.zeros(33, np.int64)
+    cfg = np.zeros(34, np.int64)
+    cfg[33] = decimate
     cfg[0] = grid.nhmvbs
     cfg[1] = grid.nvmvbs
     cfg[2] = pad
@@ -445,7 +448,7 @@ def select_mv_res_native(grid, cur_luma, refs, info, lam, adapt, vis,
     pad = MC.OD_BUFFER_PADDING
     cur = np.ascontiguousarray(cur_luma, np.uint8)
     planes4 = _ref_slot_planes(refs, info)
-    cfg = np.zeros(33, np.int64)
+    cfg = np.zeros(34, np.int64)
     cfg[0] = grid.nhmvbs
     cfg[1] = grid.nvmvbs
     cfg[2] = pad
@@ -539,7 +542,8 @@ def refine_mesh(grid: MVGrid, cur_luma, ref_images, info, lam_sad,
         ref_imgi[MC.OD_FRAME_PREV] = slots[MC.OD_FRAME_NEXT]
     if ref_imgi[MC.OD_FRAME_NEXT] < 0 and MC.OD_FRAME_PREV in slots:
         ref_imgi[MC.OD_FRAME_NEXT] = slots[MC.OD_FRAME_PREV]
-    ref_imgi[MC.OD_FRAME_GOLD] = ref_imgi[MC.OD_FRAME_PREV]
+    if ref_imgi[MC.OD_FRAME_GOLD] < 0:
+        ref_imgi[MC.OD_FRAME_GOLD] = ref_imgi[MC.OD_FRAME_PREV]
     scratch = np.zeros(cur_luma.shape, np.uint8)
 
     cur_u8 = np.ascontiguousarray(cur_luma, np.uint8)
@@ -578,8 +582,10 @@ def refine_mesh(grid: MVGrid, cur_luma, ref_images, info, lam_sad,
         if rimg is None:
             ridx = next(iter(ref_images))
             rimg = ref_images[ridx]
-        y0 = vy << MC.OD_LOG_MVBSIZE_MIN
-        x0 = vx << MC.OD_LOG_MVBSIZE_MIN
+        # Candidate MV from a block search over the vertex's OBMC
+        # influence window (centered: [vy-mvb, vy+mvb] x [vx-mvb, vx+mvb]).
+        y0 = max(0, vy - mvb_sz) << MC.OD_LOG_MVBSIZE_MIN
+        x0 = max(0, vx - mvb_sz) << MC.OD_LOG_MVBSIZE_MIN
         n = (2 * mvb_sz) << MC.OD_LOG_MVBSIZE_MIN
         dy, dx = full_pel_search(cur_luma, rimg.planes[0], pad, y0, x0, n,
                                  search_range, h, w)
@@ -587,18 +593,44 @@ def refine_mesh(grid: MVGrid, cur_luma, ref_images, info, lam_sad,
                             (dy * 8, dx * 8), h, w)
         grid.valid[vy, vx] = 1
         grid.ref[vy, vx] = ridx
-        mvx = int(np.clip(mv8[1], -clamp, clamp))
-        mvy = int(np.clip(mv8[0], -clamp, clamp))
-        if ridx == MC.OD_FRAME_NEXT:
-            grid.mv1[vy, vx] = (mvx, mvy)
-        else:
-            grid.mv[vy, vx] = (mvx, mvy)
-        sad1 = eval_blocks(blocks)
+        # Candidate list: searched MV, median predictor, and the mesh
+        # corner MVs this vertex interpolates between, judged by the
+        # true OBMC RD cost (mirrors the native engine's try_vertex).
+        cands = []
+
+        def add_cand(x, y):
+            x = int(np.clip(x, -clamp, clamp))
+            y = int(np.clip(y, -clamp, clamp))
+            if (x, y) not in cands:
+                cands.append((x, y))
+
+        add_cand(int(mv8[1]), int(mv8[0]))
+        level_v = vertex_level(vx, vy)
+        pred8, _eq = MC.get_predictor(grid, vx, vy, level_v, 0, ridx)
+        add_cand(int(pred8[0]), int(pred8[1]))
+        mvarr = grid.mv1 if ridx == MC.OD_FRAME_NEXT else grid.mv
+        offs = (((-1, -1), (-1, 1), (1, 1), (1, -1)) if level_v & 1
+                else ((-1, 0), (0, -1), (1, 0), (0, 1)))
+        for oy, ox in offs:
+            cy2, cx2 = vy + oy * mvb_sz, vx + ox * mvb_sz
+            if (0 <= cy2 <= nv and 0 <= cx2 <= nh
+                    and grid.valid[cy2, cx2] and len(cands) < 8):
+                add_cand(int(mvarr[cy2, cx2, 0]), int(mvarr[cy2, cx2, 1]))
+        best_cost = None
+        best_xy = cands[0]
+        for cx2, cy2 in cands:
+            mvarr[vy, vx] = (cx2, cy2)
+            sad_c = eval_blocks(blocks)
+            rate_c = _deps_rate(vx, vy)
+            cost_c = (sad_c << 5) + lam * rate_c
+            if best_cost is None or cost_c < best_cost:
+                best_cost = cost_c
+                best_xy = (cx2, cy2)
+        mvarr[vy, vx] = best_xy
         # Rate-aware split decision: the SAD gain must pay for the new
         # vertex's MV bits (and its effect on the neighbours'
         # predictors), with lam_sad as the acceptance margin.
-        rate1 = _deps_rate(vx, vy)
-        if ((sad0 - sad1) << 5) > lam * (rate1 - rate0) + (lam_sad << 5):
+        if (sad0 << 5) + lam * rate0 > best_cost + (lam_sad << 5):
             return True
         grid.valid[vy, vx] = 0
         grid.ref[vy, vx] = 0
@@ -671,7 +703,8 @@ def refine_mvs(grid: MVGrid, cur_luma, ref_images, info, lam,
         ref_imgi[MC.OD_FRAME_PREV] = slots[MC.OD_FRAME_NEXT]
     if ref_imgi[MC.OD_FRAME_NEXT] < 0 and MC.OD_FRAME_PREV in slots:
         ref_imgi[MC.OD_FRAME_NEXT] = slots[MC.OD_FRAME_PREV]
-    ref_imgi[MC.OD_FRAME_GOLD] = ref_imgi[MC.OD_FRAME_PREV]
+    if ref_imgi[MC.OD_FRAME_GOLD] < 0:
+        ref_imgi[MC.OD_FRAME_GOLD] = ref_imgi[MC.OD_FRAME_PREV]
     scratch = np.zeros(cur_luma.shape, np.uint8)
     D0 = MC.OD_MVB_DELTA0
     cur32 = cur_luma.astype(np.int32)

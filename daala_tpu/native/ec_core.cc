@@ -14,11 +14,13 @@
 
 #include <climits>
 #include <chrono>
+#include <cstdio>
 double g_prof_pvq = 0, g_prof_rate = 0, g_prof_snap = 0;
 double g_prof_dct = 0, g_prof_dering = 0, g_prof_dist = 0, g_prof_filt = 0;
 double g_prof_me_glob = 0, g_prof_me_full = 0, g_prof_me_mesh = 0,
        g_prof_me_refine = 0, g_prof_me_pred = 0, g_prof_me_sad = 0;
 double g_prof_pvq_search = 0, g_prof_pvq_rate = 0;
+double g_prof_blk = 0, g_prof_haardc = 0, g_prof_reorder = 0;
 // Stage timers are compiled out by default (build with -DFC_PROF=1 to
 // enable; the chrono calls are measurable on per-block paths).
 #ifndef FC_PROF
@@ -2461,6 +2463,8 @@ extern "C" void fc_get_prof(double *out) {
   out[9] = g_prof_me_mesh; out[10] = g_prof_me_refine;
   out[11] = g_prof_me_pred; out[12] = g_prof_me_sad;
   out[13] = g_prof_pvq_search; out[14] = g_prof_pvq_rate;
+  out[15] = g_prof_blk; out[16] = g_prof_haardc; out[17] = g_prof_reorder;
+  g_prof_blk = g_prof_haardc = g_prof_reorder = 0;
   g_prof_pvq_search = g_prof_pvq_rate = 0;
   g_prof_me_glob = g_prof_me_full = g_prof_me_mesh = g_prof_me_refine = 0;
   g_prof_me_pred = g_prof_me_sad = 0;

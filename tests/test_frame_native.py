@@ -131,3 +131,28 @@ def test_native_compute_dist_matches_python():
                         x.ctypes.data, n, y.ctypes.data, n, n, mask, cq,
                         flat)
                     assert got == want, (n, mask, flat, cq)
+
+
+def test_native_me_matches_python():
+    """The native motion-estimation engine (me_enc.inc) and the Python
+    pipeline (mvest.py) must produce byte-identical streams: estimation,
+    mesh subdivision (try_vertex candidates), refinement, and MV-res
+    selection all mirror each other."""
+    import content
+
+    w, h, n = 160, 96, 6
+    frames = content.make_clip(w, h, n, seed=3)
+    info = headers.Info(pic_width=w, pic_height=h)
+    pkts = {}
+    for native_me in (True, False):
+        enc = Encoder(info, quant=15, complexity=7)
+        enc.keyframe_rate = 8
+        enc.use_native_me = native_me
+        out = []
+        for fr in frames:
+            out += enc.encode_frame(fr)
+        out += enc.flush()
+        pkts[native_me] = out
+    assert len(pkts[True]) == len(pkts[False])
+    for i, (a, b) in enumerate(zip(pkts[True], pkts[False])):
+        assert bytes(a) == bytes(b), ("ME engine divergence at packet", i)

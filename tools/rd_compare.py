@@ -44,12 +44,21 @@ def make_class(kind, w, h, n, seed=1):
     return frames
 
 
-def run_ours(frames, w, h, q, complexity):
+def run_ours(frames, w, h, q, complexity, mv_max_level=None,
+             mv_iters=None, lam_sad_scale=None, mv_decimate=0):
     from daala_tpu.codec import headers as H
     from daala_tpu.codec.encoder import Encoder
     from daala_tpu.codec.decoder import Decoder
     info = H.Info(pic_width=w, pic_height=h)
     enc = Encoder(info, quant=q, complexity=complexity)
+    if mv_max_level is not None:
+        enc.mv_max_level = mv_max_level
+    if mv_iters is not None:
+        enc.mv_refine_iters = mv_iters
+    if lam_sad_scale is not None:
+        enc.lam_sad_scale = lam_sad_scale
+    if mv_decimate:
+        enc.mv_decimate = mv_decimate
     enc.keyframe_rate = 256
     pkts = list(enc.flush_headers())
     nb = 0
@@ -102,6 +111,10 @@ def main():
                     default=[10, 18, 30, 50, 80])
     ap.add_argument("--classes", nargs="*",
                     default=["smooth", "texture", "mixed"])
+    ap.add_argument("--mv-max-level", type=int, default=None)
+    ap.add_argument("--mv-iters", type=int, default=None)
+    ap.add_argument("--lam-sad-scale", type=float, default=None)
+    ap.add_argument("--mv-decimate", type=int, default=0)
     args = ap.parse_args()
     w, h = map(int, args.size.split("x"))
     from daala_tpu.utils.metrics import bd_rate
@@ -109,7 +122,9 @@ def main():
         frames = make_class(kind, w, h, args.frames)
         r_our, d_our, r_ref, d_ref = [], [], [], []
         for q in args.quants:
-            nb_o, out_o = run_ours(frames, w, h, q, args.complexity)
+            nb_o, out_o = run_ours(frames, w, h, q, args.complexity,
+                                   args.mv_max_level, args.mv_iters,
+                                   args.lam_sad_scale, args.mv_decimate)
             nb_r, out_r = run_ref(frames, w, h, q, args.complexity)
             r_our.append(nb_o)
             d_our.append(mean_psnr(frames, out_o))
