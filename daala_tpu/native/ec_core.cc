@@ -1812,6 +1812,8 @@ struct Ctx {
    * four blend corners do not include this vertex: their prediction
    * cannot depend on it, and the destination already holds it. */
   int fvx = INT_MIN, fvy = INT_MIN;
+  /* Optional recorder: every blended leaf appends (x, y, nx, ny). */
+  std::vector<int>* rects = nullptr;
 };
 
 static inline int div_pow2_re(int x, int shift) {
@@ -2099,6 +2101,12 @@ static void pred_block_from_setup(const Ctx& c, int vx, int vy, int oc,
     blend_full(pp, log_x, log_y, dst, c.dstride);
   } else {
     blend_full_split(pp, oc, s, log_x, log_y, dst, c.dstride);
+  }
+  if (c.rects) {
+    c.rects->push_back(x);
+    c.rects->push_back(y);
+    c.rects->push_back(nx);
+    c.rects->push_back(ny);
   }
 }
 
