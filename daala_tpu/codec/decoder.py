@@ -572,7 +572,9 @@ class Decoder:
             # per plane (daala_tpu/models/synthesis.py), bit-exact with
             # the host loop above.
             from daala_tpu.models.synthesis import synthesize_frame
-            ctmp = synthesize_frame(st, info, dtmp)
+            ctmp = synthesize_frame(
+                st, info, dtmp,
+                device_put_fn=getattr(self, "device_put_fn", None))
         elif not use_haar_wavelet:
             for pli in range(nplanes):
                 xdec = info.plane_dec[pli][0]
