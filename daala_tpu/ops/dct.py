@@ -15,9 +15,19 @@ transpose; inverse mirrors it.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from daala_tpu.ops import _lifting as L
+
+# Numeric sanitizer (analog of the reference's OD_DCT_CHECK_OVERFLOW
+# compile-time instrumentation, reference: src/dct.c / configure
+# --enable-dct-check-overflow): when DAALA_TPU_CHECK_OVERFLOW=1, every
+# numpy 2-D transform is recomputed with int64 lanes and compared; a
+# mismatch means an int32 lifting intermediate wrapped (out-of-headroom
+# input).  Development aid; off by default.
+_CHECK_OVERFLOW = os.environ.get("DAALA_TPU_CHECK_OVERFLOW", "0") == "1"
 
 _FDCT_1D = {4: L.fdct4, 8: L.fdct8, 16: L.fdct16, 32: L.fdct32, 64: L.fdct64}
 _IDCT_1D = {4: L.idct4, 8: L.idct8, 16: L.idct16, 32: L.idct32, 64: L.idct64}
@@ -58,6 +68,28 @@ def _stack(lanes, axis):
     return _xp(lanes[0]).stack(lanes, axis=axis)
 
 
+def _overflow_check(x, forward):
+    """Recompute the transform with int64 lanes; any difference from the
+    int32 result means an intermediate wrapped (DAALA_TPU_CHECK_OVERFLOW
+    sanitizer; analog of OD_DCT_CHECK_OVERFLOW)."""
+    n = x.shape[-1]
+    f = (_FDCT_1D if forward else _IDCT_1D)[n]
+    stack_axis = -1 if forward else -2
+    lane_axis = (lambda v, k: v[..., k, :]) if forward \
+        else (lambda v, k: v[..., :, k])
+
+    def pass_T(v):
+        out = f([lane_axis(v, k) for k in range(n)])
+        return np.stack(out, axis=stack_axis)
+
+    r32 = pass_T(pass_T(x.astype(np.int32)))
+    r64 = pass_T(pass_T(x.astype(np.int64)))
+    if not np.array_equal(r32, r64.astype(np.int64)):
+        raise OverflowError(
+            "DCT int32 lifting overflow detected (n=%d, %s)"
+            % (n, "fdct" if forward else "idct"))
+
+
 def fdct2d(x):
     """Forward 2-D DCT of a batch of blocks: (..., n, n) int32 -> same shape.
 
@@ -65,6 +97,8 @@ def fdct2d(x):
     transforms columns writing transposed, the second pass does the same, so
     the result lands back in natural orientation.
     """
+    if _CHECK_OVERFLOW and isinstance(x, np.ndarray):
+        _overflow_check(x, True)
     r = _native_dct2d(x, True)
     if r is not None:
         return r
@@ -85,6 +119,8 @@ def idct2d(y):
 
     Mirrors od_bin_idct{n}x{n} (reference: src/dct.c:159-163).
     """
+    if _CHECK_OVERFLOW and isinstance(y, np.ndarray):
+        _overflow_check(y, False)
     r = _native_dct2d(y, False)
     if r is not None:
         return r

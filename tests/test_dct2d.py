@@ -83,3 +83,19 @@ def test_band_offsets(n):
     else:
         expect_last = 512
     assert offs[-1] == expect_last
+
+
+def test_overflow_sanitizer(monkeypatch):
+    """DAALA_TPU_CHECK_OVERFLOW=1 recomputes transforms in int64 and
+    flags int32 lifting wraps (analog of OD_DCT_CHECK_OVERFLOW)."""
+    import numpy as np
+    from daala_tpu.ops import dct as D
+    monkeypatch.setattr(D, "_CHECK_OVERFLOW", True)
+    rng = np.random.default_rng(1)
+    x = rng.integers(-(1 << 14), 1 << 14, (2, 16, 16)).astype(np.int32)
+    y = D.fdct2d(x)
+    assert np.array_equal(D.idct2d(y), x)
+    big = np.full((1, 8, 8), 1 << 28, np.int32)
+    import pytest
+    with pytest.raises(OverflowError):
+        D.fdct2d(big)
