@@ -137,9 +137,15 @@ def _masked_dc_merge(d, mmask, n):
     return d
 
 
-def _prefilter_frame_dec(c, xdec, ydec):
+def _prefilter_frame_dec(c, xdec, ydec, use_pallas=False):
     """Frame lapped prefilter with per-axis superblock sizes
-    (filter.py apply_prefilter_frame_sbs for a decimated plane)."""
+    (filter.py apply_prefilter_frame_sbs for a decimated plane).
+    With use_pallas the boundary bands run as Pallas stripe kernels
+    (ops/pallas/lap_kernels.py, bit-identical)."""
+    if use_pallas:
+        from daala_tpu.ops.pallas.lap_kernels import lap_frame_pallas
+        return lap_frame_pallas(c, sb_x=64 >> xdec, sb_y=64 >> ydec,
+                                forward=True)
     from daala_tpu.models.analysis import _filter_rows_at, _filter_cols_at
     h, w = c.shape
     sb_y = 64 >> ydec
@@ -152,9 +158,10 @@ def _prefilter_frame_dec(c, xdec, ydec):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("xdec", "ydec", "lossless"))
+                   static_argnames=("xdec", "ydec", "lossless",
+                                    "use_pallas"))
 def keyframe_analysis_plane(plane_u8, mask_args, xdec=0, ydec=0,
-                            lossless=False):
+                            lossless=False, use_pallas=False):
     """Device analysis of one keyframe plane: returns the `d` coefficient
     plane exactly as the host _compute_dcts pass produces it (before the
     Haar DC tree quantization, which is host-side sequential coding).
@@ -163,7 +170,7 @@ def keyframe_analysis_plane(plane_u8, mask_args, xdec=0, ydec=0,
     (split_h, split_v, merge, leaf) = mask_args
     shift = 0 if lossless else 4
     c = (plane_u8.astype(jnp.int32) - 128) << shift
-    c = _prefilter_frame_dec(c, xdec, ydec)
+    c = _prefilter_frame_dec(c, xdec, ydec, use_pallas=use_pallas)
     # Split prefilters, top level down.
     for bsi in range(OD_NBSIZES - 1, 0, -1):
         n = 4 << (bsi - xdec)
@@ -202,7 +209,10 @@ def analyze_keyframe(state, info, padded_planes, lossless,
         plane = padded_planes[pli]
         if device_put_fn is not None:
             plane = device_put_fn(np.asarray(plane), pli)
-        d = keyframe_analysis_plane(plane, mask_args, xdec=xdec,
-                                    ydec=ydec, lossless=bool(lossless))
+        import os
+        d = keyframe_analysis_plane(
+            plane, mask_args, xdec=xdec, ydec=ydec,
+            lossless=bool(lossless),
+            use_pallas=os.environ.get("DAALA_TPU_PALLAS", "0") == "1")
         out.append(np.asarray(d, np.int32))
     return out

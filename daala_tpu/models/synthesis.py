@@ -69,9 +69,14 @@ def _masked_split_postfilter(c, hmask, vmask, n):
     return c
 
 
-def _postfilter_frame_dec(c, xdec, ydec):
+def _postfilter_frame_dec(c, xdec, ydec, use_pallas=False):
     """Frame lapped postfilter (filter.py apply_postfilter_frame_sbs):
-    vertical superblock edges first, then horizontal."""
+    vertical superblock edges first, then horizontal.  With use_pallas
+    the bands run as Pallas stripe kernels (bit-identical)."""
+    if use_pallas:
+        from daala_tpu.ops.pallas.lap_kernels import lap_frame_pallas
+        return lap_frame_pallas(c, sb_x=64 >> xdec, sb_y=64 >> ydec,
+                                forward=False)
     h, w = c.shape
     sb_y = 64 >> ydec
     sb_x = 64 >> xdec
@@ -82,8 +87,9 @@ def _postfilter_frame_dec(c, xdec, ydec):
     return c
 
 
-@functools.partial(jax.jit, static_argnames=("xdec", "ydec"))
-def synthesis_plane(d, mask_args, xdec=0, ydec=0):
+@functools.partial(jax.jit,
+                   static_argnames=("xdec", "ydec", "use_pallas"))
+def synthesis_plane(d, mask_args, xdec=0, ydec=0, use_pallas=False):
     """Device synthesis of one plane: leaf coefficient plane `d` (int32,
     as the host entropy decode leaves it) -> reconstructed coefficient
     plane `c` (int32, pre-dering), bit-exact with the host path.
@@ -105,7 +111,7 @@ def synthesis_plane(d, mask_args, xdec=0, ydec=0):
     for bsi in range(1, OD_NBSIZES):
         n = 4 << (bsi - xdec)
         c = _masked_split_postfilter(c, split_h[bsi], split_v[bsi], n)
-    return _postfilter_frame_dec(c, xdec, ydec)
+    return _postfilter_frame_dec(c, xdec, ydec, use_pallas=use_pallas)
 
 
 def synthesize_frame(state, info, d_planes, device_put_fn=None):
@@ -123,8 +129,10 @@ def synthesize_frame(state, info, d_planes, device_put_fn=None):
         d = d_planes[pli]
         if device_put_fn is not None:
             d = device_put_fn(np.asarray(d), pli)
-        c = synthesis_plane(jnp.asarray(d), mask_args, xdec=xdec,
-                            ydec=ydec)
+        import os
+        c = synthesis_plane(
+            jnp.asarray(d), mask_args, xdec=xdec, ydec=ydec,
+            use_pallas=os.environ.get("DAALA_TPU_PALLAS", "0") == "1")
         # Writable copy: the caller's dering stage mutates the plane.
         out.append(np.array(c, np.int32))
     return out
