@@ -28,6 +28,13 @@ from jax.experimental.pallas import tpu as pltpu
 from daala_tpu.ops import _lifting as L
 
 
+def _default_interpret():
+    # Pallas compiles only on real TPU backends; everywhere else
+    # (CPU test meshes, the virtual multichip dryrun) use interpret
+    # mode, which is bit-identical.
+    return jax.default_backend() != "tpu"
+
+
 def _band_kernel(row_starts, forward):
     fn = L.pre_filter4 if forward else L.post_filter4
 
@@ -63,11 +70,13 @@ def _row_pass(frame, row_starts, forward, interpret, tile_w=512):
 @functools.partial(jax.jit,
                    static_argnames=("sb_x", "sb_y", "forward", "interpret"))
 def lap_frame_pallas(frame, sb_x=64, sb_y=64, forward=True,
-                     interpret=False):
+                     interpret=None):
     """Frame lapped pre/post filter of a (H, W) int32 plane with the
     lifting bands executed as Pallas stripe kernels.
 
     sb_x/sb_y: superblock size per axis (64 >> xdec/ydec for chroma)."""
+    if interpret is None:
+        interpret = _default_interpret()
     h, w = frame.shape
     rows = [k * sb_y - 2 for k in range(1, h // sb_y)]
     cols = [k * sb_x - 2 for k in range(1, w // sb_x)]
