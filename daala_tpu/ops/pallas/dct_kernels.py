@@ -66,10 +66,18 @@ def _tile_t(frame, n):
                  .reshape(h, w))
 
 
+def _default_interpret():
+    # Pallas compiles only on real TPU backends; elsewhere use interpret
+    # mode (bit-identical).
+    return jax.default_backend() != "tpu"
+
+
 @functools.partial(jax.jit, static_argnames=("n", "forward", "interpret"))
-def dct_frame_pallas(frame, n=8, forward=True, interpret=False):
+def dct_frame_pallas(frame, n=8, forward=True, interpret=None):
     """Blockwise n x n forward/inverse DCT of a (H, W) int32 frame with
     the lifting chains executed as Pallas stripe kernels."""
+    if interpret is None:
+        interpret = _default_interpret()
     h, w = frame.shape
     assert h % n == 0 and w % n == 0
     if forward:
