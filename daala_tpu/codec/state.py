@@ -31,6 +31,19 @@ class CodecState:
 
     def __init__(self, info):
         self.info = info
+        for pli in range(info.nplanes):
+            xdec, ydec = info.plane_dec[pli][:2]
+            if xdec != ydec:
+                # The daala format's per-plane geometry assumes square
+                # decimation throughout; the reference decoder asserts
+                # xdec == ydec (reference: src/decode.c:617,734) and
+                # silently mis-decodes 4:2:2 in release builds.  Fail
+                # loudly instead: convert input to 4:2:0 or 4:4:4.
+                raise ValueError(
+                    "plane %d has asymmetric decimation (xdec=%d, "
+                    "ydec=%d): the daala format supports only 4:2:0 "
+                    "and 4:4:4; convert 4:2:2 input first "
+                    "(tools/convert.py)" % (pli, xdec, ydec))
         self.frame_width = info.frame_width
         self.frame_height = info.frame_height
         self.nhsb = self.frame_width >> 6

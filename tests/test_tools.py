@@ -77,3 +77,54 @@ def test_awcy_export(tmp_path):
     cols = out[0].split()
     assert cols[0] == "10" and cols[2] == "5000"
     assert abs(float(cols[3]) - 42.1) < 1e-9
+
+
+def test_asymmetric_decimation_rejected():
+    # The daala format supports only square chroma decimation; the
+    # reference decoder asserts xdec == ydec (src/decode.c:617,734)
+    # and release builds mis-decode 4:2:2.  We fail loudly instead.
+    import pytest
+    from daala_tpu.codec import headers as H
+    from daala_tpu.codec.state import CodecState
+    with pytest.raises(ValueError, match="asymmetric decimation"):
+        CodecState(H.Info(pic_width=64, pic_height=48,
+                          plane_dec=((0, 0), (1, 0), (1, 0))))
+
+
+def test_encode_cli_converts_422(tmp_path):
+    # 4:2:2 y4m input is converted to 4:2:0 by the encode CLI (chroma
+    # row-pair averaging) and produces a decodable 4:2:0 stream.
+    import subprocess
+    import sys as _sys
+    import numpy as np
+    src = tmp_path / "v422.y4m"
+    out = tmp_path / "v422.ogv"
+    rec = tmp_path / "rec.y4m"
+    W, H, N = 64, 48, 3
+    yy, xx = np.mgrid[0:H, 0:W]
+    with open(src, "wb") as f:
+        f.write(b"YUV4MPEG2 W64 H48 F30:1 Ip A1:1 C422\n")
+        for t in range(N):
+            y = (128 + 60 * np.sin((xx + 3 * t) / 9.0)) \
+                .clip(0, 255).astype(np.uint8)
+            cb = (128 + 20 * np.sin((xx[:, ::2] + t) / 13.0)) \
+                .clip(0, 255).astype(np.uint8)
+            cr = (128 + 20 * np.cos((yy[:, ::2] + t) / 11.0)) \
+                .clip(0, 255).astype(np.uint8)
+            f.write(b"FRAME\n" + y.tobytes() + cb.tobytes() + cr.tobytes())
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run([_sys.executable,
+                        os.path.join(root, "tools", "encode.py"),
+                        str(src), str(out), "-v", "12", "--check"],
+                       capture_output=True, text=True, cwd=root)
+    assert r.returncode == 0, r.stderr
+    assert "converting chroma to 4:2:0" in r.stderr
+    r = subprocess.run([_sys.executable,
+                        os.path.join(root, "tools", "decode.py"),
+                        str(out), str(rec)],
+                       capture_output=True, text=True, cwd=root)
+    assert r.returncode == 0, r.stderr
+    from daala_tpu.utils.y4m import Y4MReader
+    frames = list(Y4MReader(str(rec)))
+    assert len(frames) == N
+    assert frames[0][1].shape == (H // 2, W // 2)

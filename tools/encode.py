@@ -7,6 +7,8 @@ import os
 import sys
 import time
 
+import numpy as np
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
     __file__))))
 
@@ -61,6 +63,38 @@ def main():
 
     rd = Y4MReader(args.input)
     dec = tuple(rd.dec) + (((0, 0),) if rd.nplanes == 3 else ())
+    # The daala format supports only square chroma decimation (the
+    # reference decoder asserts xdec == ydec, src/decode.c:617,734).
+    # Convert 4:2:2 input to 4:2:0 by averaging chroma row pairs, like
+    # running the clip through a format converter first.
+    if any(d[0] != d[1] for d in dec[:rd.nplanes]):
+        print("input is 4:2:2; converting chroma to 4:2:0 "
+              "(the daala format supports 4:2:0/4:4:4 only)",
+              file=sys.stderr)
+        dec = ((0, 0),) + ((1, 1),) * (rd.nplanes - 1)
+        if rd.nplanes == 3:
+            dec = dec + ((0, 0),)
+        _inner_rd = rd
+
+        class _To420:
+            width = rd.width
+            height = rd.height
+            nplanes = rd.nplanes
+            fps = rd.fps
+            aspect = rd.aspect
+
+            def __iter__(self):
+                for planes in _inner_rd:
+                    out = [planes[0]]
+                    for p in planes[1:]:
+                        p16 = p.astype(np.uint16)
+                        if len(p16) & 1:  # odd height: repeat last row
+                            p16 = np.vstack([p16, p16[-1:]])
+                        out.append(((p16[0::2] + p16[1::2] + 1)
+                                    >> 1).astype(p.dtype))
+                    yield out
+
+        rd = _To420()
     info = H.Info(pic_width=rd.width, pic_height=rd.height,
                   nplanes=rd.nplanes, plane_dec=dec,
                   keyframe_rate=args.keyframe_rate,
