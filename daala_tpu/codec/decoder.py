@@ -539,8 +539,9 @@ class Decoder:
             from daala_tpu.codec.state import ref_plane_to_coeff
             for pli in range(nplanes):
                 xd, yd = info.plane_dec[pli]
-                mctmp[pli] = ref_plane_to_coeff(self_img.plane_view(pli),
-                                                lossless, fpr=fpr)
+                mctmp[pli] = ref_plane_to_coeff(
+                    self_img.plane_view(pli), lossless, fpr=fpr,
+                    bitdepth_mode=info.bitdepth_mode)
                 if not use_haar_wavelet:
                     filt.apply_prefilter_frame_sbs(mctmp[pli], st.nhsb,
                                                    st.nvsb, xd, yd)
@@ -677,7 +678,8 @@ class Decoder:
         # Store reconstruction into the SELF reference image.
         for pli in range(nplanes):
             self_img.plane_view(pli)[:, :] = coeff_to_ref_plane(
-                ctmp[pli], lossless, fpr=fpr)
+                ctmp[pli], lossless, fpr=fpr,
+                bitdepth_mode=info.bitdepth_mode)
         self_img.edge_ext()
         if is_golden:
             self.ref_imgi[MC.OD_FRAME_GOLD] = refi
@@ -698,12 +700,13 @@ class Decoder:
             crop = full[:(info.pic_height + (1 << yd) - 1) >> yd,
                         :(info.pic_width + (1 << xd) - 1) >> xd]
             if fpr:
-                # Round the 12-bit reference down to the 8-bit output
-                # (reference: src/state.c:138-180 od_img_plane_copy).
-                crop = np.clip((crop.astype(np.int32)
-                                + (1 << 4 >> 1)) >> 4, 0,
-                               255).astype(np.uint8)
-                planes.append(crop)
+                # Round the 12-bit reference down to the output depth
+                # (8/10/12 bits by bitdepth_mode; reference:
+                # src/state.c:138-180 od_img_plane_copy,
+                # od_output_queue_init src/state.c:1127).
+                from daala_tpu.codec.state import internal_to_output
+                depth = 8 + 2 * (info.bitdepth_mode - 1)
+                planes.append(internal_to_output(crop, depth))
             else:
                 planes.append(crop.copy())
         # Coding-order recon, exposed for the encoder's self-check

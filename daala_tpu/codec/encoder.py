@@ -802,7 +802,17 @@ class Encoder:
 
     def encode_frame(self, planes_u8):
         """Push one display-order frame; returns the list of packets
-        ready (with B-frames, packets can lag or batch)."""
+        ready (with B-frames, packets can lag or batch).
+
+        With bitdepth_mode 2/3 the planes are uint16 10/12-bit samples;
+        they are shifted up into the 12-bit internal input format here
+        (reference: od_input_queue_add + od_img_plane_copy,
+        src/encode.c:212-218, src/state.c:146-158)."""
+        if self.info.bitdepth_mode != 1:
+            from daala_tpu.codec.state import img_plane_to_internal
+            depth = 8 + 2 * (self.info.bitdepth_mode - 1)
+            planes_u8 = [img_plane_to_internal(np.asarray(p), depth)
+                         for p in planes_u8]
         self._pending.append((self._display_idx, planes_u8))
         self._display_idx += 1
         out = []
@@ -975,7 +985,12 @@ class Encoder:
         mdtmp = [None] * nplanes
         for pli in range(nplanes):
             xd, yd = info.plane_dec[pli]
-            coeffs = ref_plane_to_coeff(padded_in[pli], lossless)
+            # High-depth input arrives in the 12-bit internal format
+            # (uint16) and converts via the full-precision branch.
+            coeffs = ref_plane_to_coeff(
+                padded_in[pli], lossless,
+                fpr=padded_in[pli].dtype == np.uint16,
+                bitdepth_mode=info.bitdepth_mode)
             if not use_haar_wavelet:
                 filt.apply_prefilter_frame_sbs(coeffs, st.nhsb, st.nvsb,
                                                xd, yd)
@@ -983,7 +998,8 @@ class Encoder:
             if not is_keyframe:
                 mc_coeffs = ref_plane_to_coeff(
                     self_img.plane_view(pli), lossless,
-                    fpr=bool(self.info.full_precision_references))
+                    fpr=bool(self.info.full_precision_references),
+                    bitdepth_mode=info.bitdepth_mode)
                 if not use_haar_wavelet:
                     filt.apply_prefilter_frame_sbs(mc_coeffs, st.nhsb,
                                                    st.nvsb, xd, yd)
@@ -1123,6 +1139,14 @@ class Encoder:
             pic_h = (info.pic_height + (1 << yd) - 1) >> yd
             padded_in.append(img_plane_copy_pad(planes_u8[pli], pw, ph,
                                                 pic_w, pic_h))
+        # The non-normative searches (ME, open-loop block-size) run on
+        # 8-bit data; with high-depth input use a rounded-down shadow
+        # (the same non-normative choice as the FPR reference shadows).
+        search_luma = padded_in[0]
+        if search_luma.dtype == np.uint16:
+            search_luma = np.clip(
+                (search_luma.astype(np.int32) + (1 << 4 >> 1)) >> 4,
+                0, 255).astype(np.uint8)
         if not is_keyframe:
             # Motion estimation + OBMC prediction into SELF.
             lam_mv = max(40, (145000 * self.target_quantizer) >> 20)
@@ -1155,7 +1179,7 @@ class Encoder:
             use_native_me = (getattr(self, "use_native_me",
                                      _NATIVE_FRAME_DEFAULT)
                              and mvest.estimate_all_native(
-                                 self.mv_grid, padded_in[0], refs, info,
+                                 self.mv_grid, search_luma, refs, info,
                                  self.search_range, lam_mv, st.adapt, vis,
                                  self.complexity, lam_sad, frame_type,
                                  max_level=self.mv_max_level,
@@ -1163,7 +1187,7 @@ class Encoder:
                                  decimate=getattr(self, "mv_decimate",
                                                   0)))
             if not use_native_me:
-                mvest.estimate_multi(self.mv_grid, padded_in[0], refs,
+                mvest.estimate_multi(self.mv_grid, search_luma, refs,
                                      info, self.search_range, lam=lam_mv,
                                      adapt=st.adapt, vis=vis)
                 if self.complexity >= 2:
@@ -1171,7 +1195,7 @@ class Encoder:
                     # decimation + refinement stages of od_mv_est,
                     # src/mcenc.c:4019,5211; here redesigned as greedy
                     # splitting, see mvest.refine_mesh).
-                    mvest.refine_mesh(self.mv_grid, padded_in[0],
+                    mvest.refine_mesh(self.mv_grid, search_luma,
                                       dict(refs), info, lam_sad, vis=vis,
                                       max_level=self.mv_max_level,
                                       lam=lam_mv, adapt=st.adapt,
@@ -1179,7 +1203,7 @@ class Encoder:
                     if self.complexity >= 3:
                         # Rate-aware OBMC refinement with the reference's
                         # MV lambda (src/rate.c:1072-1075).
-                        mvest.refine_mvs(self.mv_grid, padded_in[0],
+                        mvest.refine_mvs(self.mv_grid, search_luma,
                                          dict(refs), info, lam_mv,
                                          adapt=st.adapt,
                                          frame_type=frame_type, vis=vis,
@@ -1196,10 +1220,10 @@ class Encoder:
                 # (src/rate.c:1072-1075), without the B-frame factor.
                 lam_res = max(40, (145000 * self.target_quantizer) >> 20)
                 mv_res = mvest.select_mv_res_native(
-                    self.mv_grid, padded_in[0], refs, info, lam_res,
+                    self.mv_grid, search_luma, refs, info, lam_res,
                     st.adapt, vis, st.frame_type)
             if mv_res is None:
-                mv_res = self._select_mv_res(padded_in[0])
+                mv_res = self._select_mv_res(search_luma)
             MC.mc_predict_frame(self.mv_grid, self.ref_imgs, self.ref_imgi,
                                 info, self_img)
             self._encode_mvs(enc, num_refs, mv_res=mv_res)
@@ -1223,7 +1247,13 @@ class Encoder:
             pred_luma = None
             if not is_keyframe:
                 pred_luma = self_img.plane_view(0)
-            blocksize.split_superblocks(st, padded_in[0], pred_luma,
+                if pred_luma.dtype == np.uint16:
+                    # Shadow the full-precision prediction down to the
+                    # 8-bit scale of the open-loop split metric.
+                    pred_luma = np.clip(
+                        (pred_luma.astype(np.int32) + (1 << 4 >> 1)) >> 4,
+                        0, 255).astype(np.uint8)
+            blocksize.split_superblocks(st, search_luma, pred_luma,
                                         st.quantizer)
         # Device-side analysis front-end (daala_tpu/models/keyframe.py):
         # compute the keyframe DCT pyramid on the TPU (shardable over a
@@ -1245,7 +1275,8 @@ class Encoder:
         fpr = bool(info.full_precision_references)
         for pli in range(nplanes):
             self_img.plane_view(pli)[:, :] = coeff_to_ref_plane(
-                ctmp[pli], st.quantizer == 0, fpr=fpr)
+                ctmp[pli], st.quantizer == 0, fpr=fpr,
+                bitdepth_mode=info.bitdepth_mode)
         self_img.edge_ext()
         if is_golden:
             self.ref_imgi[MC.OD_FRAME_GOLD] = refi
@@ -1284,8 +1315,9 @@ class Encoder:
             crop = full[:(info.pic_height + (1 << yd) - 1) >> yd,
                         :(info.pic_width + (1 << xd) - 1) >> xd]
             if fpr:
-                crop = np.clip((crop.astype(np.int32) + (1 << 4 >> 1))
-                               >> 4, 0, 255).astype(np.uint8)
+                from daala_tpu.codec.state import internal_to_output
+                crop = internal_to_output(
+                    crop, 8 + 2 * (info.bitdepth_mode - 1))
                 self.recon.append(crop)
             else:
                 self.recon.append(crop.copy())
@@ -1397,7 +1429,9 @@ class Encoder:
             padded = img_plane_copy_pad(planes_u8[0], pw, ph,
                                         self.info.pic_width,
                                         self.info.pic_height)
-            img_cache = ref_plane_to_coeff(padded, False)
+            img_cache = ref_plane_to_coeff(
+                padded, False, fpr=padded.dtype == np.uint16,
+                bitdepth_mode=self.info.bitdepth_mode)
             self._orig_coeff_luma = img_cache
         orig = img_cache[y0:y0 + n, x0:x0 + n]
         cur = ctmp[0][y0:y0 + n, x0:x0 + n]

@@ -44,6 +44,14 @@ class CodecState:
                     "ydec=%d): the daala format supports only 4:2:0 "
                     "and 4:4:4; convert 4:2:2 input first "
                     "(tools/convert.py)" % (pli, xdec, ydec))
+        if not 1 <= info.bitdepth_mode <= 3:
+            # OD_BITDEPTH_MODE_8..12 (reference: src/state.c:365-368).
+            raise ValueError("bitdepth_mode must be 1 (8-bit), 2 "
+                             "(10-bit) or 3 (12-bit)")
+        if info.bitdepth_mode != 1 and not info.full_precision_references:
+            # High depth requires FPR (reference: src/state.c:370-373).
+            raise ValueError("bitdepth_mode > 8-bit requires "
+                             "full_precision_references")
         self.frame_width = info.frame_width
         self.frame_height = info.frame_height
         self.nhsb = self.frame_width >> 6
@@ -97,14 +105,17 @@ class CodecState:
             self.last_qm = qm_choice
 
 
-def ref_plane_to_coeff(plane, lossless: bool, fpr: bool = False) \
-        -> np.ndarray:
+def ref_plane_to_coeff(plane, lossless: bool, fpr: bool = False,
+                       bitdepth_mode: int = 1) -> np.ndarray:
     """od_ref_buf_to_coeff (reference: src/state.c:1219-1256): 8-bit path
     is (x - 128) << OD_COEFF_SHIFT; the full-precision-reference path
     keeps the 12-bit samples, recentering on 0 ((x - 2048) >> shift with
-    shift = OD_COEFF_SHIFT only for lossless)."""
+    shift = OD_COEFF_SHIFT - 2*(bitdepth_mode-1), only for lossless: at
+    10/12-bit input depths the lossless coefficients run at the input
+    depth)."""
     if fpr:
-        shift = OD_COEFF_SHIFT if lossless else 0
+        shift = (OD_COEFF_SHIFT - 2 * (bitdepth_mode - 1)) if lossless \
+            else 0
         v = plane.astype(np.int32) - (1 << (8 + OD_COEFF_SHIFT) >> 1) \
             + (1 << shift >> 1)
         return (v >> shift).astype(np.int32)
@@ -112,11 +123,12 @@ def ref_plane_to_coeff(plane, lossless: bool, fpr: bool = False) \
     return ((plane.astype(np.int32) - 128) * (1 << shift)).astype(np.int32)
 
 
-def coeff_to_ref_plane(coeffs, lossless: bool, fpr: bool = False) \
-        -> np.ndarray:
+def coeff_to_ref_plane(coeffs, lossless: bool, fpr: bool = False,
+                       bitdepth_mode: int = 1) -> np.ndarray:
     """od_coeff_to_ref_buf (reference: src/state.c:1283-1327)."""
     if fpr:
-        shift = OD_COEFF_SHIFT if lossless else 0
+        shift = (OD_COEFF_SHIFT - 2 * (bitdepth_mode - 1)) if lossless \
+            else 0
         v = coeffs * (1 << shift) + (128 << OD_COEFF_SHIFT)
         return np.clip(v, 0, (1 << (8 + OD_COEFF_SHIFT)) - 1) \
             .astype(np.uint16)
@@ -125,11 +137,30 @@ def coeff_to_ref_plane(coeffs, lossless: bool, fpr: bool = False) \
     return np.clip(v + 128, 0, 255).astype(np.uint8)
 
 
+def img_plane_to_internal(plane, depth: int) -> np.ndarray:
+    """Shift a depth-bit input plane up into the 12-bit internal input
+    format used with full-precision references (reference:
+    src/state.c:146-158 od_img_plane_copy, upshift branch)."""
+    up = 8 + OD_COEFF_SHIFT - depth
+    v = plane.astype(np.int32) << up
+    return np.clip(v, 0, (1 << (8 + OD_COEFF_SHIFT)) - 1).astype(np.uint16)
+
+
+def internal_to_output(plane, depth: int) -> np.ndarray:
+    """Round a 12-bit internal reference plane down to the depth-bit
+    output format (reference: src/state.c:160-169, round-down branch).
+    Returns uint8 for depth 8, else uint16."""
+    dn = 8 + OD_COEFF_SHIFT - depth
+    v = (plane.astype(np.int32) + (1 << dn >> 1)) >> dn
+    v = np.clip(v, 0, (1 << depth) - 1)
+    return v.astype(np.uint8 if depth == 8 else np.uint16)
+
+
 def img_plane_copy_pad(src, plane_w, plane_h, pic_w, pic_h):
     """od_img_plane_copy_pad low-pass padding extension (reference:
-    src/encode.c:752-838).  src: (pic_h, pic_w) uint8; returns
-    (plane_h, plane_w) uint8."""
-    dst = np.zeros((plane_h, plane_w), np.uint8)
+    src/encode.c:752-838).  src: (pic_h, pic_w) uint8 (or uint16 with
+    high-depth input); returns (plane_h, plane_w) of the same dtype."""
+    dst = np.zeros((plane_h, plane_w), src.dtype)
     dst[:pic_h, :pic_w] = src[:pic_h, :pic_w]
     for x in range(pic_w, plane_w):
         col_c = dst[:pic_h, x - 1].astype(np.int32)

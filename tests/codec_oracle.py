@@ -108,7 +108,8 @@ def get_lib():
 
 
 def make_info(width, height, nplanes=3, dec=((0, 0), (1, 1), (1, 1)),
-              keyframe_rate=256, timebase=(30, 1), fpr=0):
+              keyframe_rate=256, timebase=(30, 1), fpr=0,
+              bitdepth_mode=1):
     info = DaalaInfo()
     get_lib().daala_info_init(ctypes.byref(info))
     info.pic_width = width
@@ -121,26 +122,29 @@ def make_info(width, height, nplanes=3, dec=((0, 0), (1, 1), (1, 1)),
     info.timebase_denominator = timebase[1]
     info.keyframe_rate = keyframe_rate
     info.full_precision_references = fpr
+    info.bitdepth_mode = bitdepth_mode
     return info
 
 
-def _build_image(planes_np, dec):
-    """planes_np: list of 2-D uint8 arrays (full-res allocated per plane)."""
+def _build_image(planes_np, dec, bitdepth=8):
+    """planes_np: list of 2-D uint8 (bitdepth 8) or uint16 (10/12)
+    arrays (full-res allocated per plane)."""
     img = DaalaImage()
     img.nplanes = len(planes_np)
     img.width = planes_np[0].shape[1]
     img.height = planes_np[0].shape[0]
     keep = []
     for i, p in enumerate(planes_np):
-        p = np.ascontiguousarray(p, np.uint8)
+        p = np.ascontiguousarray(p, np.uint8 if bitdepth == 8
+                                 else np.uint16)
         keep.append(p)
         img.planes[i].data = p.ctypes.data_as(
             ctypes.POINTER(ctypes.c_ubyte))
         img.planes[i].xdec = dec[i][0]
         img.planes[i].ydec = dec[i][1]
-        img.planes[i].xstride = 1
-        img.planes[i].ystride = p.shape[1]
-        img.planes[i].bitdepth = 8
+        img.planes[i].xstride = 1 if bitdepth == 8 else 2
+        img.planes[i].ystride = p.shape[1] * img.planes[i].xstride
+        img.planes[i].bitdepth = bitdepth
     return img, keep
 
 
@@ -148,11 +152,14 @@ class RefEncoder:
     def __init__(self, width, height, quant=20, complexity=7, nplanes=3,
                  dec=((0, 0), (1, 1), (1, 1)), keyframe_rate=256,
                  activity_masking=None, qm=None, dering=None, b_frames=None,
-                 mv_level_min=None, mv_level_max=None, fpr=0):
+                 mv_level_min=None, mv_level_max=None, fpr=0,
+                 bitdepth=8):
         lib = get_lib()
         self.dec = dec
+        self.bitdepth = bitdepth
         self.info = make_info(width, height, nplanes, dec, keyframe_rate,
-                              fpr=fpr)
+                              fpr=fpr,
+                              bitdepth_mode=1 + max(0, (bitdepth - 8) // 2))
         self.ctx = lib.daala_encode_create(ctypes.byref(self.info))
         assert self.ctx
         self._ctl_int(OD_SET_QUANT, quant)
@@ -195,7 +202,7 @@ class RefEncoder:
     def encode_frame(self, planes_np, last=False, duration=1):
         """Returns list of (packet_bytes, granulepos)."""
         lib = get_lib()
-        img, keep = _build_image(planes_np, self.dec)
+        img, keep = _build_image(planes_np, self.dec, self.bitdepth)
         r = lib.daala_encode_img_in(ctypes.c_void_p(self.ctx),
                                     ctypes.byref(img), duration)
         assert r == 0, r
@@ -280,12 +287,13 @@ class RefDecoder:
                 pl = img.planes[i]
                 w = (img.width + (1 << pl.xdec) - 1) >> pl.xdec
                 h = (img.height + (1 << pl.ydec) - 1) >> pl.ydec
-                arr = np.empty((h, w), np.uint8)
+                dt = np.uint8 if pl.xstride == 1 else np.uint16
+                arr = np.empty((h, w), dt)
                 for row in range(h):
                     ctypes.memmove(
                         arr[row].ctypes.data,
                         ctypes.addressof(pl.data.contents)
-                        + row * pl.ystride, w)
+                        + row * pl.ystride, w * pl.xstride)
                 planes.append(arr)
             frames.append(planes)
         return frames

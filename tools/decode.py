@@ -78,7 +78,8 @@ def main():
                                         info.timebase_denominator),
                                    chroma=chroma,
                                    aspect=(info.pixel_aspect_numerator,
-                                           info.pixel_aspect_denominator))
+                                           info.pixel_aspect_denominator),
+                                   depth=8 + 2 * (info.bitdepth_mode - 1))
                 continue
             vcount += 1
             if vcount - 1 < start_index:

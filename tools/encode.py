@@ -82,6 +82,7 @@ def main():
             nplanes = rd.nplanes
             fps = rd.fps
             aspect = rd.aspect
+            depth = rd.depth
 
             def __iter__(self):
                 for planes in _inner_rd:
@@ -95,13 +96,22 @@ def main():
                     yield out
 
         rd = _To420()
+    depth = getattr(rd, "depth", 8)
+    if depth not in (8, 10, 12):
+        sys.exit("unsupported input bit depth %d (the daala format "
+                 "codes 8/10/12-bit, reference: "
+                 "include/daala/codec.h:196-200)" % depth)
     info = H.Info(pic_width=rd.width, pic_height=rd.height,
                   nplanes=rd.nplanes, plane_dec=dec,
                   keyframe_rate=args.keyframe_rate,
                   timebase_numerator=rd.fps[0],
                   timebase_denominator=rd.fps[1],
                   pixel_aspect_numerator=rd.aspect[0],
-                  pixel_aspect_denominator=rd.aspect[1])
+                  pixel_aspect_denominator=rd.aspect[1],
+                  bitdepth_mode=1 + (depth - 8) // 2,
+                  # High depth requires full-precision references
+                  # (reference: src/state.c:370-373).
+                  full_precision_references=1 if depth > 8 else 0)
     if args.workers > 1:
         # Segment-parallel: read the clip, fan segments out to processes
         # (daala_tpu/parallel/mesh.py), then mux in order.
