@@ -29,7 +29,7 @@ OD_MAX_REORDER = 16
 OD_MAX_CODED_REFS = 2
 # The native (C++) whole-frame decoder (frame_dec.inc) is the default
 # production path; DAALA_TPU_NATIVE_FRAME=0 forces the pure-Python
-# implementation (also used automatically for accounting and FPR).
+# implementation (also used automatically for accounting).
 _NATIVE_FRAME_DEFAULT = _os.environ.get("DAALA_TPU_NATIVE_FRAME",
                                         "1") != "0"
 BETA_TABLES = {
@@ -175,16 +175,13 @@ class Decoder:
     # -- native whole-frame decode (frame_dec.inc) --------------------------
 
     def _use_native_frame(self, dec) -> bool:
-        """Native decode covers the production path; accounting needs
-        per-symbol Python hooks and FPR is Python-only (like the
-        encoder's native gate, encoder.py _encode_coefficients)."""
+        """Native decode covers the production path (including FPR and
+        high-depth); accounting needs per-symbol Python hooks."""
         if not getattr(self, "use_native_frame", _NATIVE_FRAME_DEFAULT):
             return False
         if getattr(self, "use_device_synthesis", False):
             return False
         if self.accounting_enabled or not hasattr(dec, "_h"):
-            return False
-        if self.info.full_precision_references:
             return False
         from daala_tpu import native as native_mod
         return native_mod.get_lib() is not None
@@ -229,7 +226,7 @@ class Decoder:
         nvdr = st.frame_height >> 6
         nhdr = st.frame_width >> 6
         lv = np.zeros(nvdr * nhdr, np.uint8)
-        cfg = np.zeros(56, np.int64)
+        cfg = np.zeros(64, np.int64)
         cfg[0] = nplanes
         cfg[1] = st.frame_width
         cfg[2] = st.frame_height
@@ -264,6 +261,9 @@ class Decoder:
             cfg[29 + 6 * pli] = st.sb_dc_mem[pli].ctypes.data
             cfg[48 + 2 * pli] = xd
             cfg[49 + 2 * pli] = yd
+        if info.full_precision_references:
+            # 12-bit uint16 reference buffers (frame_dec.inc mc_fpr).
+            cfg[56] = info.bitdepth_mode
         ap = native_ptr_table(st.adapt)
         lib.fc_decode_frame(dec._h, ap.ctypes.data, cfg.ctypes.data)
         if st.quantizer != 0:
@@ -521,7 +521,7 @@ class Decoder:
     def _decode_coefficients(self, dec, is_keyframe, use_activity_masking,
                              use_haar_wavelet, self_img):
         """od_decode_coefficients, pure-Python path (reference:
-        src/decode.c:921-1111).  Used for accounting, FPR, and as the
+        src/decode.c:921-1111).  Used for accounting and as the
         differential reference for the native decoder."""
         st = self.state
         info = self.info

@@ -898,7 +898,7 @@ class Encoder:
         pvq_qm = np.zeros((4, 30), np.int32)
         for pli in range(info.nplanes):
             pvq_qm[pli, :] = st.pvq_qm_q4[pli]
-        cfg = np.zeros(56, np.int64)
+        cfg = np.zeros(64, np.int64)
         cfg[0] = nplanes
         cfg[1] = st.frame_width
         cfg[2] = st.frame_height
@@ -947,6 +947,13 @@ class Encoder:
             cfg[29 + 6 * pli] = st.sb_dc_mem[pli].ctypes.data
             cfg[48 + 2 * pli] = xd
             cfg[49 + 2 * pli] = yd
+        # Full-precision buffer modes (frame_enc.inc Frame::in_fpr/mc_fpr):
+        # input planes are 12-bit uint16 only with high-depth input;
+        # reference (MC prediction) planes are 12-bit whenever FPR is on.
+        if padded_in[0].dtype == np.uint16:
+            cfg[56] = info.bitdepth_mode
+        if info.full_precision_references:
+            cfg[57] = info.bitdepth_mode
         dcfg = np.array([self.pvq_norm_lambda,
                          getattr(self, "bs_rdo_lambda", 0.0),
                          getattr(self, "dering_lambda", 0.0)], np.float64)
@@ -969,7 +976,6 @@ class Encoder:
         src/encode.c:2942-2948)."""
         if (getattr(self, "use_native_frame", _NATIVE_FRAME_DEFAULT)
                 and hasattr(self.enc, "_h")
-                and not self.info.full_precision_references
                 and self._bsize_dist_file is None):
             return self._encode_coefficients_native(
                 padded_in, self_img, is_keyframe, use_haar_wavelet,

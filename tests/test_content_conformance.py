@@ -82,3 +82,28 @@ def test_lossless_video_like():
     for a, b in zip(frames, rout):
         for pli in range(3):
             assert np.array_equal(np.asarray(a[pli]), np.asarray(b[pli]))
+
+
+def test_mono_conformance():
+    """Single-plane (luma-only) streams decode bit-exactly in the
+    reference decoder (reference: examples/encoder_example.c 'mono')."""
+    w, h, n = 96, 64, 4
+    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = [[(128 + 60 * np.sin((xx + 3 * t) / 9.0)
+                + rng.normal(0, 5, (h, w))).clip(0, 255)
+               .astype(np.uint8)] for t in range(n)]
+    info = headers.Info(pic_width=w, pic_height=h, nplanes=1,
+                        plane_dec=((0, 0),), keyframe_rate=8)
+    enc = Encoder(info, quant=15, complexity=7)
+    enc.keyframe_rate = 8
+    hdrs = list(enc.flush_headers())
+    pkts = [p for fr in frames for p in enc.encode_frame(fr)]
+    pkts += list(enc.flush())
+    dec = Decoder(info)
+    ours = [fr for p in pkts for fr in dec.decode_packet(p)]
+    rdec = co.RefDecoder(hdrs)
+    refs = [fr for p in pkts for fr in rdec.decode_packet(p)]
+    assert len(ours) == len(refs) == n
+    for a, b in zip(ours, refs):
+        assert np.array_equal(np.asarray(a[0]), np.asarray(b[0]))

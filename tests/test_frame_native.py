@@ -156,3 +156,35 @@ def test_native_me_matches_python():
     assert len(pkts[True]) == len(pkts[False])
     for i, (a, b) in enumerate(zip(pkts[True], pkts[False])):
         assert bytes(a) == bytes(b), ("ME engine divergence at packet", i)
+
+
+def test_native_frame_matches_python_highdepth():
+    """The native frame coder's full-precision input/reference paths
+    (frame_enc.inc in_fpr/mc_fpr) must produce byte-identical streams
+    to the Python implementation at 10-bit, lossy and lossless."""
+    w, h, n = 96, 64, 4
+    rng = np.random.default_rng(5)
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = []
+    for t in range(n):
+        y = (512 + 240 * np.sin((xx + 3 * t) / 9.0)
+             + rng.normal(0, 16, (h, w))).clip(0, 1023).astype(np.uint16)
+        cb = (512 + 80 * np.sin((xx[::2, ::2] + t) / 13.0)) \
+            .clip(0, 1023).astype(np.uint16)
+        cr = (512 + 80 * np.cos((yy[::2, ::2] + t) / 11.0)) \
+            .clip(0, 1023).astype(np.uint16)
+        frames.append([y, cb, cr])
+    info = headers.Info(pic_width=w, pic_height=h, bitdepth_mode=2,
+                        full_precision_references=1, keyframe_rate=8)
+    for quant in (15, 0):
+        pkts = {}
+        for native in (True, False):
+            enc = Encoder(info, quant=quant, complexity=7)
+            enc.keyframe_rate = 8
+            enc.use_native_frame = native
+            out = [p for fr in frames for p in enc.encode_frame(fr)]
+            out += enc.flush()
+            pkts[native] = out
+        assert len(pkts[True]) == len(pkts[False])
+        for i, (a, b) in enumerate(zip(pkts[True], pkts[False])):
+            assert bytes(a) == bytes(b), ("highdepth divergence", quant, i)
