@@ -263,3 +263,112 @@ def ciede2000(planes_a, planes_b):
     if mean <= 0:
         return 100.0
     return float(45.0 - 20.0 * np.log10(mean))
+
+
+# ---- Fast SSIM (reference: tools/dump_fastssim.c) -------------------------
+
+#: Effective 8x8 "integer approximation to a Gaussian" window of the
+#: structure term, extracted from the incremental column scheme of
+#: fs_calc_structure (reference: tools/dump_fastssim.c:318-421); the
+#: taps sum to 104, matching the tool's normalization comment.  Indexed
+#: [dr + 4][dc + 4] relative to the output pixel.
+_FS_KERNEL = np.array([
+    [0, 0, 0, 0, 0, 0, 0, 0, 0],
+    [0, 1, 2, 4, 4, 2, 1, 0, 0],
+    [0, 0, 1, 2, 2, 1, 0, 0, 0],
+    [0, 0, 0, 1, 1, 0, 0, 0, 0],
+    [0, 0, 0, 1, 1, 0, 0, 0, 0],
+    [0, 0, 1, 2, 2, 1, 0, 0, 0],
+    [0, 1, 2, 4, 4, 2, 1, 0, 0],
+    [1, 2, 4, 8, 8, 4, 2, 1, 0],
+    [1, 2, 4, 8, 8, 4, 2, 1, 0]], np.float64)
+
+#: Per-level weights (Wang's MS-SSIM weights, finest scale dropped and
+#: renormalized; reference: tools/dump_fastssim.c:425-428).
+_FS_WEIGHTS = (0.2989654541015625, 0.3141326904296875,
+               0.2473602294921875, 0.1395416259765625)
+
+
+def _fs_window(field, kernel):
+    """Zero-padded correlation of `field` with the structure kernel."""
+    h, w = field.shape
+    pad = np.zeros((h + 8, w + 8), np.float64)
+    pad[4:4 + h, 4:4 + w] = field
+    out = np.zeros((h, w), np.float64)
+    for dr in range(9):
+        for dc in range(9):
+            k = kernel[dr, dc]
+            if k:
+                out += k * pad[dr:dr + h, dc:dc + w]
+    return out
+
+
+def _fs_repbox8(im):
+    """8x8 box sum with edge replication, window [-4, +3] in both axes
+    (reference: tools/dump_fastssim.c:192-257 fs_apply_luminance)."""
+    h, w = im.shape
+    pr = im[np.clip(np.arange(-4, h + 4), 0, h - 1), :]
+    cs = np.cumsum(pr, axis=0)
+    colsum = cs[7:7 + h] - np.vstack([np.zeros((1, w)), cs[:h - 1]])
+    pc = colsum[:, np.clip(np.arange(-4, w + 4), 0, w - 1)]
+    cs2 = np.cumsum(pc, axis=1)
+    return cs2[:, 7:7 + w] - np.hstack([np.zeros((h, 1)), cs2[:, :w - 1]])
+
+
+def _fs_structure(im1, im2, level, samplemax):
+    h, w = im1.shape
+    gx = np.zeros((h, w), np.float64)
+    gy = np.zeros((h, w), np.float64)
+    g1 = np.abs(im1[1:, 1:] - im1[:-1, :-1])
+    g2 = np.abs(im1[1:, :-1] - im1[:-1, 1:])
+    gx[:-1, :-1] = 4 * np.maximum(g1, g2) + np.minimum(g1, g2)
+    g1 = np.abs(im2[1:, 1:] - im2[:-1, :-1])
+    g2 = np.abs(im2[1:, :-1] - im2[:-1, 1:])
+    gy[:-1, :-1] = 4 * np.maximum(g1, g2) + np.minimum(g1, g2)
+    c2 = samplemax * samplemax * (0.03 * 0.03) * (1 << 4 * level) * 16 * 104
+    mugx2 = _fs_window(gx * gx, _FS_KERNEL)
+    mugy2 = _fs_window(gy * gy, _FS_KERNEL)
+    mugxgy = _fs_window(gx * gy, _FS_KERNEL)
+    return (2 * mugxgy + c2) / (mugx2 + mugy2 + c2)
+
+
+def _fs_luminance(ssim_map, im1, im2, level, samplemax):
+    mux = _fs_repbox8(im1)
+    muy_col0 = _fs_repbox8(im2)[:, :1]
+    # The reference's incremental sweep updates muy with the *x* column
+    # sums (tools/dump_fastssim.c:243-245), so away from column 0 the
+    # effective muy is muy(0) + mux(i) - mux(0).  Replicated faithfully.
+    muy = muy_col0 + mux - mux[:, :1]
+    c1 = samplemax * samplemax * (0.01 * 0.01) * 4096 * (1 << 4 * level)
+    return ssim_map * (2 * mux * muy + c1) / (mux * mux + muy * muy + c1)
+
+
+def _fs_downsample(im):
+    """2x2 sum downsample with edge replication (the reference clamps
+    to w2/h2, an out-of-bounds read for odd level dims; we clamp to the
+    last valid sample — identical whenever every level dim is even)."""
+    h, w = im.shape
+    hi = np.clip(np.arange((h + 1) >> 1) * 2 + 1, 0, h - 1)
+    wi = np.clip(np.arange((w + 1) >> 1) * 2 + 1, 0, w - 1)
+    return (im[::2][:, ::2] + im[::2][:, wi] + im[hi][:, ::2]
+            + im[hi][:, wi])
+
+
+def fast_ssim(a, b, depth=8):
+    """Fast SSIM of two planes (reference: tools/dump_fastssim.c:443-470
+    calc_ssim): 4 dyadic levels starting at half resolution, gradient
+    structure term at every level, luminance term on the coarsest,
+    geometric combination with the renormalized Wang weights."""
+    im1 = _fs_downsample(np.asarray(a, np.float64))
+    im2 = _fs_downsample(np.asarray(b, np.float64))
+    samplemax = (1 << depth) - 1
+    ret = 1.0
+    for level in range(4):
+        smap = _fs_structure(im1, im2, level, samplemax)
+        if level == 3:
+            smap = _fs_luminance(smap, im1, im2, level, samplemax)
+        ret *= float(np.mean(smap)) ** _FS_WEIGHTS[level]
+        if level < 3:
+            im1 = _fs_downsample(im1)
+            im2 = _fs_downsample(im2)
+    return ret

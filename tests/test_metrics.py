@@ -32,3 +32,53 @@ def test_ciede2000_standard_vectors():
                       [np.clip(y.astype(int) + 8, 0, 255).astype(np.uint8),
                        c, c])
     assert noisy < same
+
+
+def test_fast_ssim_matches_reference_tool():
+    """fast_ssim reproduces the reference dump_fastssim calc_ssim to
+    float precision (the structure window kernel was extracted from the
+    incremental column scheme; reference: tools/dump_fastssim.c)."""
+    import ctypes
+    import os
+    import subprocess
+    import tempfile
+
+    import numpy as np
+
+    from daala_tpu.utils.metrics import fast_ssim
+    # Build the reference calc_ssim as an oracle (cached).
+    cache = os.path.join(os.path.dirname(__file__), ".oracle_cache")
+    lib_path = os.path.join(cache, "libfastssim.so")
+    if not os.path.exists(lib_path):
+        src = open("/root/reference/tools/dump_fastssim.c").read()
+        body = src[src.index("typedef struct fs_level fs_level;"):
+                   src.index("static void usage(")]
+        core = ("#include <stdio.h>\n#include <stdlib.h>\n"
+                "#include <math.h>\n#include <string.h>\n"
+                "#include <stdint.h>\n"
+                "#define FS_MINI(_a,_b) ((_a)<(_b)?(_a):(_b))\n"
+                "#define FS_MAXI(_a,_b) ((_a)>(_b)?(_a):(_b))\n"
+                "#define SSIM_K1 (0.01*0.01)\n"
+                "#define SSIM_K2 (0.03*0.03)\n" + body)
+        with tempfile.NamedTemporaryFile("w", suffix=".c",
+                                         delete=False) as f:
+            f.write(core)
+            cpath = f.name
+        subprocess.run(["gcc", "-O2", "-shared", "-fPIC", cpath, "-o",
+                        lib_path, "-lm"], check=True)
+        os.unlink(cpath)
+    lib = ctypes.CDLL(lib_path)
+    lib.calc_ssim.restype = ctypes.c_double
+    lib.calc_ssim.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                              ctypes.c_void_p, ctypes.c_int,
+                              ctypes.c_int, ctypes.c_int, ctypes.c_int]
+    rng = np.random.default_rng(0)
+    for (w, h) in [(64, 64), (128, 96), (64, 48)]:
+        yy, xx = np.mgrid[0:h, 0:w]
+        a = (128 + 60 * np.sin(xx / 7.0) + 40 * np.cos(yy / 5.0)
+             + rng.normal(0, 10, (h, w))).clip(0, 255).astype(np.uint8)
+        b = (a.astype(np.int32)
+             + rng.integers(-6, 7, (h, w))).clip(0, 255).astype(np.uint8)
+        want = lib.calc_ssim(a.ctypes.data, w, b.ctypes.data, w, 8, w, h)
+        got = fast_ssim(a, b)
+        assert abs(want - got) < 1e-12, (w, h, want, got)

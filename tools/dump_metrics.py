@@ -3,7 +3,8 @@
 
 One tool covering the reference's dump_psnr, dump_psnrhvs, dump_ssim and
 dump_msssim (reference: tools/dump_psnr.c, tools/dump_psnrhvs.c,
-tools/dump_ssim.c, tools/dump_msssim.c): per-frame and aggregate values
+tools/dump_ssim.c, tools/dump_msssim.c, tools/dump_fastssim.c):
+per-frame and aggregate values
 per plane, same frame-skipping/limit conventions.
 """
 
@@ -25,6 +26,7 @@ METRICS = {
     "psnrhvs": M.psnr_hvs,
     "ssim": M.ssim,
     "msssim": M.ms_ssim,
+    "fastssim": M.fast_ssim,
     "ciede2000": None,  # full-frame color metric, special-cased below
 }
 
