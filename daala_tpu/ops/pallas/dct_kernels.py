@@ -31,26 +31,33 @@ _IDCT_1D = {4: L.idct4, 8: L.idct8, 16: L.idct16, 32: L.idct32,
             64: L.idct64}
 
 
-def _colpass_kernel(n, forward):
+def _colpass_kernel(n, bn, forward):
     fn = _FDCT_1D[n] if forward else _IDCT_1D[n]
 
     def kernel(x_ref, o_ref):
-        x = x_ref[:]  # (n, W) stripe
-        out = fn([x[k, :] for k in range(n)])
-        o_ref[:] = jnp.stack(out, axis=0)
+        x = x_ref[:]  # (bn, W): bn // n transform stripes
+        outs = []
+        for s in range(bn // n):
+            outs.extend(fn([x[s * n + k, :] for k in range(n)]))
+        o_ref[:] = jnp.stack(outs, axis=0)
 
     return kernel
 
 
 def _colpass(frame, n, forward, interpret):
     h, w = frame.shape
+    # Mosaic requires the block's second-minor dim to be a multiple of
+    # 8 (sublanes); pack multiple n-row stripes per block for n == 4.
+    bn = max(n, 8)
+    if h % bn:
+        bn = n
     return pl.pallas_call(
-        _colpass_kernel(n, forward),
+        _colpass_kernel(n, bn, forward),
         out_shape=jax.ShapeDtypeStruct((h, w), frame.dtype),
-        grid=(h // n,),
-        in_specs=[pl.BlockSpec((n, w), lambda i: (i, 0),
+        grid=(h // bn,),
+        in_specs=[pl.BlockSpec((bn, w), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((n, w), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((bn, w), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(frame)
