@@ -53,8 +53,14 @@ def _row_pass(frame, row_starts, forward, interpret, tile_w=512):
     h, w = frame.shape
     if not row_starts:
         return frame
+    # Pick the widest column tile that divides the frame width and
+    # satisfies Mosaic's lane-dim constraint (multiple of 128, or the
+    # full width).
     tile_w = min(tile_w, w)
-    assert w % tile_w == 0
+    while tile_w > 128 and (w % tile_w or tile_w % 128):
+        tile_w -= 128
+    if w % tile_w or tile_w % 128:
+        tile_w = w
     return pl.pallas_call(
         _band_kernel(tuple(row_starts), forward),
         out_shape=jax.ShapeDtypeStruct((h, w), frame.dtype),
