@@ -939,11 +939,17 @@ class Encoder:
             cfg[26 + 6 * pli] = out_c.ctypes.data
             cfg[27 + 6 * pli] = st.bskip[pli].ctypes.data
             pre_d = getattr(self, "_device_d", None)
-            if (pre_d is not None and is_keyframe and not rdo_only
-                    and not use_haar_wavelet):
+            pre_md = getattr(self, "_device_md", None)
+            if (pre_d is not None and not rdo_only
+                    and not use_haar_wavelet
+                    and (is_keyframe or pre_md is not None)):
                 dd = np.ascontiguousarray(pre_d[pli], np.int32)
                 keep.append(dd)
                 cfg[28 + 6 * pli] = dd.ctypes.data
+                if not is_keyframe:
+                    mdd = np.ascontiguousarray(pre_md[pli], np.int32)
+                    keep.append(mdd)
+                    cfg[58 + pli] = mdd.ctypes.data
             cfg[29 + 6 * pli] = st.sb_dc_mem[pli].ctypes.data
             cfg[48 + 2 * pli] = xd
             cfg[49 + 2 * pli] = yd
@@ -1265,18 +1271,30 @@ class Encoder:
         # compute the keyframe DCT pyramid on the TPU (shardable over a
         # device mesh); the host EC pass consumes it byte-identically.
         self._device_d = None
-        if (getattr(self, "use_device_analysis", False) and is_keyframe
+        self._device_md = None
+        if (getattr(self, "use_device_analysis", False)
                 and not use_haar_wavelet and self.complexity < 2
+                and not info.full_precision_references
                 and getattr(self, "use_native_frame",
                             _NATIVE_FRAME_DEFAULT)):
             from daala_tpu.models import keyframe as KF
-            self._device_d = KF.analyze_keyframe(
-                st, info, padded_in, st.quantizer == 0,
-                device_put_fn=getattr(self, "device_put_fn", None))
+            if is_keyframe:
+                self._device_d = KF.analyze_keyframe(
+                    st, info, padded_in, st.quantizer == 0,
+                    device_put_fn=getattr(self, "device_put_fn", None))
+            else:
+                # Inter front-end: input + OBMC prediction through the
+                # same device transform pipeline.
+                mc_planes = [self_img.plane_view(pli)
+                             for pli in range(info.nplanes)]
+                self._device_d, self._device_md = KF.analyze_inter(
+                    st, info, padded_in, mc_planes, st.quantizer == 0,
+                    device_put_fn=getattr(self, "device_put_fn", None))
         ctmp = self._encode_coefficients(padded_in, self_img, is_keyframe,
                                          use_haar_wavelet, planes_u8,
                                          rdo_only=0)
         self._device_d = None
+        self._device_md = None
         # Store the reconstruction into SELF + rotate references.
         fpr = bool(info.full_precision_references)
         for pli in range(nplanes):

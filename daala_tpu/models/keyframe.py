@@ -216,3 +216,79 @@ def analyze_keyframe(state, info, padded_planes, lossless,
             use_pallas=os.environ.get("DAALA_TPU_PALLAS", "0") == "1")
         out.append(np.asarray(d, np.int32))
     return out
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("xdec", "ydec", "lossless",
+                                    "pic_w", "pic_h", "use_pallas"))
+def inter_analysis_plane(plane_u8, mc_plane_u8, mask_args, xdec=0, ydec=0,
+                         lossless=False, pic_w=None, pic_h=None,
+                         use_pallas=False):
+    """Device analysis of one inter-frame plane: (d, md) coefficient
+    planes for the input and its OBMC prediction, exactly as the host
+    per-block recursion produces them (frame lapped prefilter, input
+    padding replaced by the filtered prediction, masked split
+    prefilters, per-leaf DCT on both planes; no DC Haar tree on inter
+    frames).  The host entropy pass consumes both unchanged
+    (reference: od_encode_coefficients inter path,
+    src/encode.c:2630-2686)."""
+    (split_h, split_v, merge, leaf) = mask_args
+    del merge  # inter frames have no DC Haar tree
+    shift = 0 if lossless else 4
+    c = (plane_u8.astype(jnp.int32) - 128) << shift
+    mc = (mc_plane_u8.astype(jnp.int32) - 128) << shift
+    c = _prefilter_frame_dec(c, xdec, ydec, use_pallas=use_pallas)
+    mc = _prefilter_frame_dec(mc, xdec, ydec, use_pallas=use_pallas)
+    h, w = c.shape
+    if pic_w is not None and (pic_w < w or pic_h < h):
+        # Padding tracks the prediction so no bits are spent there
+        # (reference: src/encode.c:2662-2686); the substitution happens
+        # in the frame-prefiltered domain, matching the host order.
+        col = jnp.arange(w)[None, :] >= pic_w
+        row = jnp.arange(h)[:, None] >= pic_h
+        c = jnp.where(col | row, mc, c)
+    planes = []
+    for p in (c, mc):
+        z = p
+        for bsi in range(OD_NBSIZES - 1, 0, -1):
+            n = 4 << (bsi - xdec)
+            z = _masked_split_filter(z, split_h[bsi], split_v[bsi], n)
+        d = jnp.zeros_like(z)
+        for bs_p in sorted(leaf.keys()):
+            n = 4 << bs_p
+            dn = unblocks(dct.fdct2d(blocks_of(z, n)), h, w)
+            m = jnp.repeat(jnp.repeat(leaf[bs_p].astype(bool), n, axis=0),
+                           n, axis=1)
+            d = jnp.where(m, dn, d)
+        planes.append(d)
+    return planes[0], planes[1]
+
+
+def analyze_inter(state, info, padded_planes, mc_planes, lossless,
+                  device_put_fn=None):
+    """Device (d, md) analysis for every plane of an inter frame; the
+    prediction planes come from the OBMC stage (OD_FRAME_SELF)."""
+    import os
+    use_pallas = os.environ.get("DAALA_TPU_PALLAS", "0") == "1"
+    d_out, md_out = [], []
+    for pli in range(info.nplanes):
+        xdec, ydec = info.plane_dec[pli]
+        masks = build_analysis_masks(state, info, pli)
+        mask_args = ({k: jnp.asarray(v) for k, v in masks["split_h"].items()},
+                     {k: jnp.asarray(v) for k, v in masks["split_v"].items()},
+                     {k: jnp.asarray(v) for k, v in masks["merge"].items()},
+                     {k: jnp.asarray(v) for k, v in masks["leaf"].items()})
+        plane = np.asarray(padded_planes[pli])
+        mc = np.asarray(mc_planes[pli])
+        if device_put_fn is not None:
+            plane = device_put_fn(plane, pli)
+            mc = device_put_fn(mc, pli)
+        pic_w = (info.pic_width + (1 << xdec) - 1) >> xdec
+        pic_h = (info.pic_height + (1 << ydec) - 1) >> ydec
+        d, md = inter_analysis_plane(plane, mc, mask_args, xdec=xdec,
+                                     ydec=ydec, lossless=bool(lossless),
+                                     pic_w=pic_w, pic_h=pic_h,
+                                     use_pallas=use_pallas)
+        d_out.append(np.asarray(d, np.int32))
+        md_out.append(np.asarray(md, np.int32))
+    return d_out, md_out

@@ -68,3 +68,39 @@ def test_device_analysis_sharded_mesh():
     with mesh:
         dev = _encode_kf(w, h, frame, device=True, device_put_fn=put)
     assert dev == host
+
+
+def _clip(w, h, n, seed=1):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = []
+    for t in range(n):
+        y = (128 + 60 * np.sin((xx + 3 * t) / 9.0)
+             + 40 * np.cos((yy + 2 * t) / 7.0)
+             + rng.normal(0, 5, (h, w))).clip(0, 255).astype(np.uint8)
+        cw, ch = (w + 1) // 2, (h + 1) // 2
+        cb = (128 + 20 * np.sin((xx[:ch, :cw] + t) / 13.0)) \
+            .clip(0, 255).astype(np.uint8)
+        cr = (128 + 20 * np.cos((yy[:ch, :cw] + t) / 11.0)) \
+            .clip(0, 255).astype(np.uint8)
+        frames.append([y, cb, cr])
+    return frames
+
+
+@pytest.mark.parametrize("w,h", [(192, 128), (177, 115)])
+def test_device_inter_analysis_matches_host(w, h):
+    """Inter frames through the device front-end (input + OBMC
+    prediction transforms, models/keyframe.py inter_analysis_plane)
+    produce byte-identical packets, including the padding-follows-
+    prediction substitution at odd sizes."""
+    frames = _clip(w, h, 4)
+    pkts = {}
+    for dev in (False, True):
+        info = headers.Info(pic_width=w, pic_height=h)
+        enc = Encoder(info, quant=15, complexity=1)
+        enc.keyframe_rate = 8
+        enc.use_device_analysis = dev
+        out = [p for fr in frames for p in enc.encode_frame(fr)]
+        out += enc.flush()
+        pkts[dev] = [bytes(p) for p in out]
+    assert pkts[True] == pkts[False]
