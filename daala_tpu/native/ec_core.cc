@@ -2307,9 +2307,106 @@ static void dir_find8(const int16_t* x, int stride, int coeff_shift,
   *var_out = (int)((best_cost - cost[(best_dir + 4) & 7]) >> 10);
 }
 
+// Vector form of the per-pixel filters: one row of the b x b block per
+// iteration, GCC vector lanes.  The int16 wraparound of the scalar
+// accumulators is preserved (lane ops wrap); the tap-keep comparisons
+// are widened to int32 so the |p| == 32768 edge behaves exactly like
+// the scalar iabs((int)p) (normative for garbage-stream parity).
+#define FILTER_DIRECTION_VEC(B) \
+static void filter_direction_vec_##B(const int16_t* in, int istride, \
+                                     int threshold, int direction, \
+                                     int16_t* out, int ostride) { \
+  typedef int16_t vb __attribute__((vector_size(2 * B))); \
+  typedef int32_t vw __attribute__((vector_size(4 * B))); \
+  static const int taps[3] = {3, 2, 1}; \
+  const vw thr32 = (vw){} + threshold; \
+  for (int i = 0; i < B; i++) { \
+    vb xx, acc = (vb){}; \
+    __builtin_memcpy(&xx, in + i * istride, sizeof(vb)); \
+    for (int k = 0; k < 3; k++) { \
+      int dy = DIR_OFF[direction][k][0]; \
+      int dx = DIR_OFF[direction][k][1]; \
+      vb a, b2; \
+      __builtin_memcpy(&a, in + (i + dy) * istride + dx, sizeof(vb)); \
+      __builtin_memcpy(&b2, in + (i - dy) * istride - dx, sizeof(vb)); \
+      vb p0 = a - xx, p1 = b2 - xx; \
+      vw p0w = __builtin_convertvector(p0, vw); \
+      vw p1w = __builtin_convertvector(p1, vw); \
+      vw a0 = p0w < 0 ? -p0w : p0w; \
+      vw a1 = p1w < 0 ? -p1w : p1w; \
+      vb k0 = __builtin_convertvector(a0 < thr32, vb); \
+      vb k1 = __builtin_convertvector(a1 < thr32, vb); \
+      vb tap = (vb){} + (int16_t)taps[k]; \
+      acc += tap * (p0 & k0); \
+      acc += tap * (p1 & k1); \
+    } \
+    vw acc32 = __builtin_convertvector(acc, vw); \
+    vb res = xx + __builtin_convertvector((acc32 + 8) >> 4, vb); \
+    __builtin_memcpy(out + i * ostride, &res, sizeof(vb)); \
+  } \
+}
+FILTER_DIRECTION_VEC(8)
+FILTER_DIRECTION_VEC(4)
+
+#define FILTER_ORTHOGONAL_VEC(B) \
+static void filter_orthogonal_vec_##B(const int16_t* in, int istride, \
+                                      const int16_t* x_orig, int xstride, \
+                                      int threshold, int direction, \
+                                      int16_t* out, int ostride) { \
+  typedef int16_t vb __attribute__((vector_size(2 * B))); \
+  typedef int32_t vw __attribute__((vector_size(4 * B))); \
+  int offy, offx; \
+  if (0 < direction && direction < 4) { \
+    offy = 1; offx = 0; \
+  } else { \
+    offy = 0; offx = 1; \
+  } \
+  const vw thr32 = (vw){} + threshold; \
+  const vw thr3 = (vw){} + threshold / 3; \
+  for (int i = 0; i < B; i++) { \
+    vb yy, xo; \
+    __builtin_memcpy(&yy, in + i * istride, sizeof(vb)); \
+    __builtin_memcpy(&xo, x_orig + i * xstride, sizeof(vb)); \
+    vw yy32 = __builtin_convertvector(yy, vw); \
+    vw xo32 = __builtin_convertvector(xo, vw); \
+    vw dd = yy32 - xo32; \
+    dd = dd < 0 ? -dd : dd; \
+    vw at = thr3 + dd; \
+    at = thr32 < at ? thr32 : at; \
+    vb acc = (vb){}; \
+    static const int mult[4] = {1, 2, -1, -2}; \
+    for (int m = 0; m < 4; m++) { \
+      int dy = offy * mult[m]; \
+      int dx = offx * mult[m]; \
+      vb nb; \
+      __builtin_memcpy(&nb, in + (i + dy) * istride + dx, sizeof(vb)); \
+      vb p = nb - yy; \
+      vw pw = __builtin_convertvector(p, vw); \
+      vw ap = pw < 0 ? -pw : pw; \
+      vb keep = __builtin_convertvector(ap < at, vb); \
+      acc += p & keep; \
+    } \
+    vw acc32 = __builtin_convertvector(acc, vw); \
+    vb res = yy + __builtin_convertvector((3 * acc32 + 8) >> 4, vb); \
+    __builtin_memcpy(out + i * ostride, &res, sizeof(vb)); \
+  } \
+}
+FILTER_ORTHOGONAL_VEC(8)
+FILTER_ORTHOGONAL_VEC(4)
+
 static void filter_direction(const int16_t* in, int istride, int n,
                              int threshold, int direction,
                              int16_t* out, int ostride) {
+  if (n == 8) {
+    filter_direction_vec_8(in, istride, threshold, direction, out,
+                           ostride);
+    return;
+  }
+  if (n == 4) {
+    filter_direction_vec_4(in, istride, threshold, direction, out,
+                           ostride);
+    return;
+  }
   static const int taps[3] = {3, 2, 1};
   for (int i = 0; i < n; i++) {
     for (int j = 0; j < n; j++) {
@@ -2332,6 +2429,16 @@ static void filter_orthogonal(const int16_t* in, int istride,
                               const int16_t* x_orig, int xstride, int n,
                               int threshold, int direction,
                               int16_t* out, int ostride) {
+  if (n == 8) {
+    filter_orthogonal_vec_8(in, istride, x_orig, xstride, threshold,
+                            direction, out, ostride);
+    return;
+  }
+  if (n == 4) {
+    filter_orthogonal_vec_4(in, istride, x_orig, xstride, threshold,
+                            direction, out, ostride);
+    return;
+  }
   int offy, offx;
   if (0 < direction && direction < 4) {
     offy = 1; offx = 0;
