@@ -126,6 +126,16 @@ def ref_plane_to_coeff(plane, lossless: bool, fpr: bool = False,
 def coeff_to_ref_plane(coeffs, lossless: bool, fpr: bool = False,
                        bitdepth_mode: int = 1) -> np.ndarray:
     """od_coeff_to_ref_buf (reference: src/state.c:1283-1327)."""
+    if (coeffs.dtype == np.int32 and coeffs.flags.c_contiguous):
+        from daala_tpu import native as _native
+        lib = _native.get_lib()
+        if lib is not None:
+            out = np.empty(coeffs.shape,
+                           np.uint16 if fpr else np.uint8)
+            lib.ec_coeff_to_ref(coeffs.ctypes.data, out.ctypes.data,
+                                coeffs.size, int(lossless), int(fpr),
+                                int(bitdepth_mode))
+            return out
     if fpr:
         shift = (OD_COEFF_SHIFT - 2 * (bitdepth_mode - 1)) if lossless \
             else 0

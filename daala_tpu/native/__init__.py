@@ -148,6 +148,8 @@ def _configure(lib):
                                            c.c_void_p, c.c_int, c.c_int]
     lib.ec_cdf_adapt_enc.argtypes = [c.c_void_p, c.c_int, c.c_void_p,
                                      c.c_int, c.c_int]
+    lib.ec_coeff_to_ref.argtypes = [c.c_void_p, c.c_void_p, c.c_int64,
+                                    c.c_int, c.c_int, c.c_int]
     lib.ec_cdf_adapt_dec.argtypes = [c.c_void_p, c.c_void_p, c.c_int,
                                      c.c_int]
     lib.ec_cdf_adapt_dec.restype = c.c_int

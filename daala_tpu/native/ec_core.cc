@@ -2569,6 +2569,33 @@ void ec_dering(const void* plane_, int ph, int pw, int sby, int sbx,
 
 }  /* extern "C" */
 
+// Reconstruction store: od_coeff_to_ref_buf (state.py
+// coeff_to_ref_plane) as one vectorizable pass.  fpr selects the
+// 12-bit uint16 reference layout; mode is the bitdepth_mode (lossless
+// coefficients run at the input depth).
+extern "C" void ec_coeff_to_ref(const int32_t* c, void* out, int64_t n,
+                                int lossless, int fpr, int mode) {
+  if (fpr) {
+    int shift = lossless ? 4 - 2 * (mode - 1) : 0;
+    uint16_t* o = (uint16_t*)out;
+    for (int64_t i = 0; i < n; i++) {
+      int32_t v = c[i] * (1 << shift) + (128 << 4);
+      if (v < 0) v = 0;
+      if (v > (1 << 12) - 1) v = (1 << 12) - 1;
+      o[i] = (uint16_t)v;
+    }
+  } else {
+    int shift = lossless ? 0 : 4;
+    uint8_t* o = (uint8_t*)out;
+    for (int64_t i = 0; i < n; i++) {
+      int32_t v = ((c[i] + ((1 << shift) >> 1)) >> shift) + 128;
+      if (v < 0) v = 0;
+      if (v > 255) v = 255;
+      o[i] = (uint8_t)v;
+    }
+  }
+}
+
 // Lightweight profiling counters (read via fc_get_prof).
 extern "C" void fc_get_prof(double *out) {
   out[0] = g_prof_pvq; out[1] = g_prof_rate; out[2] = g_prof_snap;
