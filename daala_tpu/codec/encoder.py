@@ -119,6 +119,10 @@ class Encoder:
         # (-1.19% BD-rate vs -0.79% at 2 and -0.85% at 4, ~1% encode
         # time); shallower at low complexity.
         self.mv_max_level = 3 if complexity >= 6 else 2
+        # OD_SET_MV_RES_MIN analogue (reference: daalaenc.h:188,
+        # src/mcenc.c:1808,6349): floor on the coded MV resolution
+        # (0 = 1/8 pel .. 2 = 1/2 pel).
+        self.mv_res_min = 0
         self.keyframe_rate = info.keyframe_rate
         self.b_frames = 0
         self._pending = []   # display-order frames awaiting coding
@@ -260,7 +264,10 @@ class Encoder:
         sre = mvest.mv_small_rate_est(self.state.adapt)
         frame_type = self.state.frame_type
         best = None
+        res_min = getattr(self, "mv_res_min", 0)
         for res in (2, 1, 0):
+            if res < res_min:
+                continue
             if res:
                 half = 1 << (res - 1)
                 grid.mv[:] = ((saved_mv + half) >> res) << res
@@ -1236,7 +1243,8 @@ class Encoder:
                 lam_res = max(40, (145000 * self.target_quantizer) >> 20)
                 mv_res = mvest.select_mv_res_native(
                     self.mv_grid, search_luma, refs, info, lam_res,
-                    st.adapt, vis, st.frame_type)
+                    st.adapt, vis, st.frame_type,
+                    res_min=self.mv_res_min)
             if mv_res is None:
                 mv_res = self._select_mv_res(search_luma)
             MC.mc_predict_frame(self.mv_grid, self.ref_imgs, self.ref_imgi,

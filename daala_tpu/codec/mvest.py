@@ -436,7 +436,7 @@ def estimate_all_native(grid, cur_luma, refs, info, search_range, lam,
 
 
 def select_mv_res_native(grid, cur_luma, refs, info, lam, adapt, vis,
-                         frame_type):
+                         frame_type, res_min=0):
     """Native MV-resolution selection (me_enc.inc me_select_mv_res);
     rounds the grid MVs in place and returns the chosen resolution, or
     None when the native engine is unavailable."""
@@ -468,6 +468,7 @@ def select_mv_res_native(grid, cur_luma, refs, info, lam, adapt, vis,
     cfg[25] = grid.mv1.ctypes.data
     cfg[27] = cur.shape[0]
     cfg[28] = cur.shape[1]
+    cfg[29] = res_min
     return int(lib.me_select_mv_res(cfg.ctypes.data))
 
 

@@ -49,6 +49,11 @@ def main():
                          "(reference's --activity-masking 0)")
     ap.add_argument("--mv-level-max", type=int, default=None,
                     help="maximum MV mesh subdivision level (0..6)")
+    ap.add_argument("--mv-res-min", type=int, default=0,
+                    choices=(0, 1, 2),
+                    help="minimum (coarsest-allowed bound on) MV "
+                         "resolution: 0 = 1/8 pel .. 2 = 1/2 pel "
+                         "(reference's OD_SET_MV_RES_MIN)")
     ap.add_argument("--two-pass", metavar="STATS", default=None,
                     help="two-pass rate control: first run (stats file "
                          "absent) records per-frame metrics to STATS; "
@@ -164,6 +169,7 @@ def main():
     enc.b_frames = args.b_frames
     if args.mv_level_max is not None:
         enc.mv_max_level = args.mv_level_max
+    enc.mv_res_min = args.mv_res_min
     enc.enable_encoder_check = args.check
     if args.two_pass and not two_pass_writing:
         with open(args.two_pass, "rb") as f:
