@@ -199,6 +199,10 @@ def od_dering_jax(plane_i16, sby, sbx, xdec, pli, bskip, threshold, n,
             bits += (v1 >= (1 << p)).astype(np.int32)
         tt = np.asarray(_THRESH_TABLE_Q8, np.int64)
         thresh = ((threshold * tt[bits] + 128) >> 8).astype(np.int32)
+        # Wrapped-negative variance -> unfiltered (the reference's
+        # OD_ILOG(negative) table read is out of bounds; see
+        # ops/dering.py for the emulation rationale).
+        thresh = np.where(v1 < 0, 0, thresh).astype(np.int32)
     else:
         assert dirs is not None
         thresh = np.full((nvb, nhb), threshold, np.int32)

@@ -2510,8 +2510,16 @@ void ec_dering(const void* plane_, int ph, int pw, int sby, int sbx,
         dirs[by * nb + bx] = d;
         int v1 = var >> 6;
         if (v1 > 32767) v1 = 32767;
-        int ilog = v1 > 0 ? 32 - __builtin_clz((unsigned)v1) : 0;
-        thresh[by * nb + bx] = (threshold * THRESH_Q8[ilog] + 128) >> 8;
+        if (v1 < 0) {
+          // Wrapped-negative variance (garbage streams): the reference
+          // reads past its threshold table (OD_ILOG(v1) == 32, an
+          // out-of-bounds upstream UB) and lands on a negative int16,
+          // leaving the block unfiltered; emulate deterministically.
+          thresh[by * nb + bx] = 0;
+        } else {
+          int ilog = v1 > 0 ? 32 - __builtin_clz((unsigned)v1) : 0;
+          thresh[by * nb + bx] = (threshold * THRESH_Q8[ilog] + 128) >> 8;
+        }
       }
     }
   } else {

@@ -98,7 +98,13 @@ def dir_find8(block8, coeff_shift):
         if cost[i] > best_cost:
             best_cost = cost[i]
             best_dir = i
-    var = (best_cost - cost[(best_dir + 4) & 7]) >> 10
+    # The subtraction is int32 in the reference and can wrap on
+    # garbage-stream cost magnitudes; the wrap is observable through
+    # the threshold table below, so replicate it exactly.
+    diff = (best_cost - cost[(best_dir + 4) & 7]) & 0xFFFFFFFF
+    if diff >= 1 << 31:
+        diff -= 1 << 32
+    var = diff >> 10
     return best_dir, var
 
 
@@ -217,9 +223,19 @@ def od_dering(plane_i16, sby, sbx, xdec, pli, bskip, threshold, n,
                                           8 * bx:8 * bx + 8], coeff_shift)
                 dirs[by, bx] = d
                 v1 = min(32767, var >> 6)
-                thresh[by, bx] = (threshold
-                                  * _THRESH_TABLE_Q8[v1.bit_length()]
-                                  + 128) >> 8
+                if v1 < 0:
+                    # Wrapped-negative variance: the reference computes
+                    # OD_ILOG(v1) == 32 and reads past its 18-entry
+                    # threshold table (an out-of-bounds read, upstream
+                    # UB; reference: src/dering.c:241-248).  The bytes
+                    # that follow in its .rodata are a negative int16
+                    # (OD_DIRECTION_OFFSETS_TABLE), so the block goes
+                    # unfiltered; emulate that deterministically.
+                    thresh[by, bx] = 0
+                else:
+                    thresh[by, bx] = (threshold
+                                      * _THRESH_TABLE_Q8[v1.bit_length()]
+                                      + 128) >> 8
     else:
         assert dirs is not None, "chroma requires the luma direction map"
         thresh[:, :] = threshold

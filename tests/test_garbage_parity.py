@@ -3,6 +3,7 @@ frames the reference C decoder produces on randomly corrupted packets
 (the reference decodes garbage into garbage without failing; reference:
 src/decode.c error handling + clamped symbol parsing)."""
 
+import os
 import random
 
 import numpy as np
@@ -43,7 +44,8 @@ def _mk_stream():
 def test_garbage_decode_parity():
     info, hdrs, p_key, p_inter = _mk_stream()
     random.seed(42)
-    for trial in range(16):
+    trials = int(os.environ.get("DAALA_TPU_FUZZ_TRIALS", "24"))
+    for trial in range(trials):
         for target in (p_key, p_inter):
             g = bytearray(target)
             for _ in range(random.randrange(1, 8)):
