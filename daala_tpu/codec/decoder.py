@@ -401,9 +401,14 @@ class Decoder:
             if is_keyframe:
                 blk[0, 0] = d[y0, x0]
             else:
-                # Inter DC (has_dc_skip = 0 in wavelet mode; reference:
-                # src/decode.c:565-576).
-                dc_quant = 1 if quant0 == 0 else max(1, quant0)
+                # Inter DC (has_dc_skip = 0 in wavelet mode;
+                # dc_quant carries the per-plane PVQ QM factor —
+                # identical for luma, different for chroma; reference:
+                # src/decode.c:558-576).
+                from daala_tpu.ops.pvq import qm_get_index
+                dc_quant = 1 if quant0 == 0 else max(
+                    1, quant0 * st.pvq_qm_q4[pli][qm_get_index(bs, 0)]
+                    >> 4)
                 adapt = st.adapt
                 exl = adapt.ex_dc[pli][bs]
                 q, exl[0] = adapt.model_dc[pli].decode(dec, -1, exl[0], 2)

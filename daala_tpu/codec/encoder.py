@@ -603,7 +603,10 @@ class Encoder:
                 # Inter DC: has_dc_skip is 0 in wavelet mode, so the DC
                 # residual is always coded with the generic model
                 # (reference: src/encode.c:1363-1382).
-                dc_quant = 1 if st.quantizer == 0 else max(1, st.quantizer)
+                from daala_tpu.ops.pvq import qm_get_index
+                dc_quant = 1 if st.quantizer == 0 else max(
+                    1, st.quantizer
+                    * st.pvq_qm_q4[pli][qm_get_index(bs, 0)] >> 4)
                 dc_idx = PC.div_r0(int(dblk[0, 0]) - int(pred[0, 0]),
                                    dc_quant)
                 adapt = st.adapt

@@ -251,13 +251,20 @@ def wavelet_unquantize(dec, adapt, ln, predt, quant, pli):
     bits = decode_cdf_adapt(dec, adapt.haar_bits_cdf[pli], 16,
                             adapt.haar_bits_increment)
     if bits == 15:
-        # Unary continuation.  The reference's loop is unbounded
-        # (src/decode.c:322-327) and spins on corrupt streams once the
-        # raw-bit tail is exhausted (the decoder then returns zeros
-        # forever); since any value > 24 is rejected as corruption right
-        # below, cap the loop there — identical on valid streams.
-        while dec.decode_bits(1) == 0 and bits <= 24:
-            bits += 1
+        # Unary continuation.  The reference's loop consumes raw bits
+        # until a 1 arrives regardless of the value (src/decode.c:
+        # 322-327); stopping early shifts the raw-bit window and every
+        # later sign/suffix read with it (raw bits come from the stream
+        # tail), so consume identically.  The only cap is a hang guard
+        # far beyond any real packet (the reference would spin forever
+        # on an all-zero tail).
+        zeros = 0
+        while dec.decode_bits(1) == 0:
+            zeros += 1
+            if zeros > (1 << 16):
+                dec.error = 1
+                break
+        bits += zeros
     if bits > 24:
         dec.error = 1
         return pred

@@ -277,6 +277,8 @@ class RefDecoder:
         self._pno += 1
         r = lib.daala_decode_packet_in(ctypes.c_void_p(self.ctx),
                                        ctypes.byref(pkt))
+        if r == -24:  # OD_EBADPACKET: rejected, no frame out
+            return []
         assert r >= 0, r
         frames = []
         img = DaalaImage()

@@ -104,3 +104,44 @@ def test_accounting_locations():
     assert max(xs) >= 16 and max(ys) >= 16  # spans several blocks
     total_bytes = sum(r[1] for r in recs) / 64.0  # Q3 bits -> bytes
     assert abs(total_bytes - len(p_key)) < len(p_key) * 0.25
+
+
+def test_garbage_decode_parity_highdepth():
+    """Corrupted 10-bit FPR streams also decode bit-exactly like the
+    reference (this path exercises the lossy-Haar-wavelet combination
+    only garbage can signal, where the DC quantizer carries the
+    per-plane PVQ QM factor; reference: src/decode.c:558-576)."""
+    w, h = 128, 96
+    rng = np.random.default_rng(3)
+    yy, xx = np.mgrid[0:h, 0:w]
+    y = (512 + 240 * np.sin(xx / 7.0)
+         + rng.normal(0, 30, (h, w))).clip(0, 1023).astype(np.uint16)
+    cb = (512 + 120 * np.sin(xx[::2, ::2] / 9.0)).clip(0, 1023) \
+        .astype(np.uint16)
+    cr = cb.copy()
+    info = headers.Info(pic_width=w, pic_height=h, bitdepth_mode=2,
+                        full_precision_references=1, keyframe_rate=64)
+    enc = Encoder(info, quant=20)
+    enc.keyframe_rate = 64
+    hdrs = list(enc.flush_headers())
+    p_key = enc.encode_frame([y, cb, cr])[0]
+    p_inter = enc.encode_frame([np.roll(y, 2, 1), cb, cr])[0]
+    random.seed(77)
+    trials = int(os.environ.get("DAALA_TPU_FUZZ_TRIALS", "24"))
+    for trial in range(trials):
+        for target in (p_key, p_inter):
+            g = bytearray(target)
+            for _ in range(random.randrange(1, 10)):
+                g[random.randrange(len(g))] = random.randrange(256)
+            g = bytes(g)
+            rdec = co.RefDecoder(hdrs)
+            rdec.decode_packet(p_key)
+            rf = rdec.decode_packet(g)
+            dec = Decoder(info)
+            dec.decode_packet(p_key)
+            of = dec.decode_packet(g)
+            assert len(rf) == len(of)
+            for a, b in zip(rf, of):
+                for p in range(3):
+                    assert np.array_equal(np.asarray(a[p]),
+                                          np.asarray(b[p]))
