@@ -147,3 +147,22 @@ def test_integer_polish_cannot_improve_much_on_shipped():
     best, cg, _ = search(filt_n=4, steps=0, polish_radius=1)
     assert cg >= coding_gain_1d(PARAMS4) - 1e-12
     assert cg - coding_gain_1d(PARAMS4) < 0.1
+
+
+def test_train_cli_smoke():
+    """tools/train.py subcommands run and produce plausible output."""
+    import os
+    import subprocess
+    import sys
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tool = os.path.join(root, "tools", "train.py")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run([sys.executable, tool, "laplace", "4", "7"],
+                       capture_output=True, text=True, cwd=root, env=env)
+    assert r.returncode == 0 and "EXP_CDF_TABLE" in r.stdout
+    r = subprocess.run([sys.executable, tool, "basis", "0", "mag"],
+                       capture_output=True, text=True, cwd=root, env=env)
+    assert r.returncode == 0 and "0.870774" in r.stdout
+    r = subprocess.run([sys.executable, tool, "gain"],
+                       capture_output=True, text=True, cwd=root, env=env)
+    assert r.returncode == 0 and "8.5523" in r.stdout
