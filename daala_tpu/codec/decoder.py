@@ -722,7 +722,10 @@ class Decoder:
             # OD_DUMP_IMAGES analogue: decoded frames in coding order.
             _dump.dump_yuv(_dump.images_dir(), "out", planes, info)
         slot = frame_number % OD_MAX_REORDER
-        assert self._out_slots[slot] is None
+        # A garbage frame_number can collide with an occupied reorder
+        # slot; the reference's OD_ASSERT compiles out in release
+        # builds and the slot is overwritten, dropping the pending
+        # frame (reference: src/state.c od_output_queue_add).
         self._out_slots[slot] = planes
         ready = []
         while self._out_slots[self._out_index] is not None:

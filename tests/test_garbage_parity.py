@@ -145,3 +145,46 @@ def test_garbage_decode_parity_highdepth():
                 for p in range(3):
                     assert np.array_equal(np.asarray(a[p]),
                                           np.asarray(b[p]))
+
+
+def test_corruption_state_propagation_parity():
+    """A corrupted mid-stream packet poisons decoder state (references,
+    reorder queue); every SUBSEQUENT valid packet must still decode
+    bit-exactly like the reference, including its release-build
+    behavior of overwriting an occupied reorder slot on garbage frame
+    numbers (reference: src/state.c od_output_queue_add)."""
+    w, h, n = 128, 96, 6
+    rng = np.random.default_rng(9)
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = []
+    for t in range(n):
+        y = (128 + 60 * np.sin((xx + 3 * t) / 9.0)
+             + rng.normal(0, 6, (h, w))).clip(0, 255).astype(np.uint8)
+        cb = (128 + 25 * np.sin((xx[::2, ::2] + t) / 13.0)) \
+            .clip(0, 255).astype(np.uint8)
+        frames.append([y, cb, cb.copy()])
+    info = headers.Info(pic_width=w, pic_height=h, keyframe_rate=64)
+    enc = Encoder(info, quant=18)
+    enc.keyframe_rate = 64
+    hdrs = list(enc.flush_headers())
+    pkts = [p for fr in frames for p in enc.encode_frame(fr)]
+    pkts += list(enc.flush())
+    random.seed(11)
+    trials = int(os.environ.get("DAALA_TPU_FUZZ_TRIALS", "24"))
+    for trial in range(trials):
+        ci = random.randrange(1, len(pkts))
+        g = bytearray(pkts[ci])
+        for _ in range(random.randrange(1, 8)):
+            g[random.randrange(len(g))] = random.randrange(256)
+        seq = pkts[:ci] + [bytes(g)] + pkts[ci + 1:]
+        rdec = co.RefDecoder(hdrs)
+        dec = Decoder(info)
+        rr, oo = [], []
+        for p in seq:
+            rr += rdec.decode_packet(p)
+            oo += dec.decode_packet(p)
+        assert len(rr) == len(oo), (trial, ci)
+        for a, b in zip(rr, oo):
+            for pl in range(3):
+                assert np.array_equal(np.asarray(a[pl]),
+                                      np.asarray(b[pl])), (trial, ci)
