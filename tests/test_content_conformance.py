@@ -107,3 +107,38 @@ def test_mono_conformance():
     assert len(ours) == len(refs) == n
     for a, b in zip(ours, refs):
         assert np.array_equal(np.asarray(a[0]), np.asarray(b[0]))
+
+
+@pytest.mark.parametrize("bf", [0, 2])
+def test_long_gop_golden_rotation(bf):
+    """24 frames with keyframes every 8: exercises multiple keyframe
+    restarts, golden-frame rotation (every 10th coded I/P frame), and
+    reference-ring reuse across GOPs; bit-exact in the reference
+    decoder (reference: src/encode.c:2999-3002 SELF slot selection,
+    :3145-3178 reference updates)."""
+    w, h, n = 96, 64, 24
+    rng = np.random.default_rng(5)
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = []
+    for t in range(n):
+        y = (128 + 60 * np.sin((xx + 2.5 * t) / 9.0)
+             + 40 * np.cos((yy + 1.5 * t) / 7.0)
+             + rng.normal(0, 5, (h, w))).clip(0, 255).astype(np.uint8)
+        cb = (128 + 20 * np.sin((xx[::2, ::2] + t) / 13.0)) \
+            .clip(0, 255).astype(np.uint8)
+        frames.append([y, cb, cb.copy()])
+    info = headers.Info(pic_width=w, pic_height=h, keyframe_rate=8)
+    enc = Encoder(info, quant=18, complexity=7)
+    enc.keyframe_rate = 8
+    enc.b_frames = bf
+    hdrs = list(enc.flush_headers())
+    pkts = [p for fr in frames for p in enc.encode_frame(fr)]
+    pkts += list(enc.flush())
+    rdec = co.RefDecoder(hdrs)
+    dec = Decoder(info)
+    rr = [f for p in pkts for f in rdec.decode_packet(p)]
+    oo = [f for p in pkts for f in dec.decode_packet(p)]
+    assert len(rr) == len(oo) == n
+    for a, b in zip(rr, oo):
+        for pl in range(3):
+            assert np.array_equal(np.asarray(a[pl]), np.asarray(b[pl]))
