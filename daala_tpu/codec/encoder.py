@@ -123,6 +123,9 @@ class Encoder:
         # src/mcenc.c:1808,6349): floor on the coded MV resolution
         # (0 = 1/8 pel .. 2 = 1/2 pel).
         self.mv_res_min = 0
+        # OD_SET_MV_LEVEL_MIN analogue (reference: daalaenc.h:194,
+        # src/mcenc.c:6405): forced mesh-subdivision floor.
+        self.mv_level_min = 0
         self.keyframe_rate = info.keyframe_rate
         self.b_frames = 0
         self._pending = []   # display-order frames awaiting coding
@@ -1210,7 +1213,8 @@ class Encoder:
                                  max_level=self.mv_max_level,
                                  iters=self._mv_refine_iters(),
                                  decimate=getattr(self, "mv_decimate",
-                                                  0)))
+                                                  0),
+                                 min_level=self.mv_level_min))
             if not use_native_me:
                 mvest.estimate_multi(self.mv_grid, search_luma, refs,
                                      info, self.search_range, lam=lam_mv,
@@ -1224,7 +1228,8 @@ class Encoder:
                                       dict(refs), info, lam_sad, vis=vis,
                                       max_level=self.mv_max_level,
                                       lam=lam_mv, adapt=st.adapt,
-                                      frame_type=frame_type)
+                                      frame_type=frame_type,
+                                      min_level=self.mv_level_min)
                     if self.complexity >= 3:
                         # Rate-aware OBMC refinement with the reference's
                         # MV lambda (src/rate.c:1072-1075).

@@ -383,7 +383,7 @@ def _ref_slot_planes(refs_list, info, pli=0):
 def estimate_all_native(grid, cur_luma, refs, info, search_range, lam,
                         adapt, vis, complexity, lam_sad, frame_type,
                         max_level=2, iters=2, mesh_search_range=8,
-                        decimate=0):
+                        decimate=0, min_level=0):
     """One native call covering estimate_multi + refine_mesh +
     refine_mvs (daala_tpu/native/me_enc.inc me_estimate), with decisions
     identical to the Python pipeline.  Returns True when the native
@@ -397,8 +397,9 @@ def estimate_all_native(grid, cur_luma, refs, info, search_range, lam,
     cur = np.ascontiguousarray(cur_luma, np.uint8)
     planes4 = _ref_slot_planes(refs, info)
     gout = np.zeros(4, np.int32)
-    cfg = np.zeros(34, np.int64)
+    cfg = np.zeros(35, np.int64)
     cfg[33] = decimate
+    cfg[34] = min_level
     cfg[0] = grid.nhmvbs
     cfg[1] = grid.nvmvbs
     cfg[2] = pad
@@ -512,7 +513,7 @@ def _majority_ref(grid, vx, vy, mvb_sz, nh, nv):
 
 def refine_mesh(grid: MVGrid, cur_luma, ref_images, info, lam_sad,
                 search_range=8, max_level=2, vis=None, lam=0,
-                adapt=None, frame_type=1):
+                adapt=None, frame_type=1, min_level=0):
     """Encoder-side adaptive mesh subdivision.
 
     TPU-friendly replacement for the reference's decimation-heap + Viterbi
@@ -574,7 +575,7 @@ def refine_mesh(grid: MVGrid, cur_luma, ref_images, info, lam_sad,
         return sum(vertex_bits_q3(grid, sre, wx, wy, 0, frame_type)
                    for wy, wx in _dependents(grid, vx, vy))
 
-    def try_vertex(vx, vy, mvb_sz):
+    def try_vertex(vx, vy, mvb_sz, force=False):
         blocks = _affected_l0_blocks(vx, vy, mvb_sz, nh, nv)
         rate0 = _deps_rate(vx, vy)
         sad0 = eval_blocks(blocks)
@@ -631,7 +632,7 @@ def refine_mesh(grid: MVGrid, cur_luma, ref_images, info, lam_sad,
         # Rate-aware split decision: the SAD gain must pay for the new
         # vertex's MV bits (and its effect on the neighbours'
         # predictors), with lam_sad as the acceptance margin.
-        if (sad0 << 5) + lam * rate0 > best_cost + (lam_sad << 5):
+        if force or (sad0 << 5) + lam * rate0 > best_cost + (lam_sad << 5):
             return True
         grid.valid[vy, vx] = 0
         grid.ref[vy, vx] = 0
@@ -643,6 +644,7 @@ def refine_mesh(grid: MVGrid, cur_luma, ref_images, info, lam_sad,
     log_mvb_sz = MC.OD_LOG_MVB_DELTA0 - 1
     while log_mvb_sz >= 0 and level <= max_level:
         mvb_sz = 1 << log_mvb_sz
+        force = level <= min_level
         # Odd level: square centers, all 4 diagonal corners must be valid.
         for vy in range(mvb_sz, nv + 1, 2 * mvb_sz):
             for vx in range(mvb_sz, nh + 1, 2 * mvb_sz):
@@ -650,10 +652,11 @@ def refine_mesh(grid: MVGrid, cur_luma, ref_images, info, lam_sad,
                         and grid.valid[vy - mvb_sz, vx + mvb_sz]
                         and grid.valid[vy + mvb_sz, vx + mvb_sz]
                         and grid.valid[vy + mvb_sz, vx - mvb_sz]):
-                    try_vertex(vx, vy, mvb_sz)
+                    try_vertex(vx, vy, mvb_sz, force)
         level += 1
         if level > max_level:
             break
+        force = level <= min_level
         # Even level: edge midpoints, axial neighbors (clipped) valid.
         for vy in range(0, nv + 1, mvb_sz):
             vx0 = mvb_sz if not (vy & mvb_sz) else 0
@@ -664,7 +667,7 @@ def refine_mesh(grid: MVGrid, cur_luma, ref_images, info, lam_sad,
                       and (vx + mvb_sz > nh
                            or grid.valid[vy, vx + mvb_sz]))
                 if ok:
-                    try_vertex(vx, vy, mvb_sz)
+                    try_vertex(vx, vy, mvb_sz, force)
         level += 1
         log_mvb_sz -= 1
 

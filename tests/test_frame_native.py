@@ -188,3 +188,29 @@ def test_native_frame_matches_python_highdepth():
         assert len(pkts[True]) == len(pkts[False])
         for i, (a, b) in enumerate(zip(pkts[True], pkts[False])):
             assert bytes(a) == bytes(b), ("highdepth divergence", quant, i)
+
+
+def test_native_me_min_level_matches_python():
+    """OD_SET_MV_LEVEL_MIN analogue: forced mesh subdivision floor
+    behaves identically in both ME engines and stays conformant
+    (reference: daalaenc.h:194, src/mcenc.c:6405)."""
+    import content
+
+    w, h, n = 160, 96, 5
+    frames = content.make_clip(w, h, n, seed=3)
+    sizes = {}
+    for lmin in (0, 2):
+        pkts = {}
+        for native_me in (True, False):
+            info = headers.Info(pic_width=w, pic_height=h)
+            enc = Encoder(info, quant=15, complexity=7)
+            enc.keyframe_rate = 8
+            enc.use_native_me = native_me
+            enc.mv_level_min = lmin
+            out = [p for fr in frames for p in enc.encode_frame(fr)]
+            out += enc.flush()
+            pkts[native_me] = [bytes(p) for p in out]
+        assert pkts[True] == pkts[False], lmin
+        sizes[lmin] = sum(len(p) for p in pkts[True])
+    # The forced subdivision must actually change the stream.
+    assert sizes[2] != sizes[0]

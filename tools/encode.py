@@ -49,6 +49,9 @@ def main():
                          "(reference's --activity-masking 0)")
     ap.add_argument("--mv-level-max", type=int, default=None,
                     help="maximum MV mesh subdivision level (0..6)")
+    ap.add_argument("--mv-level-min", type=int, default=0,
+                    help="minimum (forced) MV mesh subdivision level "
+                         "(reference's OD_SET_MV_LEVEL_MIN)")
     ap.add_argument("--mv-res-min", type=int, default=0,
                     choices=(0, 1, 2),
                     help="minimum (coarsest-allowed bound on) MV "
@@ -170,6 +173,7 @@ def main():
     if args.mv_level_max is not None:
         enc.mv_max_level = args.mv_level_max
     enc.mv_res_min = args.mv_res_min
+    enc.mv_level_min = args.mv_level_min
     enc.enable_encoder_check = args.check
     if args.two_pass and not two_pass_writing:
         with open(args.two_pass, "rb") as f:
