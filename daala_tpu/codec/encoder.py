@@ -1,13 +1,24 @@
-"""Daala-compatible encoder (intra tools; inter next).
+"""Daala-compatible encoder (full intra + inter toolset).
 
-Keyframe pipeline mirrors od_encode_frame / od_encode_coefficients
-(reference: src/encode.c:2963-2961,2539-2860): pad input, lift to
+The frame pipeline mirrors od_encode_frame / od_encode_coefficients
+(reference: src/encode.c:2963-2961,2539-2860): pad input, motion
+estimation + OBMC prediction and MV coding on inter frames, lift to
 coefficient domain, frame prefilter, per-superblock DCT pyramid with Haar
-DC tree, PVQ band search + entropy coding, frame postfilter, dering RDO.
+DC tree (keyframes), PVQ band search + entropy coding, frame postfilter,
+dering RDO.  B-frames (reorder queue depth 0-4), 10/12-bit input,
+full-precision references, lossless (Haar wavelet), CBR/2-pass rate
+control and complexity gates 0-10 are all supported.
 
-The block-size decision currently supports: fixed size, and the
-variance-based open-loop splitter (reference complexity 0-1); trial-encode
-RDO splitting comes with the performance work.
+Block-size decision: complexity >= 2 runs the reference's trial-encode
+RDO merge pass (od_encode_recursive rdo_only, src/encode.c:1660) with
+full EC + adaptation checkpoints; complexity 0-1 uses the open-loop
+variance splitter; fixed_bsize overrides for tests.
+
+The production coefficient and motion-estimation passes run in the
+native engine (native/frame_enc.inc, me_enc.inc), byte-identical to the
+Python reference implementation in this file; a TPU device front-end
+(models/keyframe.py) can precompute the transform pyramids for both the
+RDO and final passes, again byte-identically.
 """
 
 from __future__ import annotations

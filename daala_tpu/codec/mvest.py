@@ -7,9 +7,14 @@ fully vectorizable, followed by subpel refinement using the exact
 normative interpolation (mc.predict1fmv), so the SAD we minimize is the
 SAD the decoder's prediction will realize.
 
-The mesh is kept at level 0 (uniform 64x64 OBMC blocks).  Finer mesh
-subdivision is an RD refinement to be added with the perf work; streams
-are valid either way.
+The mesh subdivides greedily down to level 3 by default at complexity
+>= 6 (encoder knobs mv_level_max / mv_level_min; reference analogues
+OD_SET_MV_LEVEL_MAX/MIN, src/encode.c:349-409): each subdivision
+candidate is accepted when its rate-distortion gain clears the MV-rate
+lambda, with per-vertex reference selection on B-frames and adaptive MV
+resolution (select_mv_res_native).  The hot candidate evaluations (OBMC
+prediction + SAD) run in the native engine (native/me_enc.inc) or as
+batched device cost fields (models/mefield.py) when a TPU is present.
 """
 
 from __future__ import annotations

@@ -33,6 +33,14 @@ def get_lib():
     _tried = True
     if os.environ.get("DAALA_TPU_NATIVE", "1") == "0":
         return None
+    # Load a pre-built library verbatim (the sanitizer CI test points
+    # this at an ASan/UBSan build of the same sources).
+    override = os.environ.get("DAALA_TPU_NATIVE_LIB")
+    if override:
+        lib = ctypes.CDLL(override)
+        _configure(lib)
+        _lib = lib
+        return _lib
     try:
         newest = os.path.getmtime(_SRC)
         for name in ("lifting_gen.inc", "frame_enc.inc", "me_enc.inc",
