@@ -925,7 +925,7 @@ class Encoder:
         pvq_qm = np.zeros((4, 30), np.int32)
         for pli in range(info.nplanes):
             pvq_qm[pli, :] = st.pvq_qm_q4[pli]
-        cfg = np.zeros(64, np.int64)
+        cfg = np.zeros(80, np.int64)
         cfg[0] = nplanes
         cfg[1] = st.frame_width
         cfg[2] = st.frame_height
@@ -980,6 +980,23 @@ class Encoder:
             cfg[29 + 6 * pli] = st.sb_dc_mem[pli].ctypes.data
             cfg[48 + 2 * pli] = xd
             cfg[49 + 2 * pli] = yd
+        # Device RDO transform pyramid for the luma trial pass
+        # (frame_enc.inc Frame::pre_rd/pre_rmd/pre_d_rdo).
+        rdo_pyr = getattr(self, "_device_rdo", None)
+        if rdo_pyr is not None and rdo_only and not use_haar_wavelet:
+            d_l, md_l, d_m = rdo_pyr
+            for l in range(5):
+                dd = np.ascontiguousarray(d_l[l], np.int32)
+                keep.append(dd)
+                cfg[62 + l] = dd.ctypes.data
+                if md_l is not None:
+                    mdd = np.ascontiguousarray(md_l[l], np.int32)
+                    keep.append(mdd)
+                    cfg[67 + l] = mdd.ctypes.data
+            if d_m is not None:
+                dm = np.ascontiguousarray(d_m, np.int32)
+                keep.append(dm)
+                cfg[72] = dm.ctypes.data
         # Full-precision buffer modes (frame_enc.inc Frame::in_fpr/mc_fpr):
         # input planes are 12-bit uint16 only with high-depth input;
         # reference (MC prediction) planes are 12-bit whenever FPR is on.
@@ -1273,17 +1290,34 @@ class Encoder:
         # complexity >= 2 runs the full trial-encode RDO merge pass from
         # an all-4x4 map; complexity 0-1 uses the open-loop variance
         # splitter; fixed_bsize overrides for tests.
+        device_on = (getattr(self, "use_device_analysis", False)
+                     and not use_haar_wavelet
+                     and getattr(self, "use_native_frame",
+                                 _NATIVE_FRAME_DEFAULT))
+        self._device_rdo = None
         if use_haar_wavelet:
             st.init_superblock_split(4)
         elif hasattr(self, "fixed_bsize"):
             st.init_superblock_split(self.fixed_bsize)
         elif self.complexity >= 2:
             st.init_superblock_split(0)
+            if device_on:
+                # Device RDO transform pyramid: the trial pass's forward
+                # transforms are decision-independent, so they batch as
+                # one device pass (models/keyframe.py rdo_pyramid_luma).
+                from daala_tpu.models import keyframe as KF
+                mc_pl = None
+                if not is_keyframe:
+                    mc_pl = [self_img.plane_view(0)]
+                self._device_rdo = KF.analyze_rdo_pyramid(
+                    st, info, padded_in, mc_pl, st.quantizer == 0,
+                    device_put_fn=getattr(self, "device_put_fn", None))
             cp = self._checkpoint_full()
             self._encode_coefficients(padded_in, self_img, is_keyframe,
                                       use_haar_wavelet, planes_u8,
                                       rdo_only=1)
             self._rollback_full(cp)
+            self._device_rdo = None
         else:
             from daala_tpu.codec import blocksize
             pred_luma = None
@@ -1298,15 +1332,14 @@ class Encoder:
             blocksize.split_superblocks(st, search_luma, pred_luma,
                                         st.quantizer)
         # Device-side analysis front-end (daala_tpu/models/keyframe.py):
-        # compute the keyframe DCT pyramid on the TPU (shardable over a
-        # device mesh); the host EC pass consumes it byte-identically.
+        # compute the frame's DCT pyramid on the TPU (shardable over a
+        # device mesh) for the final pass — the block-size map is final
+        # here at every complexity (the RDO merge pass above already
+        # decided it) — and let the host EC pass consume it
+        # byte-identically.  Covers 8-bit and full-precision inputs.
         self._device_d = None
         self._device_md = None
-        if (getattr(self, "use_device_analysis", False)
-                and not use_haar_wavelet and self.complexity < 2
-                and not info.full_precision_references
-                and getattr(self, "use_native_frame",
-                            _NATIVE_FRAME_DEFAULT)):
+        if device_on:
             from daala_tpu.models import keyframe as KF
             if is_keyframe:
                 self._device_d = KF.analyze_keyframe(

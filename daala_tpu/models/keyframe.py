@@ -157,19 +157,30 @@ def _prefilter_frame_dec(c, xdec, ydec, use_pallas=False):
     return c
 
 
+def _lift_input(plane, fpr_mode, lossless):
+    """Input lift to the coefficient domain (od_ref_buf_to_coeff,
+    reference: src/state.c:1219-1256): 8-bit is (x - 128) << 4 (<< 0
+    lossless); full-precision 12-bit buffers recenter on 2048, with the
+    lossless shift running at the input depth."""
+    x = plane.astype(jnp.int32)
+    if fpr_mode:
+        s = (4 - 2 * (fpr_mode - 1)) if lossless else 0
+        return (x - 2048 + (1 << s >> 1)) >> s
+    return (x - 128) << (0 if lossless else 4)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("xdec", "ydec", "lossless",
-                                    "use_pallas"))
+                                    "fpr_mode", "use_pallas"))
 def keyframe_analysis_plane(plane_u8, mask_args, xdec=0, ydec=0,
-                            lossless=False, use_pallas=False):
+                            lossless=False, fpr_mode=0, use_pallas=False):
     """Device analysis of one keyframe plane: returns the `d` coefficient
     plane exactly as the host _compute_dcts pass produces it (before the
     Haar DC tree quantization, which is host-side sequential coding).
 
     mask_args: tuple as packed by pack_masks()."""
     (split_h, split_v, merge, leaf) = mask_args
-    shift = 0 if lossless else 4
-    c = (plane_u8.astype(jnp.int32) - 128) << shift
+    c = _lift_input(plane_u8, fpr_mode, lossless)
     c = _prefilter_frame_dec(c, xdec, ydec, use_pallas=use_pallas)
     # Split prefilters, top level down.
     for bsi in range(OD_NBSIZES - 1, 0, -1):
@@ -210,9 +221,12 @@ def analyze_keyframe(state, info, padded_planes, lossless,
         if device_put_fn is not None:
             plane = device_put_fn(np.asarray(plane), pli)
         import os
+        fpr_mode = (info.bitdepth_mode
+                    if np.asarray(padded_planes[pli]).dtype == np.uint16
+                    else 0)
         d = keyframe_analysis_plane(
             plane, mask_args, xdec=xdec, ydec=ydec,
-            lossless=bool(lossless),
+            lossless=bool(lossless), fpr_mode=fpr_mode,
             use_pallas=os.environ.get("DAALA_TPU_PALLAS", "0") == "1")
         out.append(np.asarray(d, np.int32))
     return out
@@ -220,10 +234,11 @@ def analyze_keyframe(state, info, padded_planes, lossless,
 
 @functools.partial(jax.jit,
                    static_argnames=("xdec", "ydec", "lossless",
+                                    "fpr_mode", "mc_fpr_mode",
                                     "pic_w", "pic_h", "use_pallas"))
 def inter_analysis_plane(plane_u8, mc_plane_u8, mask_args, xdec=0, ydec=0,
-                         lossless=False, pic_w=None, pic_h=None,
-                         use_pallas=False):
+                         lossless=False, fpr_mode=0, mc_fpr_mode=0,
+                         pic_w=None, pic_h=None, use_pallas=False):
     """Device analysis of one inter-frame plane: (d, md) coefficient
     planes for the input and its OBMC prediction, exactly as the host
     per-block recursion produces them (frame lapped prefilter, input
@@ -234,9 +249,8 @@ def inter_analysis_plane(plane_u8, mc_plane_u8, mask_args, xdec=0, ydec=0,
     src/encode.c:2630-2686)."""
     (split_h, split_v, merge, leaf) = mask_args
     del merge  # inter frames have no DC Haar tree
-    shift = 0 if lossless else 4
-    c = (plane_u8.astype(jnp.int32) - 128) << shift
-    mc = (mc_plane_u8.astype(jnp.int32) - 128) << shift
+    c = _lift_input(plane_u8, fpr_mode, lossless)
+    mc = _lift_input(mc_plane_u8, mc_fpr_mode, lossless)
     c = _prefilter_frame_dec(c, xdec, ydec, use_pallas=use_pallas)
     mc = _prefilter_frame_dec(mc, xdec, ydec, use_pallas=use_pallas)
     h, w = c.shape
@@ -285,10 +299,146 @@ def analyze_inter(state, info, padded_planes, mc_planes, lossless,
             mc = device_put_fn(mc, pli)
         pic_w = (info.pic_width + (1 << xdec) - 1) >> xdec
         pic_h = (info.pic_height + (1 << ydec) - 1) >> ydec
+        fpr_mode = (info.bitdepth_mode
+                    if np.asarray(padded_planes[pli]).dtype == np.uint16
+                    else 0)
+        mc_fpr_mode = (info.bitdepth_mode
+                       if info.full_precision_references else 0)
         d, md = inter_analysis_plane(plane, mc, mask_args, xdec=xdec,
                                      ydec=ydec, lossless=bool(lossless),
+                                     fpr_mode=fpr_mode,
+                                     mc_fpr_mode=mc_fpr_mode,
                                      pic_w=pic_w, pic_h=pic_h,
                                      use_pallas=use_pallas)
         d_out.append(np.asarray(d, np.int32))
         md_out.append(np.asarray(md, np.int32))
     return d_out, md_out
+
+
+# ---------------------------------------------------------------------------
+# Block-size-RDO transform pyramid.
+#
+# During the trial-encode RDO pass (reference: od_encode_recursive with
+# rdo_only, src/encode.c:1660-1850) every node of the luma block tree is
+# evaluated: the "nosplit" hypothesis transforms the node span *before*
+# its own split prefilter is applied, and the recursion always applies
+# the split prefilter and descends.  Reconstruction writes only propagate
+# upward, so the forward-transform input of every hypothesis is fully
+# determined by the original frame and the fixed all-split lapping
+# structure.  That makes the whole pyramid precomputable in one device
+# pass: level l's tensor is the blockwise (4 << l)-point DCT of the frame
+# after the frame prefilter and the split prefilters of all levels > l.
+# The host trial pass consumes the tensors instead of re-running fdcts
+# (native/frame_enc.inc block_encode_impl).
+
+
+def _rdo_level_masks(state, info):
+    """Full (all-split) hfilter/vfilter masks per luma level 1..4, with
+    the reference's picture-edge conditions (src/encode.c:1760-1763)."""
+    w = state.frame_width
+    h = state.frame_height
+    out = {}
+    for bsi in range(1, OD_NBSIZES):
+        n = 4 << bsi
+        nby, nbx = h // n, w // n
+        bxs = np.arange(nbx)[None, :]
+        bys = np.arange(nby)[:, None]
+        hm = ((bxs + 1) << (2 + bsi)) <= info.pic_width
+        vm = ((bys + 1) << (2 + bsi)) <= info.pic_height
+        out[bsi] = (np.broadcast_to(hm, (nby, nbx)).astype(np.uint8),
+                    np.broadcast_to(vm, (nby, nbx)).astype(np.uint8))
+    return out
+
+
+def _pyramid_levels(c, level_masks, use_pallas):
+    """Emit the per-level DCT tensors top-down while applying the
+    all-split prefilters; level_masks[bsi] = (hmask, vmask) jnp arrays."""
+    h, w = c.shape
+    out = {}
+    for bsi in range(OD_NBSIZES - 1, -1, -1):
+        n = 4 << bsi
+        out[bsi] = unblocks(dct.fdct2d(blocks_of(c, n)), h, w)
+        if bsi > 0:
+            hm, vm = level_masks[bsi]
+            c = _masked_split_filter(c, hm, vm, n)
+    return out, c
+
+
+def _allsplit_haar_merge(d):
+    """Haar-merge the DC tree of an all-split 4x4 DCT plane bottom-up
+    (the keyframe rdo pass's compute_dcts output; every node merges)."""
+    h, w = d.shape
+    for bsi in range(1, OD_NBSIZES):
+        n = 4 << bsi
+        ones = jnp.ones((h // n, w // n), jnp.uint8)
+        d = _masked_dc_merge(d, ones, n)
+    return d
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("lossless", "fpr_mode", "is_keyframe",
+                                    "mc_fpr_mode", "pic_w", "pic_h",
+                                    "use_pallas"))
+def rdo_pyramid_luma(plane, mc_plane, level_mask_args, lossless=False,
+                     fpr_mode=0, mc_fpr_mode=0, is_keyframe=True,
+                     pic_w=None, pic_h=None, use_pallas=False):
+    """Device RDO pyramid for the luma plane.
+
+    Returns (d_levels, md_levels, d_rdo_merged):
+      d_levels[l], l=0..4: blockwise (4 << l) DCT of the input after the
+          frame prefilter and the all-split prefilters of levels > l;
+      md_levels: same for the OBMC prediction (inter frames; else None);
+      d_rdo_merged: keyframes only — level-0 tensor with the full DC
+          Haar merge tree applied (what compute_dcts produces on the
+          all-4x4 map for the haar-DC quantization prep)."""
+    c = _lift_input(plane, fpr_mode, lossless)
+    c = _prefilter_frame_dec(c, 0, 0, use_pallas=use_pallas)
+    if is_keyframe:
+        d_levels, _ = _pyramid_levels(c, level_mask_args, use_pallas)
+        return d_levels, None, _allsplit_haar_merge(d_levels[0])
+    mc = _lift_input(mc_plane, mc_fpr_mode, lossless)
+    mc = _prefilter_frame_dec(mc, 0, 0, use_pallas=use_pallas)
+    h, w = c.shape
+    if pic_w is not None and (pic_w < w or pic_h < h):
+        col = jnp.arange(w)[None, :] >= pic_w
+        row = jnp.arange(h)[:, None] >= pic_h
+        c = jnp.where(col | row, mc, c)
+    d_levels, _ = _pyramid_levels(c, level_mask_args, use_pallas)
+    md_levels, _ = _pyramid_levels(mc, level_mask_args, use_pallas)
+    return d_levels, md_levels, None
+
+
+def analyze_rdo_pyramid(state, info, padded_planes, mc_planes, lossless,
+                        device_put_fn=None):
+    """Run the device RDO pyramid for luma; returns
+    (d_levels, md_levels_or_None, d_rdo_merged_or_None) as numpy int32
+    dicts keyed by level."""
+    import os
+    use_pallas = os.environ.get("DAALA_TPU_PALLAS", "0") == "1"
+    is_keyframe = mc_planes is None
+    lm = _rdo_level_masks(state, info)
+    level_mask_args = {k: (jnp.asarray(h), jnp.asarray(v))
+                       for k, (h, v) in lm.items()}
+    plane = np.asarray(padded_planes[0])
+    fpr_mode = info.bitdepth_mode if plane.dtype == np.uint16 else 0
+    mc = None
+    mc_fpr_mode = 0
+    if not is_keyframe:
+        mc = np.asarray(mc_planes[0])
+        mc_fpr_mode = (info.bitdepth_mode
+                       if info.full_precision_references else 0)
+    if device_put_fn is not None:
+        plane = device_put_fn(plane, 0)
+        if mc is not None:
+            mc = device_put_fn(mc, 0)
+    d_l, md_l, d_m = rdo_pyramid_luma(
+        plane, mc if mc is not None else plane, level_mask_args,
+        lossless=bool(lossless), fpr_mode=fpr_mode,
+        mc_fpr_mode=mc_fpr_mode, is_keyframe=is_keyframe,
+        pic_w=info.pic_width, pic_h=info.pic_height,
+        use_pallas=use_pallas)
+    d_out = {k: np.asarray(v, np.int32) for k, v in d_l.items()}
+    md_out = (None if md_l is None
+              else {k: np.asarray(v, np.int32) for k, v in md_l.items()})
+    dm_out = None if d_m is None else np.asarray(d_m, np.int32)
+    return d_out, md_out, dm_out

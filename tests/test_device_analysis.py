@@ -104,3 +104,52 @@ def test_device_inter_analysis_matches_host(w, h):
         out += enc.flush()
         pkts[dev] = [bytes(p) for p in out]
     assert pkts[True] == pkts[False]
+
+
+@pytest.mark.parametrize("w,h", [(192, 128)])
+def test_device_analysis_complexity7(w, h):
+    """At complexity >= 2 the device path must cover BOTH passes: the
+    RDO trial pyramid (frame_enc.inc pre_rd/pre_rmd/pre_d_rdo) and the
+    final analysis on the decided block-size map — byte-identical
+    packets on keyframes and inter frames."""
+    frames = _clip(w, h, 4, seed=7)
+    pkts = {}
+    for dev in (False, True):
+        info = headers.Info(pic_width=w, pic_height=h)
+        enc = Encoder(info, quant=15, complexity=7)
+        enc.keyframe_rate = 8
+        enc.use_device_analysis = dev
+        out = [p for fr in frames for p in enc.encode_frame(fr)]
+        out += enc.flush()
+        pkts[dev] = [bytes(p) for p in out]
+    assert pkts[True] == pkts[False]
+
+
+def test_device_analysis_fpr_highdepth():
+    """The device lift covers full-precision references and 10-bit
+    input (models/keyframe.py _lift_input); packets must stay
+    byte-identical through both device passes."""
+    w, h = 192, 128
+    rng = np.random.default_rng(11)
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = []
+    for t in range(3):
+        y = (512 + 240 * np.sin((xx + 3 * t) / 9.0)
+             + rng.normal(0, 12, (h, w))).clip(0, 1023) \
+            .astype(np.uint16)
+        cb = (512 + 100 * np.sin((xx[::2, ::2] + t) / 13.0)) \
+            .clip(0, 1023).astype(np.uint16)
+        cr = (512 - 80 * np.cos((yy[::2, ::2] + t) / 11.0)) \
+            .clip(0, 1023).astype(np.uint16)
+        frames.append([y, cb, cr])
+    pkts = {}
+    for dev in (False, True):
+        info = headers.Info(pic_width=w, pic_height=h, bitdepth_mode=2,
+                            full_precision_references=True)
+        enc = Encoder(info, quant=15, complexity=7)
+        enc.keyframe_rate = 8
+        enc.use_device_analysis = dev
+        out = [p for fr in frames for p in enc.encode_frame(fr)]
+        out += enc.flush()
+        pkts[dev] = [bytes(p) for p in out]
+    assert pkts[True] == pkts[False]
