@@ -1232,6 +1232,18 @@ class Encoder:
             # reference's mv lambda (src/rate.c:1072-1075).
             lam_sad = max(16, (self.target_quantizer * 11) >> 7)
             lam_sad = int(lam_sad * getattr(self, "lam_sad_scale", 1))
+            fp_fields = None
+            if getattr(self, "use_device_analysis", False):
+                # Device full-pel SAD fields (models/mefield.py): the
+                # BMA window costs batch on the TPU; the host search
+                # consumes them as exact lookups, decisions unchanged.
+                from daala_tpu.models import mefield as MF
+                fp_fields = MF.fullpel_sad_fields(
+                    search_luma,
+                    [rimg.planes[0] for _, rimg in refs],
+                    MC.OD_BUFFER_PADDING, vis, self.mv_grid.nvmvbs,
+                    self.mv_grid.nhmvbs, r=self.search_range,
+                    device_put_fn=getattr(self, "device_put_fn", None))
             use_native_me = (getattr(self, "use_native_me",
                                      _NATIVE_FRAME_DEFAULT)
                              and mvest.estimate_all_native(
@@ -1242,7 +1254,8 @@ class Encoder:
                                  iters=self._mv_refine_iters(),
                                  decimate=getattr(self, "mv_decimate",
                                                   0),
-                                 min_level=self.mv_level_min))
+                                 min_level=self.mv_level_min,
+                                 fp_fields=fp_fields))
             if not use_native_me:
                 mvest.estimate_multi(self.mv_grid, search_luma, refs,
                                      info, self.search_range, lam=lam_mv,

@@ -388,11 +388,15 @@ def _ref_slot_planes(refs_list, info, pli=0):
 def estimate_all_native(grid, cur_luma, refs, info, search_range, lam,
                         adapt, vis, complexity, lam_sad, frame_type,
                         max_level=2, iters=2, mesh_search_range=8,
-                        decimate=0, min_level=0):
+                        decimate=0, min_level=0, fp_fields=None):
     """One native call covering estimate_multi + refine_mesh +
     refine_mvs (daala_tpu/native/me_enc.inc me_estimate), with decisions
     identical to the Python pipeline.  Returns True when the native
-    engine ran."""
+    engine ran.
+
+    fp_fields: optional per-search-ref device SAD fields
+    (models/mefield.py fullpel_sad_fields); consumed as exact lookups,
+    decisions unchanged."""
     from daala_tpu import native as native_mod
     lib = native_mod.get_lib()
     if lib is None:
@@ -402,7 +406,14 @@ def estimate_all_native(grid, cur_luma, refs, info, search_range, lam,
     cur = np.ascontiguousarray(cur_luma, np.uint8)
     planes4 = _ref_slot_planes(refs, info)
     gout = np.zeros(4, np.int32)
-    cfg = np.zeros(35, np.int64)
+    cfg = np.zeros(40, np.int64)
+    keep_fp = []
+    if fp_fields is not None:
+        cfg[35] = search_range
+        for i, t in enumerate(fp_fields[:2]):
+            t = np.ascontiguousarray(t, np.int32)
+            keep_fp.append(t)
+            cfg[36 + i] = t.ctypes.data
     cfg[33] = decimate
     cfg[34] = min_level
     cfg[0] = grid.nhmvbs
