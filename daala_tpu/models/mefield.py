@@ -40,30 +40,49 @@ _WIN_CELLS = 8  # 64-px window = 8 cells
 
 @functools.partial(jax.jit, static_argnames=("r", "nvb", "nhb"))
 def _fullpel_fields(cur_vis, ref_win, r, nvb, nhb):
-    """cur_vis: (vh, vw) int32 visible current luma; ref_win:
-    (vh + 2r, vw + 2r) int32 reference window starting at (-r, -r).
+    """cur_vis: (vh, vw) visible current luma; ref_win:
+    (vh + 2r, vw + 2r) reference window starting at (-r, -r).
     Returns (noff, nvb, nhb) int32 per-vertex window SADs, offsets in
-    row-major (dy, dx) order, dy, dx in [-r, r]."""
+    row-major (dy, dx) order, dy, dx in [-r, r].
+
+    Bandwidth-shaped for the VPU: the scan body works in int16 (a cell
+    SAD is at most 64*255 < 2^15) and emits only the (ch, cw) cell
+    grid; the window gather/sum over all offsets happens once, batched,
+    at the end."""
     vh, vw = cur_vis.shape
     ch = -(-vh // _CELL)
     cw = -(-vw // _CELL)
-    offs = jnp.arange((2 * r + 1) * (2 * r + 1), dtype=jnp.int32)
+    # Pad once, outside the scan, to cell-aligned int16 buffers; the
+    # visibility mask zeroes the partial-cell overhang instead of a
+    # per-iteration pad.
+    py, px = ch * _CELL - vh, cw * _CELL - vw
+    cur16 = jnp.pad(cur_vis.astype(jnp.int16), ((0, py), (0, px)))
+    ref16 = jnp.pad(ref_win.astype(jnp.int16), ((0, py), (0, px)))
+    mask = jnp.pad(jnp.ones((vh, vw), jnp.int16), ((0, py), (0, px)))
+    noffd = 2 * r + 1
+    offs = jnp.arange(noffd * noffd, dtype=jnp.int32)
 
     def one(off):
-        dy = off // (2 * r + 1)
-        dx = off % (2 * r + 1)
-        ref = jax.lax.dynamic_slice(ref_win, (dy, dx), (vh, vw))
-        d = jnp.abs(cur_vis - ref)
-        # Cell sums over the ceil grid (zero pad beyond vis).
-        d = jnp.pad(d, ((0, ch * _CELL - vh), (0, cw * _CELL - vw)))
-        cells = d.reshape(ch, _CELL, cw, _CELL).sum((1, 3))
-        # Vertex windows: pad 4 cells of zeros on each side; vertex
-        # (i, j) covers padded cell rows [8i, 8i+8).
-        cp = jnp.zeros((nvb * _WIN_CELLS, nhb * _WIN_CELLS), jnp.int32)
-        cp = jax.lax.dynamic_update_slice(cp, cells, (4, 4))
-        return cp.reshape(nvb, _WIN_CELLS, nhb, _WIN_CELLS).sum((1, 3))
+        dy = off // noffd
+        dx = off % noffd
+        ref = jax.lax.dynamic_slice(ref16, (dy, dx),
+                                    (ch * _CELL, cw * _CELL))
+        d = jnp.abs(cur16 - ref) * mask
+        return (d.reshape(ch, _CELL, cw * _CELL)
+                 .sum(1, dtype=jnp.int16)
+                 .reshape(ch, cw, _CELL)
+                 .sum(2, dtype=jnp.int16))
 
-    return jax.lax.map(one, offs)
+    cells = jax.lax.map(one, offs)  # (noff, ch, cw) int16
+    # Vertex windows: 4 zero cells of margin on each side turns every
+    # clipped window into a uniform 8x8-cell block (vertex (i, j) covers
+    # padded cell rows [8i, 8i+8)); both inputs are zero beyond the
+    # visible area so the margin cells carry no SAD.
+    cp = jnp.zeros((cells.shape[0], nvb * _WIN_CELLS, nhb * _WIN_CELLS),
+                   jnp.int32)
+    cp = jax.lax.dynamic_update_slice(cp, cells.astype(jnp.int32),
+                                      (0, 4, 4))
+    return cp.reshape(-1, nvb, _WIN_CELLS, nhb, _WIN_CELLS).sum((2, 4))
 
 
 def fullpel_sad_fields(cur, refs_padded, pad, vis, nvmvbs, nhmvbs, r=16,
