@@ -1244,6 +1244,11 @@ class Encoder:
                     MC.OD_BUFFER_PADDING, vis, self.mv_grid.nvmvbs,
                     self.mv_grid.nhmvbs, r=self.search_range,
                     device_put_fn=getattr(self, "device_put_fn", None))
+            # "sweep" runs the refinement as batched device color
+            # sweeps (mvest.refine_sweep) instead of the host greedy
+            # loop; BMA + mesh subdivision stay in the native engine.
+            sweep = (getattr(self, "mv_refine_mode", "greedy") == "sweep"
+                     and self.complexity >= 3)
             use_native_me = (getattr(self, "use_native_me",
                                      _NATIVE_FRAME_DEFAULT)
                              and mvest.estimate_all_native(
@@ -1251,11 +1256,19 @@ class Encoder:
                                  self.search_range, lam_mv, st.adapt, vis,
                                  self.complexity, lam_sad, frame_type,
                                  max_level=self.mv_max_level,
-                                 iters=self._mv_refine_iters(),
+                                 iters=0 if sweep
+                                 else self._mv_refine_iters(),
                                  decimate=getattr(self, "mv_decimate",
                                                   0),
                                  min_level=self.mv_level_min,
                                  fp_fields=fp_fields))
+            if use_native_me and sweep:
+                mvest.refine_sweep(
+                    self.mv_grid, search_luma, refs, info, lam_mv,
+                    st.adapt, vis, frame_type,
+                    iters=self._mv_refine_iters(),
+                    decimate=getattr(self, "mv_decimate", 0),
+                    device_put_fn=getattr(self, "device_put_fn", None))
             if not use_native_me:
                 mvest.estimate_multi(self.mv_grid, search_luma, refs,
                                      info, self.search_range, lam=lam_mv,

@@ -177,25 +177,32 @@ def predict_leaves(planes4, pos, srcs, mvs, ocs, ss, log_x, log_y, pad,
 
 
 def predict_frame_plane_device(grid, ref_imgs, ref_imgi, info, pli,
-                               device_put_fn=None, bucket=True):
+                               device_put_fn=None, bucket=True,
+                               planes4=None, classes=None,
+                               return_device=False):
     """Whole-plane OBMC prediction on the device; returns the (h, w)
-    predicted plane as numpy (uint8, or uint16 for FPR references)."""
+    predicted plane as numpy (uint8, or uint16 for FPR references), or
+    the device array when return_device (so downstream device consumers
+    skip the host round trip).  planes4/classes may be passed
+    pre-staged."""
     xdec, ydec = info.plane_dec[pli]
     h = info.frame_height >> ydec
     w = info.frame_width >> xdec
-    planes = []
-    for r in range(4):
-        idx = ref_imgi[r]
-        if idx is None or idx < 0:
-            idx = 0
-        planes.append(np.asarray(ref_imgs[idx].planes[pli]))
-    planes4 = np.stack(planes)
-    hi = planes4.dtype == np.uint16
-    if device_put_fn is not None:
-        planes4 = device_put_fn(planes4, pli)
-    planes4 = jnp.asarray(planes4)
+    if planes4 is None:
+        planes = []
+        for r in range(4):
+            idx = ref_imgi[r]
+            if idx is None or idx < 0:
+                idx = 0
+            planes.append(np.asarray(ref_imgs[idx].planes[pli]))
+        planes4 = np.stack(planes)
+        if device_put_fn is not None:
+            planes4 = device_put_fn(planes4, pli)
+        planes4 = jnp.asarray(planes4)
+    hi = planes4.dtype == jnp.uint16
     pad = OD_BUFFER_PADDING >> xdec
-    classes = build_leaf_lists(grid, info, pli)
+    if classes is None:
+        classes = build_leaf_lists(grid, info, pli)
     dst = jnp.zeros((h, w), jnp.uint16 if hi else jnp.uint8)
     for lms, cls in sorted(classes.items()):
         log_x = lms + 3 - xdec
@@ -231,4 +238,54 @@ def predict_frame_plane_device(grid, ref_imgs, ref_imgi, info, pli,
         dst = dst.at[jnp.asarray(rows)[:, :, None],
                      jnp.asarray(cols)[:, None, :]].set(
             blocks, mode="drop")
-    return np.asarray(dst)
+    return dst if return_device else np.asarray(dst)
+
+
+def stage_planes_i32(planes4_np):
+    """Stage the 4 padded reference planes for the Pallas kernels:
+    int32, with 128 extra columns so the (8, 128)-aligned window DMAs
+    never run off the row ends."""
+    p = np.asarray(planes4_np, np.int32)
+    return np.pad(p, ((0, 0), (0, 16), (0, 256)))
+
+
+def pallas_leaf_args(pos, srcs, mvs, ocs, ss, pad):
+    """Pack the per-leaf scalar block + tap block for the Pallas OBMC
+    kernels (ops/pallas/obmc_kernels.py): scal (L, 16) int32 with
+    [0:4]=srcs [4:8]=sy [8:12]=sx [12]=wsel [13]=py [14]=px; taps
+    (L, 4, 16) int32 with [:, k, 0:6]/[:, k, 8:14] the horizontal /
+    vertical 6-tap filters."""
+    L = pos.shape[0]
+    mvx = mvs[:, :, 0]
+    mvy = mvs[:, :, 1]
+    scal = np.zeros((L, 16), np.int32)
+    scal[:, 0:4] = srcs
+    scal[:, 4:8] = pad + pos[:, 0:1] + (mvy >> 3) - 2
+    scal[:, 8:12] = pad + pos[:, 1:2] + (mvx >> 3) - 2
+    scal[:, 12] = ocs * 4 + ss
+    scal[:, 13] = pos[:, 0]
+    scal[:, 14] = pos[:, 1]
+    taps = np.zeros((L, 4, 16), np.int32)
+    taps[:, :, 0:6] = _SUBPEL[mvx & 7]
+    taps[:, :, 8:14] = _SUBPEL[mvy & 7]
+    return scal, taps
+
+
+def wtab64(log_n):
+    """(64, n, n) int32 flattened weight-plane table for the kernels."""
+    t = _weight_table(log_n, log_n)
+    n = 1 << log_n
+    return np.ascontiguousarray(t.reshape(64, n, n))
+
+
+def predict_leaves_pallas(planes_i32, pos, srcs, mvs, ocs, ss, n, pad,
+                          hi=False, interpret=False):
+    """Pallas-backed equivalent of predict_leaves for square leaves;
+    returns (L, n, n) int32 blended predictions.  planes_i32 must come
+    from stage_planes_i32 (carries the DMA margins)."""
+    from daala_tpu.ops.pallas.obmc_kernels import obmc_blend_pallas
+    scal, taps = pallas_leaf_args(pos, srcs, mvs, ocs, ss, pad)
+    log_n = n.bit_length() - 1
+    return obmc_blend_pallas(
+        planes_i32, jnp.asarray(wtab64(log_n)), jnp.asarray(taps),
+        jnp.asarray(scal), n=n, hi=hi, interpret=interpret)

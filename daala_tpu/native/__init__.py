@@ -201,6 +201,8 @@ def _configure(lib):
     lib.bs_split_superblocks.argtypes = [c.c_void_p]
     # Motion estimation engine.
     lib.me_estimate.argtypes = [c.c_void_p]
+    lib.me_sweep_cands.argtypes = [c.c_void_p]
+    lib.me_sweep_rates.argtypes = [c.c_void_p]
     lib.me_select_mv_res.argtypes = [c.c_void_p]
     lib.me_select_mv_res.restype = c.c_int
     lib.me_predict_frame_plane.argtypes = [
