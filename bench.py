@@ -44,12 +44,21 @@ def make_clip():
     return frames
 
 
-def bench_ours(frames):
+def bench_ours(frames, device=False, sweep=False):
     from daala_tpu.codec import headers
     from daala_tpu.codec.encoder import Encoder
     info = headers.Info(pic_width=W, pic_height=H)
     enc = Encoder(info, quant=QUANT, complexity=COMPLEXITY)
     enc.keyframe_rate = 256
+    if device:
+        # TPU front-ends: BMA SAD fields (models/mefield.py), RDO +
+        # final transform pyramids (models/keyframe.py) — decisions and
+        # packets identical to the host path.
+        enc.use_device_analysis = True
+    if sweep:
+        # TPU MV refinement (Jacobi color sweeps, models/mesweep.py);
+        # BD-rate neutral vs the greedy host loop.
+        enc.mv_refine_mode = "sweep"
     t0 = time.perf_counter()
     nbytes = 0
     for fr in frames:
@@ -59,6 +68,36 @@ def bench_ours(frames):
         nbytes += len(p)
     dt = time.perf_counter() - t0
     return NFRAMES * W * H / dt / 1e6, nbytes
+
+
+def probe_device_mode(frames):
+    """Pick the fastest encoder configuration for this machine: the TPU
+    paths win when a chip is attached locally (PCIe-class transfers) and
+    lose through high-latency tunnels, so measure instead of guessing.
+    Returns (device, sweep, probe_results)."""
+    try:
+        import jax
+        if jax.default_backend() not in ("tpu", "axon"):
+            return False, False, {"backend": jax.default_backend()}
+    except Exception as e:  # pragma: no cover
+        return False, False, {"error": str(e)}
+    results = {}
+    short = frames[:2]
+    configs = [("host", False, False), ("device", True, False),
+               ("device+sweep", True, True)]
+    for name, dev, sw in configs:
+        try:
+            # Warm (compiles) then measure once.
+            bench_ours(short, device=dev, sweep=sw)
+            v, _ = bench_ours(short, device=dev, sweep=sw)
+            results[name] = round(v, 4)
+        except Exception as e:  # pragma: no cover
+            results[name] = "error: %s" % str(e)[:120]
+    best = max((v, n) for n, v in results.items()
+               if isinstance(v, float))[1]
+    dev = best.startswith("device")
+    sw = best == "device+sweep"
+    return dev, sw, results
 
 
 def bench_reference_c(frames):
@@ -79,14 +118,23 @@ def bench_reference_c(frames):
 
 def main():
     frames = make_clip()
-    value, nbytes = bench_ours(frames)
+    device, sweep, probe = probe_device_mode(frames)
+    value, nbytes = bench_ours(frames, device=device, sweep=sweep)
     baseline = bench_reference_c(frames)
+    # Paired second pass to damp shared-host drift: best-of-2 per side.
+    value2, _ = bench_ours(frames, device=device, sweep=sweep)
+    baseline2 = bench_reference_c(frames)
+    value = max(value, value2)
+    if baseline and baseline2:
+        baseline = max(baseline, baseline2)
     vs = (value / baseline) if baseline else None
     print(json.dumps({
         "metric": "1080p_e2e_encode_throughput",
         "value": round(value, 4),
         "unit": "Mpixels/s",
         "vs_baseline": round(vs, 3) if vs else None,
+        "config": {"device_analysis": device, "mv_sweep": sweep,
+                   "probe": probe},
     }))
 
 

@@ -119,3 +119,60 @@ def encode_clip_parallel(frames, info_kwargs, enc_kwargs=None, b_frames=0,
     for seg_pkts in out:
         packets.extend(seg_pkts)
     return packets
+
+
+# -- 3. batched multi-clip encode over the device mesh ----------------------
+
+def encode_clips_batched(clips, info_kwargs, mesh, quant=18, complexity=7,
+                         enc_kwargs=None):
+    """BASELINE.json config 5: N clips encoded by the REAL production
+    encoder (trial-encode RDO, full entropy stage) with every device
+    stage — BMA SAD fields, RDO transform pyramids, final analysis —
+    running on the (dp, sp) mesh: clips map onto dp rows, each clip's
+    planes shard over that row's sp columns, and XLA's async dispatch
+    overlaps the rows' device work while the host entropy coders run.
+
+    Packets are byte-identical to a serial single-device encode (the
+    device stages are exact; tests/test_parallel.py pins it).  Returns a
+    list of per-clip packet lists."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as PS
+    from daala_tpu.codec import headers as H
+    from daala_tpu.codec.encoder import Encoder
+    enc_kwargs = dict(enc_kwargs or {})
+    dp, sp = mesh.devices.shape
+    encs = []
+    outs = []
+    for ci, frames in enumerate(clips):
+        row = mesh.devices[ci % dp]          # (sp,) devices
+        row_mesh = Mesh(row.reshape(1, sp), ("dp", "sp"))
+
+        def put(arr, pli, _m=row_mesh):
+            import numpy as np
+            a = np.asarray(arr)
+            # Spatial column sharding for 2-D planes; replicate small
+            # or oddly-shaped auxiliaries on the row.
+            if a.ndim == 2 and a.shape[-1] % sp == 0:
+                return jax.device_put(a, NamedSharding(_m, PS(None,
+                                                              "sp")))
+            if a.ndim == 3 and a.shape[-1] % sp == 0:
+                return jax.device_put(
+                    a, NamedSharding(_m, PS(None, None, "sp")))
+            return jax.device_put(a, NamedSharding(_m, PS()))
+
+        info = H.Info(**info_kwargs)
+        enc = Encoder(info, quant=quant, complexity=complexity,
+                      **enc_kwargs)
+        enc.use_device_analysis = True
+        enc.device_put_fn = put
+        encs.append(enc)
+        outs.append([])
+    nfr = max(len(c) for c in clips)
+    with mesh:
+        for t in range(nfr):
+            for ci, frames in enumerate(clips):
+                if t < len(frames):
+                    outs[ci].extend(encs[ci].encode_frame(frames[t]))
+        for ci in range(len(clips)):
+            outs[ci].extend(encs[ci].flush())
+    return outs

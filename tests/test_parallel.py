@@ -67,3 +67,26 @@ def test_segment_parallel_encode_decodes():
         for a, b in zip(out, rout):
             for pa, pb in zip(a, b):
                 np.testing.assert_array_equal(pa, pb)
+
+
+def test_encode_clips_batched_matches_serial():
+    """BASELINE.json config 5: the batched multi-clip encoder (clips on
+    dp rows, planes sharded over sp columns, full complexity-7 trial
+    RDO + entropy per clip) produces packets byte-identical to serial
+    encodes."""
+    import content
+    from daala_tpu.codec import headers
+    from daala_tpu.codec.encoder import Encoder
+    from daala_tpu.parallel import mesh as PM
+    w, h = 256, 192
+    clips = [content.make_clip(w, h, 2, seed=s) for s in (1, 2)]
+    m = PM.make_mesh(dp=2)
+    outs = PM.encode_clips_batched(clips, dict(pic_width=w,
+                                               pic_height=h), m,
+                                   quant=18, complexity=7)
+    for ci, frames in enumerate(clips):
+        info = headers.Info(pic_width=w, pic_height=h)
+        enc = Encoder(info, quant=18, complexity=7)
+        want = [p for fr in frames for p in enc.encode_frame(fr)]
+        want += enc.flush()
+        assert [bytes(p) for p in outs[ci]] == [bytes(p) for p in want]
