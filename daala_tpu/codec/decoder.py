@@ -179,8 +179,6 @@ class Decoder:
         high-depth); accounting needs per-symbol Python hooks."""
         if not getattr(self, "use_native_frame", _NATIVE_FRAME_DEFAULT):
             return False
-        if getattr(self, "use_device_synthesis", False):
-            return False
         if self.accounting_enabled or not hasattr(dec, "_h"):
             return False
         from daala_tpu import native as native_mod
@@ -264,12 +262,68 @@ class Decoder:
         if info.full_precision_references:
             # 12-bit uint16 reference buffers (frame_dec.inc mc_fpr).
             cfg[56] = info.bitdepth_mode
+        # Device synthesis back-end: native parse-only mode (emit_d)
+        # fills the d planes and dering levels; the TPU reconstructs
+        # (models/synthesis.py masked IDCT + postfilters, then
+        # models/restore.py dering) bit-exactly.
+        device_synth = (bool(getattr(self, "use_device_synthesis",
+                                     False))
+                        and not use_haar_wavelet)
+        dtmp = None
+        if device_synth:
+            cfg[57] = 1
+            dtmp = []
+            for pli in range(nplanes):
+                xd, yd = info.plane_dec[pli]
+                d_out = np.zeros((st.frame_height >> yd,
+                                  st.frame_width >> xd), np.int32)
+                dtmp.append(d_out)
+                cfg[28 + 6 * pli] = d_out.ctypes.data
         ap = native_ptr_table(st.adapt)
         lib.fc_decode_frame(dec._h, ap.ctypes.data, cfg.ctypes.data)
         if st.quantizer != 0:
             st.dering_level = lv.reshape(nvdr, nhdr).astype(np.int32)
+        if device_synth:
+            from daala_tpu.models.synthesis import synthesize_frame
+            ctmp = synthesize_frame(
+                st, info, dtmp,
+                device_put_fn=getattr(self, "device_put_fn", None))
+            if st.quantizer != 0:
+                self._apply_dering_device(
+                    ctmp, lv.reshape(nvdr, nhdr), is_keyframe)
         del keep
         return ctmp
+
+    def _apply_dering_device(self, ctmp, levels, is_keyframe):
+        """Apply the parsed dering levels with the jittable device
+        filter (models/restore.py od_dering_jax), bit-exact with the
+        host filter chain."""
+        from daala_tpu.models import restore as R
+        from daala_tpu.ops import dering as dering_mod
+        st = self.state
+        info = self.info
+        nhdr = st.frame_width >> 6
+        nvdr = st.frame_height >> 6
+        base_threshold = float(st.quantizer) ** 0.84182
+        etmp = [c.astype(np.int16) for c in ctmp]
+        for sby in range(nvdr):
+            for sbx in range(nhdr):
+                level = int(levels[sby, sbx])
+                if not level:
+                    continue
+                dirs = None
+                for pli in range(info.nplanes):
+                    xdec = info.plane_dec[pli][0]
+                    ln = 6 - xdec
+                    n = 1 << ln
+                    threshold = int(
+                        dering_mod.OD_DERING_GAIN_TABLE[level]
+                        * base_threshold * (1 if pli == 0 else 0.6))
+                    out, dirs = R.od_dering_jax(
+                        etmp[pli], sby, sbx, xdec, pli, st.bskip[pli],
+                        threshold, n, dirs=dirs)
+                    ctmp[pli][sby << ln:(sby << ln) + n,
+                              sbx << ln:(sbx << ln) + n] = out
 
     # -- keyframe DC (reference: src/decode.c:605-654) ----------------------
 
@@ -770,6 +824,13 @@ class Decoder:
                 levels[sby, sbx] = level
                 if level:
                     dirs = None
+                    use_dev = bool(getattr(self, "use_device_synthesis",
+                                           False))
+                    if use_dev:
+                        from daala_tpu.models import restore as _R
+                        filt_fn = _R.od_dering_jax
+                    else:
+                        filt_fn = dering_mod.od_dering
                     for pli in range(nplanes):
                         xdec = info.plane_dec[pli][0]
                         ydec = info.plane_dec[pli][1]
@@ -778,7 +839,7 @@ class Decoder:
                         threshold = int(
                             dering_mod.OD_DERING_GAIN_TABLE[level]
                             * base_threshold * (1 if pli == 0 else 0.6))
-                        out, dirs = dering_mod.od_dering(
+                        out, dirs = filt_fn(
                             etmp[pli], sby, sbx, xdec, pli,
                             st.bskip[pli], threshold, n, dirs=dirs)
                         ctmp[pli][sby << ln:(sby << ln) + n,
