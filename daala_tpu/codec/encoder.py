@@ -1007,11 +1007,37 @@ class Encoder:
         dcfg = np.array([self.pvq_norm_lambda,
                          getattr(self, "bs_rdo_lambda", 0.0),
                          getattr(self, "dering_lambda", 0.0)], np.float64)
+        # Device dering: defer the native dering stage, batch the 5
+        # filtered gain candidates for every superblock on the TPU
+        # (models/restore.py dering_candidates_device), then let the
+        # native RDO/signaling pass consume them — byte-identical.
+        defer_dering = (getattr(self, "_device_dering", False)
+                        and not rdo_only and not use_haar_wavelet
+                        and self.use_dering and st.quantizer != 0)
+        if defer_dering:
+            cfg[73] = 1
         ap = self._native_adapt_ptrs()
         err = lib.fc_encode_frame(self.enc._h, ap.ctypes.data,
                                   cfg.ctypes.data, dcfg.ctypes.data)
         if err:
             raise RuntimeError("native frame encode: EC error %d" % err)
+        if defer_dering:
+            from daala_tpu.models import restore as R
+            nvdr = st.frame_height >> 6
+            nhdr = st.frame_width >> 6
+            cands, dirs = R.dering_candidates_device(
+                ctmp[0].astype(np.int16), st.bskip[0], st.quantizer,
+                nvdr, nhdr)
+            cands = np.ascontiguousarray(cands, np.int16)
+            dirs = np.ascontiguousarray(dirs, np.int32)
+            cfg[74] = cands.ctypes.data
+            cfg[75] = dirs.ctypes.data
+            err = lib.fc_encode_dering(self.enc._h, ap.ctypes.data,
+                                       cfg.ctypes.data,
+                                       dcfg.ctypes.data)
+            if err:
+                raise RuntimeError(
+                    "native dering encode: EC error %d" % err)
         del keep
         return ctmp
 
@@ -1321,6 +1347,9 @@ class Encoder:
                      and getattr(self, "use_native_frame",
                                  _NATIVE_FRAME_DEFAULT))
         self._device_rdo = None
+        # Device dering: the RDO gain candidates batch on the TPU
+        # (consumed by the deferred native dering pass).
+        self._device_dering = device_on
         if use_haar_wavelet:
             st.init_superblock_split(4)
         elif hasattr(self, "fixed_bsize"):

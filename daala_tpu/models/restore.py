@@ -227,3 +227,104 @@ def od_dering_jax(plane_i16, sby, sbx, xdec, pli, bskip, threshold, n,
                         jnp.asarray(dirs, dtype=np.int32),
                         jnp.asarray(thresh), bsize)
     return np.asarray(out), dirs
+
+
+def _skip_blocks_luma(bskip0, nvdr, nhdr):
+    """Vectorized skip-window mask at 8x8-block granularity for every
+    superblock (od_dering's skip-window logic, reference:
+    src/dering.c:301-327): an 8px block is skipped when all 4px bskip
+    cells in its window are set.  The window extension rows/columns
+    (i = -1 and +2) are included per SUPERBLOCK position — every block
+    of an edge superblock drops them, even interior blocks whose
+    neighbors exist (a reference quirk replicated exactly)."""
+    sk = np.asarray(bskip0, np.uint8)
+    h4 = nvdr * 16
+    w4 = nhdr * 16
+    sk = sk[:h4, :w4]
+    p = np.ones((h4 + 2, w4 + 2), np.uint8)
+    p[1:-1, 1:-1] = sk
+    hb, wb = h4 // 2, w4 // 2
+
+    def S(dy, dx):
+        return p[dy:dy + h4:2, dx:dx + w4:2][:hb, :wb]
+
+    out = S(1, 1) & S(1, 2) & S(2, 1) & S(2, 2)
+    # SB-position row/col inclusion masks for the -1 / +2 extensions.
+    brow = np.arange(hb) // 8
+    bcol = np.arange(wb) // 8
+    top = (brow > 0)[:, None]
+    bot = (brow < nvdr - 1)[:, None]
+    left = (bcol > 0)[None, :]
+    right = (bcol < nhdr - 1)[None, :]
+    out &= np.where(top, S(0, 1) & S(0, 2), 1).astype(np.uint8)
+    out &= np.where(bot, S(3, 1) & S(3, 2), 1).astype(np.uint8)
+    out &= np.where(left, S(1, 0) & S(2, 0), 1).astype(np.uint8)
+    out &= np.where(right, S(1, 3) & S(2, 3), 1).astype(np.uint8)
+    out &= np.where(top & left, S(0, 0), 1).astype(np.uint8)
+    out &= np.where(top & right, S(0, 3), 1).astype(np.uint8)
+    out &= np.where(bot & left, S(3, 0), 1).astype(np.uint8)
+    out &= np.where(bot & right, S(3, 3), 1).astype(np.uint8)
+    return out  # (nvdr*8, nhdr*8)
+
+
+def dering_candidates_device(luma_i16, bskip0, quantizer, nvdr, nhdr,
+                             coeff_shift=4):
+    """Batched device dering for the encoder's RDO: all superblocks x
+    the 5 gain levels in one vmapped pass.
+
+    Returns (cands, dirs): cands (NSB, 5, 64, 64) int16 filtered
+    candidates (NSB = nvdr*nhdr, raster order), dirs (NSB, 8, 8) int32
+    luma directions (consumed by the chroma filter of the chosen
+    level).  Bit-exact with per-superblock ops.dering.od_dering."""
+    import jax.numpy as jnp
+    from daala_tpu.ops import dering as D
+    B = OD_FILT_BORDER
+    h, w = nvdr * 64, nhdr * 64
+    plane = np.full((h + 2 * B, w + 2 * B), D.OD_DERING_VERY_LARGE,
+                    np.int16)
+    plane[B:B + h, B:B + w] = luma_i16[:h, :w]
+    # Bordered superblock windows + originals, batched.
+    inb = np.empty((nvdr * nhdr, 64 + 2 * B, 64 + 2 * B), np.int16)
+    xorig = np.empty((nvdr * nhdr, 64, 64), np.int16)
+    for sby in range(nvdr):
+        for sbx in range(nhdr):
+            i = sby * nhdr + sbx
+            inb[i] = plane[sby * 64:sby * 64 + 64 + 2 * B,
+                           sbx * 64:sbx * 64 + 64 + 2 * B]
+            xorig[i] = luma_i16[sby * 64:(sby + 1) * 64,
+                                sbx * 64:(sbx + 1) * 64]
+    import jax
+    dirs_j, var_j = jax.vmap(
+        lambda x: compute_dirs_var(x, coeff_shift))(jnp.asarray(xorig))
+    dirs = np.asarray(dirs_j)
+    var = np.asarray(var_j)
+    v1 = np.minimum(32767, var >> 6)
+    bits = np.zeros_like(v1)
+    for p in range(15):
+        bits += (v1 >= (1 << p)).astype(np.int32)
+    tt = np.asarray(_THRESH_TABLE_Q8, np.int64)
+    skipb = _skip_blocks_luma(bskip0, nvdr, nhdr) \
+        .reshape(nvdr, 8, nhdr, 8).transpose(0, 2, 1, 3) \
+        .reshape(nvdr * nhdr, 8, 8)
+    base_threshold = float(quantizer) ** 0.84182
+    gains = [0.5, 0.707, 1, 1.41, 2]
+    threshs = []
+    for g in gains:
+        t0 = int(g * base_threshold)
+        th = ((t0 * tt[bits] + 128) >> 8).astype(np.int32)
+        th = np.where(v1 < 0, 0, th)
+        th = np.where(skipb != 0, 0, th)
+        threshs.append(th)
+    thresh = np.stack(threshs, 1)  # (NSB, 5, 8, 8)
+    import functools
+
+    @functools.partial(jax.jit)
+    def run(inb_j, xorig_j, dirs_j2, thresh_j):
+        def per_sb(ib, xo, dd, tt5):
+            return jax.vmap(
+                lambda t: dering_filter(ib, xo, dd, t, 3))(tt5)
+        return jax.vmap(per_sb)(inb_j, xorig_j, dirs_j2, thresh_j)
+
+    cands = run(jnp.asarray(inb), jnp.asarray(xorig),
+                jnp.asarray(dirs, np.int32), jnp.asarray(thresh))
+    return np.asarray(cands), dirs.astype(np.int32)

@@ -197,6 +197,9 @@ def _configure(lib):
     lib.fd_decode_mvs.restype = c.c_int
     lib.fc_decode_frame.argtypes = [c.c_void_p, c.c_void_p, c.c_void_p]
     lib.fc_decode_frame.restype = c.c_int
+    lib.fc_encode_dering.argtypes = [c.c_void_p, c.c_void_p, c.c_void_p,
+                                     c.c_void_p]
+    lib.fc_encode_dering.restype = c.c_int
     # Open-loop block-size splitter.
     lib.bs_split_superblocks.argtypes = [c.c_void_p]
     # Motion estimation engine.
