@@ -1255,7 +1255,11 @@ class Encoder:
                 refs = [(ri, _shadow8(rimg)) for ri, rimg in refs]
             vis = (info.pic_height, info.pic_width)
             # Threshold models the split-flag + MV-delta cost at the
-            # reference's mv lambda (src/rate.c:1072-1075).
+            # reference's mv lambda (src/rate.c:1072-1075).  The
+            # lam_sad_scale knob scales the subdivision acceptance
+            # margin; sweeps on the natural-statistics corpus put 2x
+            # within noise of 1x (−0.4pp natural, +0.3pp mixed), so the
+            # default stays at the modeled value.
             lam_sad = max(16, (self.target_quantizer * 11) >> 7)
             lam_sad = int(lam_sad * getattr(self, "lam_sad_scale", 1))
             fp_fields = None
@@ -1287,7 +1291,10 @@ class Encoder:
                                  decimate=getattr(self, "mv_decimate",
                                                   0),
                                  min_level=self.mv_level_min,
-                                 fp_fields=fp_fields))
+                                 fp_fields=fp_fields,
+                                 telescope=getattr(self, "mv_telescope",
+                                                   0),
+                                 use_satd=getattr(self, "mv_satd", 0)))
             if use_native_me and sweep:
                 mvest.refine_sweep(
                     self.mv_grid, search_luma, refs, info, lam_mv,

@@ -30,6 +30,10 @@ def make_class(kind, w, h, n, seed=1):
     elif kind == "texture":
         base = 128 + content._lowpass(rng.normal(0, 55, yy.shape), 3) \
             + content._lowpass(rng.normal(0, 40, yy.shape), 9)
+    elif kind == "natural":
+        # Natural-statistics class: octave texture + parallax occluder
+        # + film grain (tests/content.py make_natural_clip).
+        return content.make_natural_clip(w, h, n, seed=seed)
     else:
         return content.make_clip(w, h, n, seed=seed)
     frames = []
@@ -110,7 +114,7 @@ def main():
     ap.add_argument("--quants", type=int, nargs="*",
                     default=[10, 18, 30, 50, 80])
     ap.add_argument("--classes", nargs="*",
-                    default=["smooth", "texture", "mixed"])
+                    default=["smooth", "texture", "mixed", "natural"])
     ap.add_argument("--mv-max-level", type=int, default=None)
     ap.add_argument("--mv-iters", type=int, default=None)
     ap.add_argument("--lam-sad-scale", type=float, default=None)
