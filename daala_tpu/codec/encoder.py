@@ -126,10 +126,21 @@ class Encoder:
         self.ip_frame_count = 0
         # Mesh subdivision depth for the encoder-side ME (reference
         # default mv_level_max = 4, src/encode.c:393).  Level 3 is the
-        # measured RD sweet spot of our mesh optimizer on mixed content
-        # (-1.19% BD-rate vs -0.79% at 2 and -0.85% at 4, ~1% encode
-        # time); shallower at low complexity.
-        self.mv_max_level = 3 if complexity >= 6 else 2
+        # measured RD sweet spot of the greedy-split mesh optimizer on
+        # mixed content (-1.19% BD-rate vs -0.79% at 2 and -0.85% at 4,
+        # ~1% encode time); shallower at low complexity.  Complexity >=
+        # 8 switches to the reference-shaped thorough pipeline
+        # (mv_decimate=5: subdivide-all -> refine -> decimate ->
+        # refine) at level 4, the measured requirement for reference
+        # parity on natural-statistics content (BD-rate vs reference:
+        # -6.1% smooth / +0.8% texture / +2.6% mixed / -0.0% natural,
+        # vs +10.4% natural for the greedy default; ~2.2x encode time).
+        if complexity >= 8:
+            self.mv_max_level = 4
+            self.mv_decimate = 5
+        else:
+            self.mv_max_level = 3 if complexity >= 6 else 2
+            self.mv_decimate = 0
         # OD_SET_MV_RES_MIN analogue (reference: daalaenc.h:188,
         # src/mcenc.c:1808,6349): floor on the coded MV resolution
         # (0 = 1/8 pel .. 2 = 1/2 pel).

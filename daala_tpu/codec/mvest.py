@@ -388,7 +388,8 @@ def _ref_slot_planes(refs_list, info, pli=0):
 def estimate_all_native(grid, cur_luma, refs, info, search_range, lam,
                         adapt, vis, complexity, lam_sad, frame_type,
                         max_level=2, iters=2, mesh_search_range=8,
-                        decimate=0, min_level=0, fp_fields=None):
+                        decimate=0, min_level=0, fp_fields=None,
+                        telescope=0, use_satd=0):
     """One native call covering estimate_multi + refine_mesh +
     refine_mvs (daala_tpu/native/me_enc.inc me_estimate), with decisions
     identical to the Python pipeline.  Returns True when the native
@@ -416,6 +417,8 @@ def estimate_all_native(grid, cur_luma, refs, info, search_range, lam,
             cfg[36 + i] = t.ctypes.data
     cfg[33] = decimate
     cfg[34] = min_level
+    cfg[38] = telescope
+    cfg[39] = use_satd
     cfg[0] = grid.nhmvbs
     cfg[1] = grid.nvmvbs
     cfg[2] = pad
@@ -596,54 +599,80 @@ def refine_mesh(grid: MVGrid, cur_luma, ref_images, info, lam_sad,
         rate0 = _deps_rate(vx, vy)
         sad0 = eval_blocks(blocks)
         ridx = _majority_ref(grid, vx, vy, mvb_sz, nh, nv)
-        rimg = ref_images.get(ridx)
-        if rimg is None:
-            ridx = next(iter(ref_images))
-            rimg = ref_images[ridx]
-        # Candidate MV from a block search over the vertex's OBMC
-        # influence window (centered: [vy-mvb, vy+mvb] x [vx-mvb, vx+mvb]).
+        # Both references compete for the vertex (when the frame codes
+        # two): at motion boundaries — an occluder revealing
+        # background — the majority ref of the neighbours is exactly
+        # the wrong one for the revealed strip, and a block search
+        # over the mixed-motion window on the wrong plane lands on
+        # garbage.  The reference initializes every BMA block on every
+        # active ref (od_mv_est_init_mvs, src/mcenc.c:3031).  Majority
+        # ref first so earlier-candidate tie-breaking keeps the
+        # single-ref behavior when both refs tie.
+        ref_list = list(ref_images.items())
+        if len(ref_list) > 1:
+            if ref_list[0][0] != ridx:
+                ref_list = ref_list[::-1]
+        else:
+            rimg0 = ref_images.get(ridx)
+            if rimg0 is None:
+                ridx = next(iter(ref_images))
+                rimg0 = ref_images[ridx]
+            ref_list = [(ridx, rimg0)]
         y0 = max(0, vy - mvb_sz) << MC.OD_LOG_MVBSIZE_MIN
         x0 = max(0, vx - mvb_sz) << MC.OD_LOG_MVBSIZE_MIN
         n = (2 * mvb_sz) << MC.OD_LOG_MVBSIZE_MIN
-        dy, dx = full_pel_search(cur_luma, rimg.planes[0], pad, y0, x0, n,
-                                 search_range, h, w)
-        mv8 = subpel_refine(cur_luma, rimg.planes[0], pad, y0, x0, n,
-                            (dy * 8, dx * 8), h, w)
-        grid.valid[vy, vx] = 1
-        grid.ref[vy, vx] = ridx
-        # Candidate list: searched MV, median predictor, and the mesh
-        # corner MVs this vertex interpolates between, judged by the
-        # true OBMC RD cost (mirrors the native engine's try_vertex).
-        cands = []
-
-        def add_cand(x, y):
-            x = int(np.clip(x, -clamp, clamp))
-            y = int(np.clip(y, -clamp, clamp))
-            if (x, y) not in cands:
-                cands.append((x, y))
-
-        add_cand(int(mv8[1]), int(mv8[0]))
         level_v = vertex_level(vx, vy)
-        pred8, _eq = MC.get_predictor(grid, vx, vy, level_v, 0, ridx)
-        add_cand(int(pred8[0]), int(pred8[1]))
-        mvarr = grid.mv1 if ridx == MC.OD_FRAME_NEXT else grid.mv
-        offs = (((-1, -1), (-1, 1), (1, 1), (1, -1)) if level_v & 1
-                else ((-1, 0), (0, -1), (1, 0), (0, 1)))
-        for oy, ox in offs:
-            cy2, cx2 = vy + oy * mvb_sz, vx + ox * mvb_sz
-            if (0 <= cy2 <= nv and 0 <= cx2 <= nh
-                    and grid.valid[cy2, cx2] and len(cands) < 8):
-                add_cand(int(mvarr[cy2, cx2, 0]), int(mvarr[cy2, cx2, 1]))
         best_cost = None
-        best_xy = cands[0]
-        for cx2, cy2 in cands:
-            mvarr[vy, vx] = (cx2, cy2)
-            sad_c = eval_blocks(blocks)
-            rate_c = _deps_rate(vx, vy)
-            cost_c = (sad_c << 5) + lam * rate_c
-            if best_cost is None or cost_c < best_cost:
-                best_cost = cost_c
-                best_xy = (cx2, cy2)
+        best_xy = (0, 0)
+        best_r = ridx
+        for use_ridx, rimg in ref_list:
+            # Candidate MV from a block search over the vertex's OBMC
+            # influence window (centered:
+            # [vy-mvb, vy+mvb] x [vx-mvb, vx+mvb]).
+            dy, dx = full_pel_search(cur_luma, rimg.planes[0], pad, y0,
+                                     x0, n, search_range, h, w)
+            mv8 = subpel_refine(cur_luma, rimg.planes[0], pad, y0, x0, n,
+                                (dy * 8, dx * 8), h, w)
+            grid.valid[vy, vx] = 1
+            grid.ref[vy, vx] = use_ridx
+            # Candidate list: searched MV, median predictor, and the
+            # mesh corner MVs this vertex interpolates between, judged
+            # by the true OBMC RD cost (mirrors the native engine's
+            # try_vertex).
+            cands = []
+
+            def add_cand(x, y):
+                x = int(np.clip(x, -clamp, clamp))
+                y = int(np.clip(y, -clamp, clamp))
+                if (x, y) not in cands:
+                    cands.append((x, y))
+
+            add_cand(int(mv8[1]), int(mv8[0]))
+            pred8, _eq = MC.get_predictor(grid, vx, vy, level_v, 0,
+                                          use_ridx)
+            add_cand(int(pred8[0]), int(pred8[1]))
+            mvarr = grid.mv1 if use_ridx == MC.OD_FRAME_NEXT else grid.mv
+            offs = (((-1, -1), (-1, 1), (1, 1), (1, -1)) if level_v & 1
+                    else ((-1, 0), (0, -1), (1, 0), (0, 1)))
+            for oy, ox in offs:
+                cy2, cx2 = vy + oy * mvb_sz, vx + ox * mvb_sz
+                if (0 <= cy2 <= nv and 0 <= cx2 <= nh
+                        and grid.valid[cy2, cx2] and len(cands) < 8):
+                    add_cand(int(mvarr[cy2, cx2, 0]),
+                             int(mvarr[cy2, cx2, 1]))
+            for cx2, cy2 in cands:
+                mvarr[vy, vx] = (cx2, cy2)
+                sad_c = eval_blocks(blocks)
+                rate_c = _deps_rate(vx, vy)
+                cost_c = (sad_c << 5) + lam * rate_c
+                if best_cost is None or cost_c < best_cost:
+                    best_cost = cost_c
+                    best_xy = (cx2, cy2)
+                    best_r = use_ridx
+            # Reset the trial MV before the next ref pass.
+            mvarr[vy, vx] = (0, 0)
+        grid.ref[vy, vx] = best_r
+        mvarr = grid.mv1 if best_r == MC.OD_FRAME_NEXT else grid.mv
         mvarr[vy, vx] = best_xy
         # Rate-aware split decision: the SAD gain must pay for the new
         # vertex's MV bits (and its effect on the neighbours'
@@ -836,20 +865,58 @@ def refine_mvs(grid: MVGrid, cur_luma, ref_images, info, lam,
                     cands[(cur_mv[0] + ddx, cur_mv[1] + ddy)] = True
             cands.pop(cur_mv, None)
             if sre is not None:
+                # Candidates carry their reference index so a vertex can
+                # switch refs during refinement (mirrors the native
+                # engine; the occlusion fix — a revealed-background
+                # vertex seeded on PREV can flip to GOLD).
+                cands3 = {(c[0], c[1], ref): True for c in cands}
+                ref_idx_list = list(ref_images.keys())
+                if len(ref_idx_list) > 1:
+                    oref = (ref_idx_list[1] if ref_idx_list[0] == ref
+                            else ref_idx_list[0])
+                    cands3[(cur_mv[0], cur_mv[1], oref)] = True
+                    oarr = (grid.mv1 if oref == MC.OD_FRAME_NEXT
+                            else grid.mv)
+                    for dy, dx in ((-D0, 0), (D0, 0), (0, -D0), (0, D0)):
+                        ny_, nx_ = vy + dy, vx + dx
+                        if 0 <= ny_ <= nv and 0 <= nx_ <= nh \
+                                and grid.valid[ny_, nx_]:
+                            cands3[(int(oarr[ny_, nx_, 0]),
+                                    int(oarr[ny_, nx_, 1]), oref)] = True
+                    p2, _ = MC.get_predictor(grid, vx, vy, level, 0,
+                                             oref)
+                    cands3[(int(p2[0]), int(p2[1]), oref)] = True
+                cands3.pop((cur_mv[0], cur_mv[1], ref), None)
+                o_mv = (int(grid.mv[vy, vx, 0]), int(grid.mv[vy, vx, 1]))
+                o_mv1 = (int(grid.mv1[vy, vx, 0]),
+                         int(grid.mv1[vy, vx, 1]))
                 best_cost = ((eval_blocks(blocks) << 5)
                              + lam * local_rate())
                 best_mv = cur_mv
-                for cand in cands:
+                best_r = ref
+                for cand in cands3:
                     cx = int(np.clip(cand[0], -clamp, clamp))
                     cy = int(np.clip(cand[1], -clamp, clamp))
-                    mvarr[vy, vx] = (cx, cy)
+                    cr = cand[2]
+                    grid.mv[vy, vx] = o_mv
+                    grid.mv1[vy, vx] = o_mv1
+                    grid.ref[vy, vx] = cr
+                    carr = (grid.mv1 if cr == MC.OD_FRAME_NEXT
+                            else grid.mv)
+                    carr[vy, vx] = (cx, cy)
                     cost = ((eval_blocks(blocks) << 5)
                             + lam * local_rate())
                     if cost < best_cost:
                         best_cost = cost
                         best_mv = (cx, cy)
+                        best_r = cr
                         changed += 1
-                mvarr[vy, vx] = best_mv
+                grid.mv[vy, vx] = o_mv
+                grid.mv1[vy, vx] = o_mv1
+                grid.ref[vy, vx] = best_r
+                carr = (grid.mv1 if best_r == MC.OD_FRAME_NEXT
+                        else grid.mv)
+                carr[vy, vx] = best_mv
                 continue
             best_sad = eval_blocks(blocks)
             best_mv = cur_mv

@@ -57,6 +57,16 @@ def main():
                     help="minimum (coarsest-allowed bound on) MV "
                          "resolution: 0 = 1/8 pel .. 2 = 1/2 pel "
                          "(reference's OD_SET_MV_RES_MIN)")
+    ap.add_argument("--mv-pipeline", type=int, default=None,
+                    choices=(0, 1, 2, 3, 5),
+                    help="MV mesh pipeline override (mv_decimate knob): "
+                         "0 greedy split, 1 optimistic split + "
+                         "decimate, 5 subdivide-all -> refine -> "
+                         "decimate -> refine (default: 5 at complexity "
+                         ">= 8, else 0)")
+    ap.add_argument("--mv-satd", action="store_true",
+                    help="Hadamard SATD cells in the MV refinement "
+                         "objective (reference's OD_ENC_USE_SATD)")
     ap.add_argument("--two-pass", metavar="STATS", default=None,
                     help="two-pass rate control: first run (stats file "
                          "absent) records per-frame metrics to STATS; "
@@ -174,6 +184,10 @@ def main():
         enc.mv_max_level = args.mv_level_max
     enc.mv_res_min = args.mv_res_min
     enc.mv_level_min = args.mv_level_min
+    if args.mv_pipeline is not None:
+        enc.mv_decimate = args.mv_pipeline
+    if args.mv_satd:
+        enc.mv_satd = 1
     enc.enable_encoder_check = args.check
     if args.two_pass and not two_pass_writing:
         with open(args.two_pass, "rb") as f:
