@@ -655,11 +655,23 @@ class Encoder:
         out = np.zeros(slen, np.int64)
         beta = pvq_beta(ctx["use_activity_masking"], pli, bs)
         speed = 1 if (rdo_only and self.complexity < 5) else 0
+        forced_bands = None
+        tab = getattr(self, "_device_pvq_tab", None)
+        if (tab is not None and pli == 0 and not is_keyframe
+                and not rdo_only and not use_haar):
+            fb = {}
+            nb = len(part.band_offsets(n)) - 1
+            for band in range(nb):
+                e = tab.get((0, by, bx, band))
+                if e is not None and e[7]:
+                    fb[band] = e[:7]
+            forced_bands = fb or None
         skip = PC.pvq_encode_block(
             enc, st.adapt, self, predt, dblock, out, quant, pli, bs, beta,
             nodesync, is_keyframe, st.qm[off:off + slen],
             st.qm_inv[off:off + slen], st.pvq_qm_q4[pli],
-            self.pvq_norm_lambda, speed, (self._checkpoint, self._rollback))
+            self.pvq_norm_lambda, speed, (self._checkpoint, self._rollback),
+            forced_bands=forced_bands)
         if not is_keyframe:
             # has_dc_skip DC coding (reference: src/encode.c:1363-1382).
             lossless = st.quantizer == 0
@@ -1063,7 +1075,8 @@ class Encoder:
         src/encode.c:2942-2948)."""
         if (getattr(self, "use_native_frame", _NATIVE_FRAME_DEFAULT)
                 and hasattr(self.enc, "_h")
-                and self._bsize_dist_file is None):
+                and self._bsize_dist_file is None
+                and getattr(self, "_device_pvq_tab", None) is None):
             return self._encode_coefficients_native(
                 padded_in, self_img, is_keyframe, use_haar_wavelet,
                 rdo_only)
@@ -1426,11 +1439,29 @@ class Encoder:
                 self._device_d, self._device_md = KF.analyze_inter(
                     st, info, padded_in, mc_planes, st.quantizer == 0,
                     device_put_fn=getattr(self, "device_put_fn", None))
+        # Device PVQ band search (models/pvqsearch.py): with the
+        # frame's input + prediction transforms already on the device,
+        # the per-band gain/theta/codeword RDO batches as jitted passes
+        # and the host entropy stage replays the decisions
+        # (BD-rate-neutral; reference search: src/pvq_encoder.c:333).
+        self._device_pvq_tab = None
+        if (device_on and not is_keyframe and not use_haar_wavelet
+                and self._device_d is not None
+                and self._device_md is not None
+                and getattr(self, "use_device_pvq", False)
+                and st.quantizer != 0):
+            from daala_tpu.models import pvqsearch as PS
+            self._device_pvq_tab = PS.search_inter_luma(
+                st, st.quantizer, np.asarray(self._device_d[0]),
+                np.asarray(self._device_md[0]), self.pvq_norm_lambda,
+                use_masking=bool(self.use_activity_masking),
+                device_put_fn=getattr(self, "device_put_fn", None))
         ctmp = self._encode_coefficients(padded_in, self_img, is_keyframe,
                                          use_haar_wavelet, planes_u8,
                                          rdo_only=0)
         self._device_d = None
         self._device_md = None
+        self._device_pvq_tab = None
         # Store the reconstruction into SELF + rotate references.
         fpr = bool(info.full_precision_references)
         for pli in range(nplanes):

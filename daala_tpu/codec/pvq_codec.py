@@ -314,6 +314,72 @@ def pvq_search_rdo_double(xcoeff, n, k, ypulse, g2, pvq_norm_lambda, prev_k):
     return xy / (1e-100 + math.sqrt(xx * yy))
 
 
+def _pvq_theta_forced(out, x0, r0, n, q0, y, beta, is_keyframe, pli,
+                      qm, qm_inv, forced):
+    """Replay a device band decision through pvq_theta's exact
+    normative tail (reference: src/pvq_encoder.c:594-636): skip
+    determination, synthesis, and gain-coding transform.  The stream
+    is fully determined by the decision; only the search was
+    approximate."""
+    noref, qg, itheta, max_theta, k, yvec, skip_diff_delta = forced
+    noref = bool(noref)
+    xshift = max(0, vector_log_mag(x0, n) - 15)
+    rshift = max(0, vector_log_mag(r0, n) - 14)
+    r0a = np.asarray(r0[:n], np.int64)
+    qma = np.asarray(qm[:n], np.int64)
+    r16 = P.shr_round_arr(r0a * qma, P.OD_QM_SHIFT + rshift)
+    cgr, gr = P.compute_gain(r16, q0, beta, rshift)
+    cfl_enabled = is_keyframe and pli != 0
+    if cfl_enabled:
+        cgr = P.OD_CGAIN_SCALE
+    icgr = P.shr_round(cgr, P.OD_CGAIN_SHIFT)
+    gain_offset = cgr - P._shl32(icgr, P.OD_CGAIN_SHIFT)
+    m = 0
+    s = 1
+    r16_refl = r16.copy()
+    best_qtheta = 0
+    if not noref:
+        m, s = P.compute_householder(r16_refl, gr, rshift)
+        if itheta >= 0 and max_theta > 0:
+            best_qtheta = P.compute_theta(itheta, max_theta)
+    for i in range(n):
+        y[i] = 0
+    lim = n if noref else n - 1
+    for i in range(lim):
+        y[i] = int(yvec[i])
+    theta = best_qtheta
+    skip = 0
+    if noref:
+        if qg == 0:
+            skip = OD_PVQ_SKIP_ZERO
+    else:
+        if not is_keyframe and qg == 0:
+            skip = OD_PVQ_SKIP_ZERO if icgr else OD_PVQ_SKIP_COPY
+        if qg == icgr and itheta == 0 and not cfl_enabled:
+            skip = OD_PVQ_SKIP_COPY
+    if skip:
+        if skip == OD_PVQ_SKIP_COPY:
+            for i in range(n):
+                out[i] = int(r0[i])
+        else:
+            for i in range(n):
+                out[i] = 0
+    else:
+        if noref:
+            gain_offset = 0
+        g_syn = P.gain_expand(P._shl32(qg, P.OD_CGAIN_SHIFT)
+                              + gain_offset, q0, beta)
+        xc = P.synthesis_partial(np.asarray(y[:n], np.int64), r16_refl,
+                                 n, noref, g_syn, theta, m, s, qm_inv)
+        for i in range(n):
+            out[i] = int(xc[i])
+    if is_keyframe:
+        qg_coded = qg if noref else neg_interleave(qg, icgr)
+    else:
+        qg_coded = qg - 1 if noref else neg_interleave(qg + 1, icgr + 1)
+    return qg_coded, itheta, max_theta, k, skip_diff_delta
+
+
 def pvq_rate(qg, icgr, theta, ts, adapt, y0, k, n, is_keyframe, pli, speed):
     """od_pvq_rate (reference: src/pvq_encoder.c:247-287)."""
     if k == 0:
@@ -356,7 +422,7 @@ def pvq_rate(qg, icgr, theta, ts, adapt, y0, k, n, is_keyframe, pli, speed):
 
 
 def pvq_theta(out, x0, r0, n, q0, y, beta, nodesync, is_keyframe, pli,
-              adapt, qm, qm_inv, pvq_norm_lambda, speed):
+              adapt, qm, qm_inv, pvq_norm_lambda, speed, forced=None):
     """The per-band PVQ search (reference: src/pvq_encoder.c:333-636).
 
     out, y: int lists/arrays modified in place (length n).
@@ -364,7 +430,16 @@ def pvq_theta(out, x0, r0, n, q0, y, beta, nodesync, is_keyframe, pli,
 
     Production path: the entire band search runs as one native call
     (ec_pvq_theta in daala_tpu/native/ec_core.cc, differentially fuzzed
-    against this Python implementation)."""
+    against this Python implementation).
+
+    forced: optional device decision (noref, qg, itheta, max_theta, k,
+    yvec, skip_diff) from models/pvqsearch.py band_search — skips the
+    search and replays the exact normative tail (skip logic +
+    synthesis) so the coded stream is fully determined by the
+    decision."""
+    if forced is not None:
+        return _pvq_theta_forced(out, x0, r0, n, q0, y, beta,
+                                 is_keyframe, pli, qm, qm_inv, forced)
     if _NLIB is not None:
         cw = adapt.pvq.pvq_codeword_ctx
         out_c = np.zeros(n, np.int32)
@@ -724,7 +799,8 @@ def pvq_decode_partition(dec, q0, n, adapt, exg_ref, ext_ref, ref, out,
 
 def pvq_encode_block(enc, adapt, encoder_ctx, ref, coeffs_in, out, q0, pli,
                      bs, beta, nodesync, is_keyframe, qm, qm_inv,
-                     pvq_qm_q4, pvq_norm_lambda, speed, rollback_fns):
+                     pvq_qm_q4, pvq_norm_lambda, speed, rollback_fns,
+                     forced_bands=None):
     """od_pvq_encode (reference: src/pvq_encoder.c:792-1029).
 
     ref/coeffs_in/out: numpy int arrays in coding order (scan_length).
@@ -764,7 +840,9 @@ def pvq_encode_block(enc, adapt, encoder_ctx, ref, coeffs_in, out, q0, pli,
         qg[i], theta[i], max_theta[i], k[i], sd = pvq_theta(
             outband, coeffs_in[o0:o1], ref[o0:o1], size[i], q, yband,
             beta[i], nodesync, is_keyframe, pli, adapt, qm[o0:o1],
-            qm_inv[o0:o1], pvq_norm_lambda, speed)
+            qm_inv[o0:o1], pvq_norm_lambda, speed,
+            forced=(forced_bands.get(i)
+                    if forced_bands is not None else None))
         skip_diff += sd
         y[o0:o1] = yband
         out[o0:o1] = outband
