@@ -821,9 +821,28 @@ def refine_mvs(grid: MVGrid, cur_luma, ref_images, info, lam,
                 best_field = (grid.mv.copy(), grid.mv1.copy())
         np.copyto(grid.mv, best_field[0])
         np.copyto(grid.mv1, best_field[1])
+    # Dirty-vertex worklist (mirrored by the native engine): an
+    # evaluation reads MV/ref state only within Chebyshev distance
+    # 2*D0 (neighbour candidates and predictors reach +-D0; rate
+    # dependents chain one more predictor hop; the affected delta0
+    # blocks blend corners within the same bound), so a vertex whose
+    # dependency neighbourhood is unchanged since its last evaluation
+    # provably re-selects its current MV.  Skipping it keeps the greedy
+    # sequence — and the final field — bit-identical while later
+    # iterations only revisit the converging frontier.
+    dirty = np.ones((nv + 1, nh + 1), bool)
+    _R = 2 * D0
+
+    def mark_dirty(mvx, mvy):
+        dirty[max(0, mvy - _R):min(nv, mvy + _R) + 1,
+              max(0, mvx - _R):min(nh, mvx + _R) + 1] = True
+
     for _ in range(iters):
         changed = 0
         for vy, vx in verts:
+            if not dirty[vy, vx]:
+                continue
+            dirty[vy, vx] = False
             use1 = grid.ref[vy, vx] == MC.OD_FRAME_NEXT
             mvarr = grid.mv1 if use1 else grid.mv
             cur_mv = (int(mvarr[vy, vx, 0]), int(mvarr[vy, vx, 1]))
@@ -917,6 +936,8 @@ def refine_mvs(grid: MVGrid, cur_luma, ref_images, info, lam,
                 carr = (grid.mv1 if best_r == MC.OD_FRAME_NEXT
                         else grid.mv)
                 carr[vy, vx] = best_mv
+                if best_mv != cur_mv or best_r != ref:
+                    mark_dirty(vx, vy)
                 continue
             best_sad = eval_blocks(blocks)
             best_mv = cur_mv
@@ -937,6 +958,8 @@ def refine_mvs(grid: MVGrid, cur_luma, ref_images, info, lam,
                     best_mv = (cx, cy)
                     changed += 1
             mvarr[vy, vx] = best_mv
+            if best_mv != cur_mv:
+                mark_dirty(vx, vy)
         if not changed:
             break
 
