@@ -51,6 +51,16 @@ OD_NBSIZES = 5
 OD_MAX_REORDER = 16
 OD_PVQ_LAMBDA = 0.147
 
+# Block-size RDO subtree-prune thresholds by bsi (mirrored by
+# frame_enc.inc kBsPruneThr; see _encode_recursive): a skipped unsplit
+# inter trial with dist < thr * lambda * npix commits the merge without
+# trialing the split subtree.  Tuned on decision logs over the full BD
+# corpus (smooth/texture/mixed/natural x q10..q80) to sit safely below
+# the smallest wrongly-pruned value at each level; 64x64 merges are
+# never pruned (at high quantizers the split can win on lapping choice
+# alone with everything skipped).
+BS_PRUNE_THR = (0.0, 1.2, 0.6, 0.4, 0.0)
+
 # The native whole-frame coefficient pass (frame_enc.inc) is the
 # production path; DAALA_TPU_NATIVE_FRAME=0 forces the pure-Python
 # implementation (used by the differential tests).
@@ -784,6 +794,34 @@ class Encoder:
                 nosplit = c[y0:y0 + n, x0:x0 + n].copy()
                 c[y0:y0 + n, x0:x0 + n] = c_orig
                 d[y0:y0 + n:4, x0:x0 + n:4] = dc_orig
+                if (skip_nosplit and not ctx["is_keyframe"]
+                        and self._bs_prune_enabled()):
+                    # Subtree pruning (frame_enc.inc kBsPruneThr): the
+                    # unsplit trial skipped entirely and its distortion
+                    # is small on the lambda scale — the split subtree
+                    # would skip too, reconstructing the same pixels
+                    # for strictly more signaling, so commit the merge
+                    # without trialing it (mc is untouched here; the
+                    # split prefilter has not run yet).  Thresholds
+                    # tuned on the synthetic corpus: ~51% of subtree
+                    # work pruned at ~0.03% RD inflation.
+                    from daala_tpu.codec import dist as dist_mod
+                    flat = self.qm_choice == 0
+                    dist_ns = dist_mod.compute_dist(
+                        c_orig, nosplit, n, self.use_activity_masking,
+                        st.coded_quantizer, flat)
+                    lam = self.bs_rdo_lambda
+                    if dist_ns < BS_PRUNE_THR[bsi] * lam * (n * n):
+                        self._rollback_full(cp_post)
+                        c[y0:y0 + n, x0:x0 + n] = nosplit
+                        b8y = (by << bsi) >> 1
+                        b8x = (bx << bsi) >> 1
+                        m = 1 << (bs - 1)
+                        st.bsize[b8y:b8y + m, b8x:b8x + m] = bs
+                        st.bskip[pli][
+                            (by << bs):(by << bs) + (1 << bs),
+                            (bx << bs):(bx << bs) + (1 << bs)] = 1
+                        return skip_nosplit
             hfilter = ((bx + 1) << (2 + bs)) <= self.info.pic_width
             vfilter = ((by + 1) << (2 + bs)) <= self.info.pic_height
             if not ctx["is_keyframe"]:
@@ -914,6 +952,16 @@ class Encoder:
                                       self.b_frames + 1, self.b_frames)
         return 0 if ft == 0 else 1
 
+    def _bs_prune_enabled(self):
+        """Block-size RDO subtree pruning (BS_PRUNE_THR): on by default
+        up to complexity 7; complexity >= 8 keeps the exhaustive trial
+        tree (the thorough pipeline).  Set the bs_prune attribute to
+        force it on/off."""
+        v = getattr(self, "bs_prune", None)
+        if v is not None:
+            return bool(v)
+        return self.complexity <= 7
+
     def _mv_refine_iters(self):
         """Iterations of the rate-aware MV refinement sweep: the greedy
         coordinate descent needs ~4 passes to converge (BD-rate on
@@ -1039,6 +1087,51 @@ class Encoder:
                         and self.use_dering and st.quantizer != 0)
         if defer_dering:
             cfg[73] = 1
+        cfg[76] = 1 if self._bs_prune_enabled() else 0
+        # Device PVQ decision table (models/pvqsearch.py): flatten the
+        # per-(block, band) decisions into dense arrays so the native
+        # EC pass replays them through ec_pvq_theta_forced — keeping
+        # the C++ entropy throughput AND the device search.
+        tab = getattr(self, "_device_pvq_tab", None)
+        if (tab is not None and not rdo_only and not is_keyframe
+                and not use_haar_wavelet):
+            n4v, n4h = st.frame_height >> 2, st.frame_width >> 2
+            blocks = {}
+            for (_pli, by4, bx4, band), e in tab.items():
+                blocks.setdefault((by4, bx4), {})[band] = e
+            nslots = max(1, len(blocks))
+            idx = np.full(n4v * n4h, -1, np.int32)
+            meta = np.zeros((nslots, 16, 6), np.int32)
+            sd = np.zeros((nslots, 16), np.float64)
+            yoff = np.zeros(nslots, np.int64)
+            ypool = []
+            ytot = 0
+            for s, ((by4, bx4), bands) in enumerate(
+                    sorted(blocks.items())):
+                idx[by4 * n4h + bx4] = s
+                bsb = st.bsize4(bx4, by4)
+                slen = part.scan_length(4 << bsb)
+                offs = part.band_offsets(4 << bsb)
+                yarr = np.zeros(slen, np.int32)
+                for band, e in bands.items():
+                    noref, qg, itheta, ts, k, yvec, sdf, valid = e
+                    meta[s, band] = (int(noref), int(qg), int(itheta),
+                                     int(ts), int(k),
+                                     1 if valid else 0)
+                    sd[s, band] = float(sdf)
+                    o0 = int(offs[band])
+                    yarr[o0:o0 + len(yvec)] = yvec
+                ypool.append(yarr)
+                yoff[s] = ytot
+                ytot += slen
+            ypool = (np.concatenate(ypool) if ypool
+                     else np.zeros(1, np.int32))
+            ypool = np.ascontiguousarray(ypool, np.int32)
+            tabp = np.array([idx.ctypes.data, meta.ctypes.data,
+                             yoff.ctypes.data, ypool.ctypes.data,
+                             sd.ctypes.data], np.int64)
+            keep.extend([idx, meta, yoff, ypool, sd, tabp])
+            cfg[77] = tabp.ctypes.data
         ap = self._native_adapt_ptrs()
         err = lib.fc_encode_frame(self.enc._h, ap.ctypes.data,
                                   cfg.ctypes.data, dcfg.ctypes.data)
@@ -1075,8 +1168,7 @@ class Encoder:
         src/encode.c:2942-2948)."""
         if (getattr(self, "use_native_frame", _NATIVE_FRAME_DEFAULT)
                 and hasattr(self.enc, "_h")
-                and self._bsize_dist_file is None
-                and getattr(self, "_device_pvq_tab", None) is None):
+                and self._bsize_dist_file is None):
             return self._encode_coefficients_native(
                 padded_in, self_img, is_keyframe, use_haar_wavelet,
                 rdo_only)
@@ -1373,10 +1465,13 @@ class Encoder:
         # complexity >= 2 runs the full trial-encode RDO merge pass from
         # an all-4x4 map; complexity 0-1 uses the open-loop variance
         # splitter; fixed_bsize overrides for tests.
+        # Device front-ends are an explicit opt-in; they also apply to
+        # the pure-Python coefficient path (which recomputes the
+        # transforms itself — bit-identically — but consumes the device
+        # PVQ decision table via forced_bands, mirroring the native
+        # engine's ec_pvq_theta_forced replay).
         device_on = (getattr(self, "use_device_analysis", False)
-                     and not use_haar_wavelet
-                     and getattr(self, "use_native_frame",
-                                 _NATIVE_FRAME_DEFAULT))
+                     and not use_haar_wavelet)
         self._device_rdo = None
         # Device dering: the RDO gain candidates batch on the TPU
         # (consumed by the deferred native dering pass).

@@ -1551,6 +1551,79 @@ void ec_pvq_theta(int32_t *out, const int32_t *x0, const int32_t *r0,
   res_i[3] = (int32_t)k;
 }
 
+// Replay a device band decision (models/pvqsearch.py band_search)
+// through the exact normative tail — skip determination, synthesis and
+// gain-coding transform; mirrors pvq_codec._pvq_theta_forced
+// bit-exactly (reference tail: src/pvq_encoder.c:594-636).  fmeta:
+// [noref, qg, itheta, max_theta, k, valid]; yvec: the band's pulse
+// vector; fskip_diff: the device-computed skip_diff delta.
+void ec_pvq_theta_forced(int32_t *out, const int32_t *x0,
+                         const int32_t *r0, int n, int q0, int32_t *y,
+                         int beta, int is_keyframe, int pli,
+                         const int32_t *qm, const int32_t *qm_inv,
+                         const int32_t *fmeta, const int32_t *yvec,
+                         double fskip_diff, int32_t *res_i,
+                         double *skip_diff_delta) {
+  using namespace pvqm;
+  (void)x0;
+  int noref = fmeta[0] != 0;
+  int64_t qg = fmeta[1], itheta = fmeta[2], max_theta = fmeta[3];
+  int64_t k = fmeta[4];
+  int rshift = vector_log_mag(r0, n) - 14;
+  if (rshift < 0) rshift = 0;
+  int64_t r16_refl[1024];
+  for (int i = 0; i < n; i++)
+    r16_refl[i] = shr_round((int64_t)r0[i] * qm[i], kQmShift + rshift);
+  int64_t gr;
+  int64_t cgr = compute_gain(r16_refl, n, q0, beta, rshift, &gr);
+  int cfl_enabled = is_keyframe && pli != 0;
+  if (cfl_enabled) cgr = kCgainScale;
+  int64_t icgr = shr_round(cgr, kCgainShift);
+  int64_t gain_offset = cgr - shl32(icgr, kCgainShift);
+  int m = 0, sgn = 1;
+  int64_t best_qtheta = 0;
+  if (!noref) {
+    compute_householder(r16_refl, n, gr, rshift, &m, &sgn);
+    if (itheta >= 0 && max_theta > 0)
+      best_qtheta = compute_theta(itheta, max_theta);
+  }
+  for (int i = 0; i < n; i++) y[i] = 0;
+  int lim = noref ? n : n - 1;
+  for (int i = 0; i < lim; i++) y[i] = yvec[i];
+  int64_t theta = best_qtheta;
+  int skip = 0;
+  if (noref) {
+    if (qg == 0) skip = 1;  // OD_PVQ_SKIP_ZERO
+  } else {
+    if (!is_keyframe && qg == 0) skip = icgr ? 1 : 2;
+    if (qg == icgr && itheta == 0 && !cfl_enabled) skip = 2;
+  }
+  if (skip) {
+    if (skip == 2) {
+      for (int i = 0; i < n; i++) out[i] = r0[i];
+    } else {
+      for (int i = 0; i < n; i++) out[i] = 0;
+    }
+  } else {
+    if (noref) gain_offset = 0;
+    int64_t gexp = gain_expand(shl32(qg, kCgainShift) + gain_offset, q0,
+                               beta);
+    synthesis_partial(y, r16_refl, n, noref, gexp, theta, m, sgn, qm_inv,
+                      out);
+  }
+  *skip_diff_delta = fskip_diff;
+  int64_t qg_coded;
+  if (is_keyframe) {
+    qg_coded = noref ? qg : neg_interleave(qg, icgr);
+  } else {
+    qg_coded = noref ? qg - 1 : neg_interleave(qg + 1, icgr + 1);
+  }
+  res_i[0] = (int32_t)qg_coded;
+  res_i[1] = (int32_t)itheta;
+  res_i[2] = (int32_t)max_theta;
+  res_i[3] = (int32_t)k;
+}
+
 double ec_pvq_search_rdo_double(const double *xcoeff, int n, int k,
                                 int32_t *ypulse, double g2,
                                 double pvq_norm_lambda, int prev_k) {

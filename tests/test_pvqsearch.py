@@ -131,3 +131,28 @@ def test_device_pvq_end_to_end():
     nb_d, ps_d = run(True)
     assert abs(nb_d - nb_h) / nb_h < 0.05, (nb_h, nb_d)
     assert abs(ps_d - ps_h) < 0.3, (ps_h, ps_d)
+
+
+def test_device_pvq_native_matches_python():
+    """The native frame engine consuming the flattened device decision
+    table (frame_enc.inc ec_pvq_theta_forced) must produce the same
+    bytes as the Python replay path (pvq_codec._pvq_theta_forced)."""
+    w, h, nfr, q = 96, 64, 4, 18
+    frames = content.make_clip(w, h, nfr, seed=5)
+
+    def run(native_frame):
+        info = H.Info(pic_width=w, pic_height=h)
+        e = Encoder(info, quant=q, complexity=7)
+        e.keyframe_rate = 256
+        e.use_device_analysis = True
+        e.use_device_pvq = True
+        e.use_native_frame = native_frame
+        pkts = [p for fr in frames for p in e.encode_frame(fr)]
+        pkts += e.flush()
+        return pkts
+
+    a = run(True)
+    b = run(False)
+    assert len(a) == len(b)
+    for i, (x, y) in enumerate(zip(a, b)):
+        assert bytes(x) == bytes(y), ("device-PVQ replay divergence", i)
