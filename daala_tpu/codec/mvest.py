@@ -407,7 +407,14 @@ def estimate_all_native(grid, cur_luma, refs, info, search_range, lam,
     cur = np.ascontiguousarray(cur_luma, np.uint8)
     planes4 = _ref_slot_planes(refs, info)
     gout = np.zeros(4, np.int32)
-    cfg = np.zeros(40, np.int64)
+    cfg = np.zeros(44, np.int64)
+    # Last frame's global vectors seed the whole-frame search's
+    # early-abort limit (decision-neutral: the native search returns
+    # the exact lexicographic (SAD, raster-index) minimum either way).
+    prev_g = list(getattr(grid, "global_mvs", ()) or ())
+    for i, (gx, gy) in enumerate(prev_g[:2]):
+        cfg[40 + 2 * i] = int(gx)
+        cfg[41 + 2 * i] = int(gy)
     keep_fp = []
     if fp_fields is not None:
         cfg[35] = search_range
