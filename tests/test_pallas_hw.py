@@ -22,7 +22,14 @@ _DRIVER = r"""
 import sys
 import numpy as np
 import jax
-if jax.default_backend() not in ("tpu", "axon"):
+try:
+    backend = jax.default_backend()
+except RuntimeError:
+    # The TPU plugin is installed but the device is unreachable (e.g.
+    # the tunnel to the chip is down) — same situation as no TPU.
+    print("NO_TPU")
+    sys.exit(0)
+if backend not in ("tpu", "axon"):
     print("NO_TPU")
     sys.exit(0)
 import jax.numpy as jnp
