@@ -51,15 +51,30 @@ OD_NBSIZES = 5
 OD_MAX_REORDER = 16
 OD_PVQ_LAMBDA = 0.147
 
-# Block-size RDO subtree-prune thresholds by bsi (mirrored by
-# frame_enc.inc kBsPruneThr; see _encode_recursive): a skipped unsplit
-# inter trial with dist < thr * lambda * npix commits the merge without
-# trialing the split subtree.  Tuned on decision logs over the full BD
-# corpus (smooth/texture/mixed/natural x q10..q80) to sit safely below
-# the smallest wrongly-pruned value at each level; 64x64 merges are
-# never pruned (at high quantizers the split can win on lapping choice
-# alone with everything skipped).
-BS_PRUNE_THR = (0.0, 1.2, 0.6, 0.4, 0.0)
+def _bs_prune_thr(bsi, quantizer):
+    """Block-size RDO subtree-prune threshold (mirrored bit-exactly by
+    frame_enc.inc bs_prune_thr; see _encode_recursive): a skipped
+    unsplit inter trial with dist < thr * lambda * npix commits the
+    merge without trialing the split subtree.  Quantizer-dependent
+    envelopes fitted 15-30% below the smallest wrongly-pruned value in
+    decision logs over the full BD corpus (smooth/texture/mixed/natural
+    x q10..q80; zero wrong prunes at 61%/46%/32% coverage per level):
+    at low quantizers residual coding is cheap, so a split only beats a
+    skipped merge at much larger distortion and the safe threshold
+    rises.  64x64 merges are never pruned (at high quantizers the
+    split can win on lapping choice alone with everything skipped)."""
+    if quantizer <= 0:
+        return 0.0
+    lg = math.log2(float(quantizer))
+    if bsi == 1:
+        t = 5.36 - 0.72 * lg
+        return 1.0 if t < 1.0 else (2.4 if t > 2.4 else t)
+    if bsi == 2:
+        t = 3.6 - 0.48 * lg
+        return 0.5 if t < 0.5 else (1.3 if t > 1.3 else t)
+    if bsi == 3:
+        return 0.32
+    return 0.0
 
 # The native whole-frame coefficient pass (frame_enc.inc) is the
 # production path; DAALA_TPU_NATIVE_FRAME=0 forces the pure-Python
@@ -796,22 +811,22 @@ class Encoder:
                 d[y0:y0 + n:4, x0:x0 + n:4] = dc_orig
                 if (skip_nosplit and not ctx["is_keyframe"]
                         and self._bs_prune_enabled()):
-                    # Subtree pruning (frame_enc.inc kBsPruneThr): the
+                    # Subtree pruning (frame_enc.inc bs_prune_thr): the
                     # unsplit trial skipped entirely and its distortion
                     # is small on the lambda scale — the split subtree
                     # would skip too, reconstructing the same pixels
                     # for strictly more signaling, so commit the merge
                     # without trialing it (mc is untouched here; the
-                    # split prefilter has not run yet).  Thresholds
-                    # tuned on the synthetic corpus: ~51% of subtree
-                    # work pruned at ~0.03% RD inflation.
+                    # split prefilter has not run yet).  Thresholds:
+                    # see _bs_prune_thr.
                     from daala_tpu.codec import dist as dist_mod
                     flat = self.qm_choice == 0
                     dist_ns = dist_mod.compute_dist(
                         c_orig, nosplit, n, self.use_activity_masking,
                         st.coded_quantizer, flat)
                     lam = self.bs_rdo_lambda
-                    if dist_ns < BS_PRUNE_THR[bsi] * lam * (n * n):
+                    if dist_ns < _bs_prune_thr(bsi, st.quantizer) \
+                            * lam * (n * n):
                         self._rollback_full(cp_post)
                         c[y0:y0 + n, x0:x0 + n] = nosplit
                         b8y = (by << bsi) >> 1
