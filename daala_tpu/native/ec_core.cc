@@ -1887,6 +1887,13 @@ struct Ctx {
   int fvx = INT_MIN, fvy = INT_MIN;
   /* Optional recorder: every blended leaf appends (x, y, nx, ny). */
   std::vector<int>* rects = nullptr;
+  /* Record the leaf rects WITHOUT predicting or blending: the leaf
+   * decomposition and the fvx/fvy reference filter depend only on the
+   * mesh validity structure, so the collected set is exactly the set a
+   * real prediction pass would blend.  Used by the ME refinement to
+   * price a candidate's fixed (unaffected-cell) SAD before paying for
+   * the OBMC prediction. */
+  bool collect_only = false;
 };
 
 static inline int div_pow2_re(int x, int shift) {
@@ -2106,6 +2113,15 @@ static void pred_block_from_setup(const Ctx& c, int vx, int vy, int oc,
   int y = vy << (LOG_MVBSIZE_MIN - c.ydec);
   int nx = 1 << log_x;
   int ny = 1 << log_y;
+  if (c.collect_only) {
+    if (c.rects) {
+      c.rects->push_back(x);
+      c.rects->push_back(y);
+      c.rects->push_back(nx);
+      c.rects->push_back(ny);
+    }
+    return;
+  }
   int mvx[4], mvy[4], srcs[4];
   uint8_t preds[4][64 * 64];
   const uint8_t* pp[4];
