@@ -75,12 +75,22 @@ def probe_device_mode(frames):
     paths win when a chip is attached locally (PCIe-class transfers) and
     lose through high-latency tunnels, so measure instead of guessing.
     Returns (device, sweep, probe_results)."""
+    # Backend detection runs in a subprocess with a hard timeout: when
+    # the TPU plugin is installed but the chip is unreachable (dead
+    # tunnel), jax's backend init can block for many minutes and would
+    # stall the whole benchmark.
+    import subprocess
     try:
-        import jax
-        if jax.default_backend() not in ("tpu", "axon"):
-            return False, False, {"backend": jax.default_backend()}
-    except Exception as e:  # pragma: no cover
-        return False, False, {"error": str(e)}
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.default_backend())"],
+            capture_output=True, text=True, timeout=180)
+        backend = probe.stdout.strip().splitlines()[-1] \
+            if probe.returncode == 0 and probe.stdout.strip() else ""
+    except subprocess.TimeoutExpired:
+        return False, False, {"error": "backend probe timed out"}
+    if backend not in ("tpu", "axon"):
+        return False, False, {"backend": backend or "unavailable"}
     results = {}
     short = frames[:2]
     configs = [("host", False, False), ("device", True, False),
