@@ -864,21 +864,31 @@ class Encoder:
             if rdo_only:
                 # Decide split vs no-split on distortion + lambda*rate
                 # (reference: src/encode.c:1792-1841).
-                split = c[y0:y0 + n, x0:x0 + n]
                 rate_split = enc.tell_frac() - tell
-                from daala_tpu.codec import dist as dist_mod
-                flat = self.qm_choice == 0
-                dist_split = dist_mod.compute_dist(
-                    c_orig, split, n, self.use_activity_masking,
-                    st.coded_quantizer, flat)
-                dist_nosplit = dist_mod.compute_dist(
-                    c_orig, nosplit, n, self.use_activity_masking,
-                    st.coded_quantizer, flat)
                 lam = self.bs_rdo_lambda
-                chose_nosplit = skip_split or (
-                    dist_nosplit + lam * rate_nosplit
-                    < dist_split + lam * rate_split)
-                if bsi == OD_NBSIZES - 2:
+                dist_split = dist_nosplit = None
+                chose_nosplit = bool(skip_split)
+                # Distortions only decide anything when the merge is
+                # not forced by all children skipping (the common case
+                # on well-predicted content); the OD_DUMP_BSIZE_DIST
+                # diagnostic still wants them when its dump is active.
+                if not chose_nosplit or (
+                        bsi == OD_NBSIZES - 2
+                        and self._bsize_dist_file is not None):
+                    split = c[y0:y0 + n, x0:x0 + n]
+                    from daala_tpu.codec import dist as dist_mod
+                    flat = self.qm_choice == 0
+                    dist_split = dist_mod.compute_dist(
+                        c_orig, split, n, self.use_activity_masking,
+                        st.coded_quantizer, flat)
+                    dist_nosplit = dist_mod.compute_dist(
+                        c_orig, nosplit, n, self.use_activity_masking,
+                        st.coded_quantizer, flat)
+                    chose_nosplit = skip_split or (
+                        dist_nosplit + lam * rate_nosplit
+                        < dist_split + lam * rate_split)
+                if (bsi == OD_NBSIZES - 2
+                        and dist_nosplit is not None):
                     # OD_DUMP_BSIZE_DIST accumulation (reference:
                     # src/encode.c:1828-1838).
                     self._bsize_dist[pli] += (dist_nosplit if chose_nosplit
