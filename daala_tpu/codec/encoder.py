@@ -166,6 +166,13 @@ class Encoder:
         else:
             self.mv_max_level = 3 if complexity >= 6 else 2
             self.mv_decimate = 0
+        # Trial-pass PVQ rate estimation: when set, the block-size RDO
+        # trial encode uses the closed-form codeword-rate approximation
+        # (the same speed=1 model the reference trusts for its whole
+        # search below complexity 5, src/encode.c:1359) instead of the
+        # exact CDF walk.  Only the trial pass's split decisions are
+        # affected; the final pass always codes with exact rates.
+        self.trial_rate_approx = False
         # OD_SET_MV_RES_MIN analogue (reference: daalaenc.h:188,
         # src/mcenc.c:1808,6349): floor on the coded MV resolution
         # (0 = 1/8 pel .. 2 = 1/2 pel).
@@ -679,7 +686,8 @@ class Encoder:
         slen = part.scan_length(n)
         out = np.zeros(slen, np.int64)
         beta = pvq_beta(ctx["use_activity_masking"], pli, bs)
-        speed = 1 if (rdo_only and self.complexity < 5) else 0
+        speed = 1 if (rdo_only and (self.complexity < 5
+                                    or self.trial_rate_approx)) else 0
         forced_bands = None
         tab = getattr(self, "_device_pvq_tab", None)
         if (tab is not None and pli == 0 and not is_keyframe
@@ -1113,6 +1121,7 @@ class Encoder:
         if defer_dering:
             cfg[73] = 1
         cfg[76] = 1 if self._bs_prune_enabled() else 0
+        cfg[78] = 1 if self.trial_rate_approx else 0
         # Device PVQ decision table (models/pvqsearch.py): flatten the
         # per-(block, band) decisions into dense arrays so the native
         # EC pass replays them through ec_pvq_theta_forced — keeping
