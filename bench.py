@@ -48,7 +48,12 @@ def bench_ours(frames, device=False, sweep=False):
     from daala_tpu.codec import headers
     from daala_tpu.codec.encoder import Encoder
     info = headers.Info(pic_width=W, pic_height=H)
-    enc = Encoder(info, quant=QUANT, complexity=COMPLEXITY)
+    # Production speed preset: fast block-size RDO trial pass (speed=2
+    # projection-only PVQ candidates + closed-form rates).  BD-neutral
+    # and reference-decodable (tests/test_fast_trial.py); the final
+    # pass still searches and codes exactly.
+    enc = Encoder(info, quant=QUANT, complexity=COMPLEXITY,
+                  trial_rate_approx=True)
     enc.keyframe_rate = 256
     if device:
         # TPU front-ends: BMA SAD fields (models/mefield.py), RDO +

@@ -123,7 +123,7 @@ def interp_qm(q, use_masking, pli):
 class Encoder:
     def __init__(self, info: headers.Info, quant=10, complexity=7,
                  use_activity_masking=True, qm=OD_HVS_QM, use_dering=True,
-                 bitrate=0):
+                 bitrate=0, trial_rate_approx=False):
         self.info = info
         self.state = CodecState(info)
         # OD_SET_QUANT semantics (reference: src/encode.c OD_SET_QUANT).
@@ -166,13 +166,18 @@ class Encoder:
         else:
             self.mv_max_level = 3 if complexity >= 6 else 2
             self.mv_decimate = 0
-        # Trial-pass PVQ rate estimation: when set, the block-size RDO
-        # trial encode uses the closed-form codeword-rate approximation
-        # (the same speed=1 model the reference trusts for its whole
-        # search below complexity 5, src/encode.c:1359) instead of the
-        # exact CDF walk.  Only the trial pass's split decisions are
-        # affected; the final pass always codes with exact rates.
-        self.trial_rate_approx = False
+        # Fast trial pass (speed=2): the block-size RDO trial encode
+        # evaluates only the PVQ projection candidate (nearest
+        # quantized gain/theta) with the closed-form codeword-rate
+        # model — the same approximation family the reference trusts
+        # for its whole search below complexity 5 (src/encode.c:1359),
+        # applied one step further.  Only the trial pass's split
+        # decisions are affected; the final pass always searches and
+        # codes exactly, so streams stay reference-decodable.  BD-rate
+        # cost is within noise (tests/test_fast_trial.py); off by
+        # default so the default configuration stays byte-identical to
+        # the reference encoder.
+        self.trial_rate_approx = bool(trial_rate_approx)
         # OD_SET_MV_RES_MIN analogue (reference: daalaenc.h:188,
         # src/mcenc.c:1808,6349): floor on the coded MV resolution
         # (0 = 1/8 pel .. 2 = 1/2 pel).
@@ -686,8 +691,16 @@ class Encoder:
         slen = part.scan_length(n)
         out = np.zeros(slen, np.int64)
         beta = pvq_beta(ctx["use_activity_masking"], pli, bs)
-        speed = 1 if (rdo_only and (self.complexity < 5
-                                    or self.trial_rate_approx)) else 0
+        # Trial-pass search effort: complexity < 5 matches the
+        # reference's speed=1 (src/encode.c:1359); trial_rate_approx is
+        # our faster speed=2 (projection-only candidates + closed-form
+        # rates) — the final pass always searches exactly (speed 0).
+        speed = 0
+        if rdo_only:
+            if self.complexity < 5:
+                speed = 1
+            elif self.trial_rate_approx:
+                speed = 2
         forced_bands = None
         tab = getattr(self, "_device_pvq_tab", None)
         if (tab is not None and pli == 0 and not is_keyframe

@@ -526,7 +526,14 @@ def pvq_theta(out, x0, r0, n, q0, y, beta, nodesync, is_keyframe, pli,
         prev_k = 0
         gain_bound = (cg - gain_offset) >> P.OD_CGAIN_SHIFT
         items = []
-        for i in range(max(1, gain_bound - 1), gain_bound + 2):
+        if speed >= 2:
+            # Fast trial mode: nearest quantized gain only (the +-1
+            # neighborhood is searched only by the final pass).
+            i0 = max(1, P.shr_round(cg - gain_offset, P.OD_CGAIN_SHIFT))
+            gain_range = range(i0, i0 + 1)
+        else:
+            gain_range = range(max(1, gain_bound - 1), gain_bound + 2)
+        for i in gain_range:
             qcg = P._shl32(i, P.OD_CGAIN_SHIFT) + gain_offset
             ts = P.compute_max_theta(qcg, beta)
             # OD_THETA_SCALE_1 = pi/(2*32768); theta*SCALE_1*2/pi*ts
@@ -537,6 +544,10 @@ def pvq_theta(out, x0, r0, n, q0, y, beta, nodesync, is_keyframe, pli,
                 0.5 + theta * theta_scale_1 * 2 / math.pi * ts)) - 2)
             theta_upper = min(ts - 1, int(math.ceil(
                 theta * theta_scale_1 * 2 / math.pi * ts)))
+            if speed >= 2:
+                j0 = min(ts - 1, max(0, int(math.floor(
+                    0.5 + theta * theta_scale_1 * 2 / math.pi * ts))))
+                theta_lower = theta_upper = j0
             for j in range(theta_lower, theta_upper + 1):
                 qtheta = P.compute_theta(j, ts)
                 k = P.compute_k(qcg, j, False, n, beta)
@@ -588,7 +599,12 @@ def pvq_theta(out, x0, r0, n, q0, y, beta, nodesync, is_keyframe, pli,
         gain_bound = cg >> P.OD_CGAIN_SHIFT
         prev_k = 0
         y_tmp = [0] * n
-        for i in range(max(1, gain_bound), gain_bound + 2):
+        if speed >= 2:
+            i0 = max(1, P.shr_round(cg, P.OD_CGAIN_SHIFT))
+            gain_range_nr = range(i0, i0 + 1)
+        else:
+            gain_range_nr = range(max(1, gain_bound), gain_bound + 2)
+        for i in gain_range_nr:
             qcg = P._shl32(i, P.OD_CGAIN_SHIFT)
             k = P.compute_k(qcg, -1, True, n, beta)
             dist = gain_weight * (qcg - cg) * (qcg - cg)

@@ -1386,7 +1386,18 @@ void ec_pvq_theta(int32_t *out, const int32_t *x0, const int32_t *r0,
     Item items[256];
     int nitems = 0;
     int64_t ilo = gain_bound - 1 > 1 ? gain_bound - 1 : 1;
-    for (int64_t i = ilo; i <= gain_bound + 1; i++) {
+    int64_t ihi = gain_bound + 1;
+    if (speed >= 2) {
+      // Fast trial mode: evaluate only the projection candidate —
+      // nearest quantized gain and nearest quantized theta — instead
+      // of the reference's +-1 gain x 4-theta neighborhood.  Only the
+      // block-size RDO trial pass runs here (frame_enc.inc speed
+      // mapping); the final pass always searches the full set.
+      int64_t i0 = shr_round(cg - gain_offset, kCgainShift);
+      if (i0 < 1) i0 = 1;
+      ilo = ihi = i0;
+    }
+    for (int64_t i = ilo; i <= ihi; i++) {
       int64_t qcg = shl32(i, kCgainShift) + gain_offset;
       int64_t ts = compute_max_theta(qcg, beta);
       double theta_scale_1 = 1.0 / ((1 << 15) * 2.0 / 3.141592653589793);
@@ -1396,6 +1407,12 @@ void ec_pvq_theta(int32_t *out, const int32_t *x0, const int32_t *r0,
       if (theta_lower < 0) theta_lower = 0;
       int64_t theta_upper = (int64_t)__builtin_ceil(tpos);
       if (theta_upper > ts - 1) theta_upper = ts - 1;
+      if (speed >= 2) {
+        int64_t j0 = (int64_t)__builtin_floor(0.5 + tpos);
+        if (j0 < 0) j0 = 0;
+        if (j0 > ts - 1) j0 = ts - 1;
+        theta_lower = theta_upper = j0;
+      }
       for (int64_t j = theta_lower;
            j <= theta_upper && nitems < 256; j++) {
         Item it;
@@ -1484,7 +1501,14 @@ void ec_pvq_theta(int32_t *out, const int32_t *x0, const int32_t *r0,
     double x16_d[1024];
     for (int i = 0; i < n; i++) x16_d[i] = (double)x16[i];
     int64_t ilo = gain_bound > 1 ? gain_bound : 1;
-    for (int64_t i = ilo; i <= gain_bound + 1; i++) {
+    int64_t ihi_nr = gain_bound + 1;
+    if (speed >= 2) {
+      // Fast trial mode: nearest quantized gain only (see above).
+      int64_t i0 = shr_round(cg, kCgainShift);
+      if (i0 < 1) i0 = 1;
+      ilo = ihi_nr = i0;
+    }
+    for (int64_t i = ilo; i <= ihi_nr; i++) {
       int64_t qcg = shl32(i, kCgainShift);
       int64_t k = compute_k(qcg, -1, 1, n, beta);
       double d1 = gain_weight * (double)(qcg - cg) * (double)(qcg - cg);
@@ -2556,6 +2580,128 @@ static void filter_orthogonal(const int16_t* in, int istride,
 }  /* namespace dering */
 
 extern "C" {
+
+/* Filter one deringing superblock for several candidate thresholds in
+ * one call (the encoder's dering RDO): the bordered input copy, the
+ * per-8x8 direction search and the skip mask are threshold-independent
+ * and shared; only the final threshold scaling and the two filter
+ * passes run per candidate.  Output-identical to nthr separate
+ * ec_dering calls.  outs: int16 (nthr, n, ostride). */
+void ec_dering_multi(const void* plane_, int ph, int pw, int sby,
+                     int sbx, int xdec, int pli, const void* bskip_,
+                     int skip_h, int skip_w, const int32_t* thresholds,
+                     int nthr, int n, void* dirs_, int coeff_shift,
+                     void* outs_, int ostride) {
+  using namespace dering;
+  const int16_t* plane = (const int16_t*)plane_;
+  const uint8_t* bskip = (const uint8_t*)bskip_;
+  int32_t* dirs = (int32_t*)dirs_;
+  int16_t* outs = (int16_t*)outs_;
+  int nhdr = pw >> (6 - xdec);
+  int nvdr = ph >> (6 - xdec);
+  int bsize = 3 - xdec;
+  int nb = n >> bsize;
+  const int istride = 64 + 2 * BORDER;
+  int16_t inb0[(64 + 2 * BORDER) * (64 + 2 * BORDER)];
+  for (int i = 0; i < (n + 2 * BORDER) * istride; i++)
+    inb0[i] = VERY_LARGE;
+  int y0 = sby << (6 - xdec);
+  int x0 = sbx << (6 - xdec);
+  int i_lo = sby != 0 ? -BORDER : 0;
+  int i_hi = n + (sby != nvdr - 1 ? BORDER : 0);
+  int j_lo = sbx != 0 ? -BORDER : 0;
+  int j_hi = n + (sbx != nhdr - 1 ? BORDER : 0);
+  for (int i = i_lo; i < i_hi; i++) {
+    for (int j = j_lo; j < j_hi; j++) {
+      inb0[(BORDER + i) * istride + BORDER + j] =
+          plane[(size_t)(y0 + i) * pw + x0 + j];
+    }
+  }
+  const int16_t* x_orig = plane + (size_t)y0 * pw + x0;
+  // Threshold-independent per-block state: direction + the THRESH_Q8
+  // scale index (or -1 for wrapped-negative variance / skip blocks and
+  // -2 for chroma's unscaled threshold).
+  int32_t tscale[8 * 8];
+  if (pli == 0) {
+    for (int by = 0; by < nb; by++) {
+      for (int bx = 0; bx < nb; bx++) {
+        int d, var;
+        dir_find8(x_orig + (size_t)8 * by * pw + 8 * bx, pw, coeff_shift,
+                  &d, &var);
+        dirs[by * nb + bx] = d;
+        int v1 = var >> 6;
+        if (v1 > 32767) v1 = 32767;
+        if (v1 < 0) {
+          tscale[by * nb + bx] = -1;
+        } else {
+          tscale[by * nb + bx] =
+              v1 > 0 ? 32 - __builtin_clz((unsigned)v1) : 0;
+        }
+      }
+    }
+  } else {
+    for (int i = 0; i < nb * nb; i++) tscale[i] = -2;
+  }
+  (void)skip_h;
+  for (int by = 0; by < nb; by++) {
+    for (int bx = 0; bx < nb; bx++) {
+      int xstart = 0, ystart = 0;
+      int xend = 2 >> xdec, yend = 2 >> xdec;
+      xstart -= sbx != 0;
+      ystart -= sby != 0;
+      xend += sbx != nhdr - 1;
+      yend += sby != nvdr - 1;
+      int skip = 1;
+      for (int i = ystart; i < yend && skip; i++) {
+        for (int j = xstart; j < xend; j++) {
+          int yy = (sby << (4 - xdec)) + ((by << 1) >> xdec) + i;
+          int xx = (sbx << (4 - xdec)) + ((bx << 1) >> xdec) + j;
+          if (!bskip[(size_t)yy * skip_w + xx]) {
+            skip = 0;
+            break;
+          }
+        }
+      }
+      if (skip) tscale[by * nb + bx] = -1;
+    }
+  }
+  int b = 1 << bsize;
+  int16_t inb[(64 + 2 * BORDER) * (64 + 2 * BORDER)];
+  int16_t tmp[64 * 64];
+  int32_t thresh[8 * 8];
+  for (int ti = 0; ti < nthr; ti++) {
+    int threshold = thresholds[ti];
+    int16_t* out = outs + (size_t)ti * n * ostride;
+    for (int i = 0; i < nb * nb; i++) {
+      if (tscale[i] == -1) thresh[i] = 0;
+      else if (tscale[i] == -2) thresh[i] = threshold;
+      else thresh[i] = (threshold * THRESH_Q8[tscale[i]] + 128) >> 8;
+    }
+    memcpy(inb, inb0, sizeof(inb0));
+    for (int by = 0; by < nb; by++) {
+      for (int bx = 0; bx < nb; bx++) {
+        filter_direction(
+            inb + (size_t)(BORDER + by * b) * istride + BORDER + bx * b,
+            istride, b, thresh[by * nb + bx], dirs[by * nb + bx],
+            tmp + (size_t)by * b * n + bx * b, n);
+      }
+    }
+    for (int i = 0; i < n; i++) {
+      for (int j = 0; j < n; j++) {
+        inb[(BORDER + i) * istride + BORDER + j] = tmp[i * n + j];
+      }
+    }
+    for (int by = 0; by < nb; by++) {
+      for (int bx = 0; bx < nb; bx++) {
+        filter_orthogonal(
+            inb + (size_t)(BORDER + by * b) * istride + BORDER + bx * b,
+            istride, x_orig + (size_t)by * b * pw + bx * b, pw, b,
+            thresh[by * nb + bx], dirs[by * nb + bx],
+            out + (size_t)by * b * ostride + bx * b, ostride);
+      }
+    }
+  }
+}
 
 /* Filter one deringing superblock.  plane: full int16 plane (ph, pw);
  * dirs: int32 (nvb, nhb) buffer, written for pli==0 and read otherwise;

@@ -56,6 +56,11 @@ CASES = [
     ("flat_qm", dict(quant=16, complexity=7, qm=0), 64, 64, 1, 1, True),
     ("no_masking", dict(quant=16, complexity=7,
                         use_activity_masking=False), 64, 64, 1, 1, True),
+    # Fast trial pass (speed=2 projection-only PVQ candidates +
+    # closed-form rates): the Python and native engines must make the
+    # same approximations and stay byte-identical.
+    ("fast_trial", dict(quant=18, complexity=7, trial_rate_approx=True),
+     128, 96, 3, 8, True),
 ]
 
 

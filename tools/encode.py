@@ -44,6 +44,10 @@ def main():
     ap.add_argument("--qm", type=int, choices=(0, 1), default=1,
                     help="quantization matrix: 0 = flat, 1 = HVS "
                          "(reference's --qm)")
+    ap.add_argument("--fast-trial", action="store_true",
+                    help="fast block-size RDO trial pass (speed=2 "
+                         "projection-only PVQ candidates + closed-form "
+                         "rates; BD-neutral, final pass stays exact)")
     ap.add_argument("--no-activity-masking", action="store_true",
                     help="disable perceptual activity masking "
                          "(reference's --activity-masking 0)")
@@ -151,7 +155,8 @@ def main():
         pkts = encode_clip_parallel(
             frames, info_kwargs,
             dict(quant=args.video_quality,
-                 use_dering=not args.no_dering, bitrate=args.bitrate),
+                 use_dering=not args.no_dering, bitrate=args.bitrate,
+                 trial_rate_approx=args.fast_trial),
             b_frames=args.b_frames, segment_len=seg,
             workers=args.workers)
         enc = Encoder(H.Info(**info_kwargs), quant=args.video_quality)
@@ -178,7 +183,8 @@ def main():
                   complexity=args.complexity, qm=args.qm,
                   use_activity_masking=not args.no_activity_masking,
                   use_dering=not args.no_dering,
-                  bitrate=args.bitrate if not two_pass_writing else 0)
+                  bitrate=args.bitrate if not two_pass_writing else 0,
+                  trial_rate_approx=args.fast_trial)
     enc.b_frames = args.b_frames
     if args.mv_level_max is not None:
         enc.mv_max_level = args.mv_level_max
