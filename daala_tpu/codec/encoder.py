@@ -51,6 +51,47 @@ OD_NBSIZES = 5
 OD_MAX_REORDER = 16
 OD_PVQ_LAMBDA = 0.147
 
+def _if_prune_thr(bsi, quantizer):
+    """Inter analogue of _kf_prune_thr (frame_enc.inc if_prune_thr):
+    the fast trial pass's broader distortion-only subtree prune, beyond
+    the conservative skip-gated one (coverage 27%/18%/19%/16% at
+    8/16/32/64 with <=3% wrongly-pruned per logged quantizer)."""
+    if quantizer <= 0:
+        return 0.0
+    L = math.log2(quantizer)
+    if bsi == 1:
+        t = 1.9 - 0.12 * L
+    elif bsi == 2:
+        t = 2.4 - 0.20 * L
+    elif bsi == 3:
+        t = 3.2 - 0.28 * L
+    else:
+        t = 3.5 - 0.32 * L
+    return t if t > 0.0 else 0.0
+
+
+def _kf_prune_thr(bsi, quantizer):
+    """Keyframe subtree-prune threshold (mirrored bit-exactly by
+    frame_enc.inc kf_prune_thr): envelopes linear in log2(quantizer),
+    grid-fitted to maximize merge coverage subject to a <=3%
+    wrongly-pruned rate at every logged quantizer (coverage
+    16%/25%/10%/52% at 8/16/32/64).  Only active in the fast trial
+    pass — a wrong prune changes the stream, so the exact path keeps
+    the exhaustive subtree trial."""
+    if quantizer <= 0:
+        return 0.0
+    L = math.log2(quantizer)
+    if bsi == 1:
+        t = 9.5 - 0.88 * L
+    elif bsi == 2:
+        t = 4.9 - 0.40 * L
+    elif bsi == 3:
+        t = 2.0 - 0.16 * L
+    else:
+        t = 12.3 - 1.20 * L
+    return t if t > 0.0 else 0.0
+
+
 def _bs_prune_thr(bsi, quantizer):
     """Block-size RDO subtree-prune threshold (mirrored bit-exactly by
     frame_enc.inc bs_prune_thr; see _encode_recursive): a skipped
@@ -178,6 +219,9 @@ class Encoder:
         # default so the default configuration stays byte-identical to
         # the reference encoder.
         self.trial_rate_approx = bool(trial_rate_approx)
+        # Active cost-only trial accumulator ([q3_bits] while the fast
+        # trial pass runs, else None); see _encode_coefficients.
+        self._cost_q3 = None
         # OD_SET_MV_RES_MIN analogue (reference: daalaenc.h:188,
         # src/mcenc.c:1808,6349): floor on the coded MV resolution
         # (0 = 1/8 pel .. 2 = 1/2 pel).
@@ -477,10 +521,18 @@ class Encoder:
         dc0 = int(d[sby << ln, sbx << ln]) - int(sb_dc_pred)
         q = _div_round_0(dc0, dc_quant)
         adapt = st.adapt
-        adapt.ex_sb_dc[pli] = adapt.model_dc[pli].encode(
-            enc, abs(q), -1, adapt.ex_sb_dc[pli], 2)
-        if q:
-            enc.encode_bits(1 if q < 0 else 0, 1)
+        if self._cost_q3 is not None:
+            # Cost-only fast trial (frame_enc.inc quantize_haar_dc_sb).
+            cb, adapt.ex_sb_dc[pli] = adapt.model_dc[pli].cost_encode(
+                abs(q), -1, adapt.ex_sb_dc[pli], 2)
+            self._cost_q3[0] += 8.0 * cb
+            if q:
+                self._cost_q3[0] += 8.0
+        else:
+            adapt.ex_sb_dc[pli] = adapt.model_dc[pli].encode(
+                enc, abs(q), -1, adapt.ex_sb_dc[pli], 2)
+            if q:
+                enc.encode_bits(1 if q < 0 else 0, 1)
         sb_dc_curr = q * dc_quant + int(sb_dc_pred)
         d[sby << ln, sbx << ln] = sb_dc_curr
         sb_dc_mem[sby * nhsb + sbx] = sb_dc_curr
@@ -527,10 +579,19 @@ class Encoder:
             if (q_step * q_step - 2 * q_step * (mag - quant * q_step)
                     + q_step * q_step * self.pvq_norm_lambda * cost < 0):
                 quant += 1
-            exl[i - 1] = adapt.model_dc[pli].encode(enc, quant, -1,
-                                                    exl[i - 1], 2)
-            if quant:
-                enc.encode_bits(1 if sign else 0, 1)
+            if self._cost_q3 is not None:
+                # Cost-only fast trial (frame_enc.inc
+                # quantize_haar_dc_level).
+                cb, exl[i - 1] = adapt.model_dc[pli].cost_encode(
+                    quant, -1, exl[i - 1], 2)
+                self._cost_q3[0] += 8.0 * cb
+                if quant:
+                    self._cost_q3[0] += 8.0
+            else:
+                exl[i - 1] = adapt.model_dc[pli].encode(enc, quant, -1,
+                                                        exl[i - 1], 2)
+                if quant:
+                    enc.encode_bits(1 if sign else 0, 1)
             x[i] = quant * q_step
             if sign:
                 x[i] = -x[i]
@@ -615,7 +676,10 @@ class Encoder:
         if has_late_skip:
             c_orig_blk = c[y0:y0 + n, x0:x0 + n].copy()
             mc_orig_blk = ctx["mc"][pli][y0:y0 + n, x0:x0 + n].copy()
-            tell_ls = enc.tell_frac()
+            if self._cost_q3 is not None:
+                tell_ls = self._cost_q3[0]
+            else:
+                tell_ls = enc.tell_frac()
             cp_ls = self._checkpoint_full()
         if is_keyframe and rdo_only and not use_haar:
             # During the block-size RDO pass c is modified by the split
@@ -728,9 +792,15 @@ class Encoder:
             dc_idx = int(out[0])
             if dc_idx != 0:
                 exl = adapt.ex_dc[pli][bs]
-                exl[0] = adapt.model_dc[pli].encode(
-                    enc, abs(dc_idx) - 1, -1, exl[0], 2)
-                enc.encode_bits(1 if dc_idx < 0 else 0, 1)
+                if self._cost_q3 is not None:
+                    # Cost-only fast trial (frame_enc.inc DC branch).
+                    cb, exl[0] = adapt.model_dc[pli].cost_encode(
+                        abs(dc_idx) - 1, -1, exl[0], 2)
+                    self._cost_q3[0] += 8.0 * cb + 8.0
+                else:
+                    exl[0] = adapt.model_dc[pli].encode(
+                        enc, abs(dc_idx) - 1, -1, exl[0], 2)
+                    enc.encode_bits(1 if dc_idx < 0 else 0, 1)
                 skip = 0
             out[0] = dc_idx * dc_quant + predt[0]
         else:
@@ -749,7 +819,10 @@ class Encoder:
                 c_orig_blk, c[y0:y0 + n, x0:x0 + n], n,
                 self.use_activity_masking, st.coded_quantizer, flat)
             lam = self.bs_rdo_lambda
-            rate_noskip = enc.tell_frac() - tell_ls
+            if self._cost_q3 is not None:
+                rate_noskip = self._cost_q3[0] - tell_ls
+            else:
+                rate_noskip = enc.tell_frac() - tell_ls
             dist_skip = dist_mod.compute_dist(
                 c_orig_blk, mc_orig_blk, n, self.use_activity_masking,
                 st.coded_quantizer, flat)
@@ -762,8 +835,14 @@ class Encoder:
                 self._rollback_full(cp_ls)
                 skip_cdf = st.adapt.skip_cdf[2 * bs
                                              + (1 if pli != 0 else 0)]
-                encode_cdf_adapt(enc, 0, skip_cdf, nsyms,
-                                 st.adapt.skip_increment)
+                if self._cost_q3 is not None:
+                    from daala_tpu.entropy.adapt import cost_cdf_adapt
+                    self._cost_q3[0] = tell_ls
+                    cost_cdf_adapt(self._cost_q3, 0, skip_cdf, nsyms,
+                                   st.adapt.skip_increment)
+                else:
+                    encode_cdf_adapt(enc, 0, skip_cdf, nsyms,
+                                     st.adapt.skip_increment)
                 skip = 1
                 mdp = ctx["md"][pli]
                 d[y0:y0 + n, x0:x0 + n] = mdp[y0:y0 + n, x0:x0 + n]
@@ -810,26 +889,63 @@ class Encoder:
             skip_nosplit = 0
             rate_nosplit = 0
             nosplit = None
+            cost_mode = self._cost_q3 is not None
             if rdo_only:
                 # Trial 1: code this whole block unsplit, measure rate and
                 # keep the reconstruction; then roll everything back
-                # (reference: src/encode.c:1723-1759).
-                tell = enc.tell_frac()
+                # (reference: src/encode.c:1723-1759).  In cost-only
+                # fast-trial mode the checkpoint is just the rate
+                # accumulator (frame_enc.inc fr_snap_save).
+                tell = self._cost_q3[0] if cost_mode else enc.tell_frac()
                 c_orig = c[y0:y0 + n, x0:x0 + n].copy()
                 mc_orig = None
                 if not ctx["is_keyframe"]:
                     mc_orig = ctx["mc"][pli][y0:y0 + n,
                                              x0:x0 + n].copy()
                 dc_orig = d[y0:y0 + n:4, x0:x0 + n:4].copy()
+                # Cost mode checkpoints adaptation + the rate
+                # accumulator (frame_enc.inc fr_snap_save).
                 cp_pre = self._checkpoint_full()
+                cost_pre = self._cost_q3[0] if cost_mode else 0.0
                 skip_nosplit = self._block_encode(ctx, bs, pli, bx, by,
                                                   rdo_only)
-                rate_nosplit = enc.tell_frac() - tell
+                rate_nosplit = (self._cost_q3[0] if cost_mode
+                                else enc.tell_frac()) - tell
                 cp_post = self._checkpoint_full()
+                cost_post = self._cost_q3[0] if cost_mode else 0.0
                 self._rollback_full(cp_pre)
+                if cost_mode:
+                    self._cost_q3[0] = cost_pre
                 nosplit = c[y0:y0 + n, x0:x0 + n].copy()
                 c[y0:y0 + n, x0:x0 + n] = c_orig
                 d[y0:y0 + n:4, x0:x0 + n:4] = dc_orig
+                if cost_mode and self._bs_prune_enabled():
+                    # Fast-trial subtree prune (frame_enc.inc
+                    # kf_prune_thr / if_prune_thr): keyed on the unsplit
+                    # trial's distortion alone.
+                    from daala_tpu.codec import dist as dist_mod
+                    flat = self.qm_choice == 0
+                    dist_ns = dist_mod.compute_dist(
+                        c_orig, nosplit, n, self.use_activity_masking,
+                        st.coded_quantizer, flat)
+                    lam = self.bs_rdo_lambda
+                    thr = (_kf_prune_thr(bsi, st.quantizer)
+                           if ctx["is_keyframe"]
+                           else _if_prune_thr(bsi, st.quantizer))
+                    if dist_ns / (lam * (n * n)) < thr:
+                        self._rollback_full(cp_post)
+                        self._cost_q3[0] = cost_post
+                        c[y0:y0 + n, x0:x0 + n] = nosplit
+                        b8y = (by << bsi) >> 1
+                        b8x = (bx << bsi) >> 1
+                        m = 1 << (bs - 1)
+                        st.bsize[b8y:b8y + m, b8x:b8x + m] = bs
+                        val = (1 if (skip_nosplit
+                                     and not ctx["is_keyframe"]) else 0)
+                        st.bskip[pli][
+                            (by << bs):(by << bs) + (1 << bs),
+                            (bx << bs):(bx << bs) + (1 << bs)] = val
+                        return skip_nosplit
                 if (skip_nosplit and not ctx["is_keyframe"]
                         and self._bs_prune_enabled()):
                     # Subtree pruning (frame_enc.inc bs_prune_thr): the
@@ -849,6 +965,8 @@ class Encoder:
                     if dist_ns < _bs_prune_thr(bsi, st.quantizer) \
                             * lam * (n * n):
                         self._rollback_full(cp_post)
+                        if cost_mode:
+                            self._cost_q3[0] = cost_post
                         c[y0:y0 + n, x0:x0 + n] = nosplit
                         b8y = (by << bsi) >> 1
                         b8x = (bx << bsi) >> 1
@@ -869,8 +987,14 @@ class Encoder:
             filt.prefilter_split(c, y0, x0, bs, 0, hfilter, vfilter)
             if pli == 0:
                 # Code the "split this block" symbol (4).
-                encode_cdf_adapt(enc, 4, st.adapt.skip_cdf[2 * bs], 5,
-                                 st.adapt.skip_increment)
+                if self._cost_q3 is not None:
+                    from daala_tpu.entropy.adapt import cost_cdf_adapt
+                    cost_cdf_adapt(self._cost_q3, 4,
+                                   st.adapt.skip_cdf[2 * bs], 5,
+                                   st.adapt.skip_increment)
+                else:
+                    encode_cdf_adapt(enc, 4, st.adapt.skip_cdf[2 * bs], 5,
+                                     st.adapt.skip_increment)
             if ctx["is_keyframe"]:
                 hgrad, vgrad = self._quantize_haar_dc_level(
                     pli, 2 * bx, 2 * by, bsi - 1, xdec, hgrad, vgrad,
@@ -885,7 +1009,8 @@ class Encoder:
             if rdo_only:
                 # Decide split vs no-split on distortion + lambda*rate
                 # (reference: src/encode.c:1792-1841).
-                rate_split = enc.tell_frac() - tell
+                rate_split = (self._cost_q3[0] if cost_mode
+                              else enc.tell_frac()) - tell
                 lam = self.bs_rdo_lambda
                 dist_split = dist_nosplit = None
                 chose_nosplit = bool(skip_split)
@@ -916,6 +1041,8 @@ class Encoder:
                                               else dist_split)
                 if chose_nosplit:
                     self._rollback_full(cp_post)
+                    if cost_mode:
+                        self._cost_q3[0] = cost_post
                     c[y0:y0 + n, x0:x0 + n] = nosplit
                     # Merge: record this block size in the map (8x8
                     # granularity) and the skip map.
@@ -1223,7 +1350,16 @@ class Encoder:
         info = self.info
         enc = self.enc
         nplanes = 1 if rdo_only else info.nplanes
-        enc.encode_uint(st.coded_quantizer, quantizer.N_CODED_QUANTIZERS)
+        # Cost-only fast trial (frame_enc.inc F.cost_only): analytic
+        # rates against frozen adaptation; the range coder is never
+        # touched, so the constant quantizer symbol is skipped too.
+        cost_mode = bool(rdo_only and not use_haar_wavelet
+                         and self.complexity >= 5
+                         and self.trial_rate_approx)
+        self._cost_q3 = [0.0] if cost_mode else None
+        if not cost_mode:
+            enc.encode_uint(st.coded_quantizer,
+                            quantizer.N_CODED_QUANTIZERS)
         lossless = st.quantizer == 0
         ctmp = []
         mctmp = [None] * nplanes
@@ -1277,6 +1413,8 @@ class Encoder:
                             # its symbols and coeff edits are undone
                             # (reference: src/encode.c:2633-2650).
                             cp = self._checkpoint_full()
+                            cost_cp = (self._cost_q3[0] if cost_mode
+                                       else 0.0)
                             sb = 64 >> xdec
                             c_orig_sb = ctmp[pli][
                                 sb * sby:sb * (sby + 1),
@@ -1288,6 +1426,8 @@ class Encoder:
                             sby > 0 and sbx < st.nhsb - 1, dtmp[pli])
                         if rdo_only:
                             self._rollback_full(cp)
+                            if cost_mode:
+                                self._cost_q3[0] = cost_cp
                             ctmp[pli][sb * sby:sb * (sby + 1),
                                       sb * sbx:sb * (sbx + 1)] = c_orig_sb
                     self._encode_recursive(ctx, pli, sbx, sby,
@@ -1297,6 +1437,7 @@ class Encoder:
             # The RDO pass's reconstruction is discarded; skip the frame
             # postfilter and dering (the reference runs the postfilter
             # here too, but its output is unused, src/encode.c:2670-2678).
+            self._cost_q3 = None
             return ctmp
         if not use_haar_wavelet:
             for pli in range(nplanes):

@@ -19,7 +19,7 @@ import numpy as np
 from daala_tpu.entropy import ec as ec_mod
 from daala_tpu.entropy.adapt import (OD_ADAPT_COUNT_EX_Q8, OD_ADAPT_COUNT_Q8,
                                      OD_ADAPT_K_Q8, OD_ADAPT_SUM_EX_Q8,
-                                     PVQ_MAX_PARTITIONS,
+                                     PVQ_MAX_PARTITIONS, cost_cdf_adapt,
                                      decode_cdf_adapt, encode_cdf_adapt)
 from daala_tpu.ops import partition as part
 from daala_tpu.ops import pvq as P
@@ -527,10 +527,12 @@ def pvq_theta(out, x0, r0, n, q0, y, beta, nodesync, is_keyframe, pli,
         gain_bound = (cg - gain_offset) >> P.OD_CGAIN_SHIFT
         items = []
         if speed >= 2:
-            # Fast trial mode: nearest quantized gain only (the +-1
-            # neighborhood is searched only by the final pass).
+            # Fast trial mode: the 2x2 neighborhood at and just below
+            # the projection (the step the RD tradeoff usually
+            # prefers); the full set is searched only by the final
+            # pass.
             i0 = max(1, P.shr_round(cg - gain_offset, P.OD_CGAIN_SHIFT))
-            gain_range = range(i0, i0 + 1)
+            gain_range = range(max(1, i0 - 1), i0 + 1)
         else:
             gain_range = range(max(1, gain_bound - 1), gain_bound + 2)
         for i in gain_range:
@@ -547,7 +549,8 @@ def pvq_theta(out, x0, r0, n, q0, y, beta, nodesync, is_keyframe, pli,
             if speed >= 2:
                 j0 = min(ts - 1, max(0, int(math.floor(
                     0.5 + theta * theta_scale_1 * 2 / math.pi * ts))))
-                theta_lower = theta_upper = j0
+                theta_lower = max(0, j0 - 1)
+                theta_upper = j0
             for j in range(theta_lower, theta_upper + 1):
                 qtheta = P.compute_theta(j, ts)
                 k = P.compute_k(qcg, j, False, n, beta)
@@ -599,11 +602,9 @@ def pvq_theta(out, x0, r0, n, q0, y, beta, nodesync, is_keyframe, pli,
         gain_bound = cg >> P.OD_CGAIN_SHIFT
         prev_k = 0
         y_tmp = [0] * n
-        if speed >= 2:
-            i0 = max(1, P.shr_round(cg, P.OD_CGAIN_SHIFT))
-            gain_range_nr = range(i0, i0 + 1)
-        else:
-            gain_range_nr = range(max(1, gain_bound), gain_bound + 2)
+        # speed >= 2 keeps the exact 2-candidate noref gain range — it
+        # is already minimal.
+        gain_range_nr = range(max(1, gain_bound), gain_bound + 2)
         for i in gain_range_nr:
             qcg = P._shl32(i, P.OD_CGAIN_SHIFT)
             k = P.compute_k(qcg, -1, True, n, beta)
@@ -671,10 +672,49 @@ def pvq_theta(out, x0, r0, n, q0, y, beta, nodesync, is_keyframe, pli,
 # src/pvq_decoder.c:96-280).
 # ---------------------------------------------------------------------------
 
+# ---- cost-only trial coding (fast trial pass) -----------------------------
+# Mirrors frame_enc.inc cost_cdf_q3 / cost_codeword_fit_q3: with
+# trial_rate_approx the block-size RDO trial pass codes nothing — every
+# symbol becomes an analytic -log2(p) against the FROZEN adaptation
+# state, accumulated in a shared 1-element list (1/8-bit units, double).
+# Terms are added to the accumulator one at a time in the same order as
+# the C engine so the float sums match bit for bit.
+
+def _cost_cdf_q3(cdf, val, n):
+    prev = cdf[val - 1] if val > 0 else 0
+    return -8.0 * math.log2((cdf[val] - prev) / cdf[n - 1])
+
+
+def _cost_codeword_q3(adapt, y, n, has_theta, k):
+    """Exact codeword rate, coded into a scratch range coder against
+    the REAL codeword CDFs (which keep adapting) — mirrors the C cost
+    branch in frame_enc.inc pvq_encode_partition.  A closed-form fit
+    here biases the split decision: its constant per-band overhead
+    makes the split hypothesis (4x the band count) look too
+    expensive."""
+    if k == 0:
+        return 0.0
+    lim = n - (1 if has_theta else 0)
+    cw = adapt.pvq.pvq_codeword_ctx
+    if _NLIB is not None:
+        ya = np.ascontiguousarray(y[:lim], np.int32)
+        return float(_NLIB.ec_pvq_codeword_cost_enc_q3(
+            _nptr(ya), lim, k, _nptr(cw.pvq_k1_cdf),
+            _nptr(cw.pvq_split_cdf), cw.pvq_k1_increment,
+            cw.pvq_split_increment))
+    enc = ec_mod.Encoder()
+    tell = enc.tell_frac()
+    encode_pvq_codeword(enc, cw, y, lim, k)
+    return float(enc.tell_frac() - tell)
+
+
 def pvq_encode_partition(enc, adapt, qg, theta, max_theta, y, n, k,
                          exg_ref, ext_ref, nodesync, cdf_ctx, is_keyframe,
-                         code_skip, skip_rest, encode_flip, flip):
-    """exg_ref/ext_ref: (container, index) for the expectation ints."""
+                         code_skip, skip_rest, encode_flip, flip,
+                         cost=None):
+    """exg_ref/ext_ref: (container, index) for the expectation ints.
+    cost: 1-element list accumulator — cost-only trial mode (mirrors
+    frame_enc.inc pvq_encode_partition F.cost_only branch)."""
     model = adapt.pvq.pvq_param_model
     noref = theta == -1
     sym = (1 if qg > 0 else 0) + 2 * min(theta + 1, 3) \
@@ -687,6 +727,28 @@ def pvq_encode_partition(enc, adapt, qg, theta, max_theta, y, n, k,
         assert sym != 10
         if sym >= 10:
             sym -= 1
+    if cost is not None:
+        cost_cdf_adapt(cost, sym, adapt.pvq.pvq_gaintheta_cdf[cdf_ctx],
+                       8 + 7 * code_skip,
+                       adapt.pvq.pvq_gaintheta_increment)
+        if encode_flip:
+            cost[0] += 8.0
+        if qg > 0:
+            cont, idx = exg_ref
+            tmp = cont[idx]
+            c, _ = model[0 if noref else 1].cost_encode(
+                qg - 1, -1, tmp, 2)
+            cost[0] += 8.0 * c
+            cont[idx] += ((qg << 16) - cont[idx]) >> 2
+        if theta > 1 and (nodesync or max_theta > 3):
+            cont, idx = ext_ref
+            tmp = cont[idx]
+            c, _ = model[2].cost_encode(
+                theta - 2, -1 if nodesync else max_theta - 3, tmp, 2)
+            cost[0] += 8.0 * c
+            cont[idx] += ((theta << 16) - cont[idx]) >> 2
+        cost[0] += _cost_codeword_q3(adapt, y, n, not noref, k)
+        return
     encode_cdf_adapt(enc, sym, adapt.pvq.pvq_gaintheta_cdf[cdf_ctx],
                      8 + 7 * code_skip, adapt.pvq.pvq_gaintheta_increment)
     if encode_flip:
@@ -862,6 +924,10 @@ def pvq_encode_block(enc, adapt, encoder_ctx, ref, coeffs_in, out, q0, pli,
         skip_diff += sd
         y[o0:o1] = yband
         out[o0:o1] = outband
+    # Cost-only fast-trial mode (mirrors frame_enc.inc F.cost_only):
+    # symbol rates are analytic but the adaptation checkpoint/rollback
+    # discipline is identical to the exact path.
+    cost = getattr(encoder_ctx, "_cost_q3", None)
     checkpoint_fn, rollback_fn = rollback_fns
     cp = checkpoint_fn()
     if is_keyframe:
@@ -871,10 +937,16 @@ def pvq_encode_block(enc, adapt, encoder_ctx, ref, coeffs_in, out, q0, pli,
                              / (skip_cdf[2] - skip_cdf[1]))
         out[0] = rdo_quant(int(coeffs_in[0]) - int(ref[0]), dc_quant,
                            dc_rate, pvq_norm_lambda)
-    tell = enc.tell_frac()
-    encode_cdf_adapt(enc, 2 + (1 if out[0] != 0 else 0), skip_cdf,
-                     4 + (1 if pli == 0 and bs > 0 else 0),
-                     adapt.skip_increment)
+    tell = cost[0] if cost is not None else enc.tell_frac()
+    tell0_blk = tell
+    if cost is not None:
+        cost_cdf_adapt(cost, 2 + (1 if out[0] != 0 else 0), skip_cdf,
+                       4 + (1 if pli == 0 and bs > 0 else 0),
+                       adapt.skip_increment)
+    else:
+        encode_cdf_adapt(enc, 2 + (1 if out[0] != 0 else 0), skip_cdf,
+                         4 + (1 if pli == 0 and bs > 0 else 0),
+                         adapt.skip_increment)
     cfl_encoded = False
     skip_rest = 1
     skip_theta_value = -1 if is_keyframe else 0
@@ -905,16 +977,23 @@ def pvq_encode_block(enc, adapt, encoder_ctx, ref, coeffs_in, out, q0, pli,
                 (1 if pli != 0 else 0) * OD_NBSIZES * PVQ_MAX_PARTITIONS
                 + bs * PVQ_MAX_PARTITIONS + i,
                 is_keyframe, 1 if (i == 0 and i < nb_bands - 1) else 0,
-                skip_rest, encode_flip, flip)
+                skip_rest, encode_flip, flip, cost=cost)
         if i == 0 and not skip_rest and bs > 0:
-            encode_cdf_adapt(
-                enc, skip_dir,
-                adapt.pvq.pvq_skip_dir_cdf[(1 if pli != 0 else 0)
-                                           + 2 * (bs - 1)], 7,
-                adapt.pvq.pvq_skip_dir_increment)
+            if cost is not None:
+                cost_cdf_adapt(
+                    cost, skip_dir,
+                    adapt.pvq.pvq_skip_dir_cdf[(1 if pli != 0 else 0)
+                                               + 2 * (bs - 1)], 7,
+                    adapt.pvq.pvq_skip_dir_increment)
+            else:
+                encode_cdf_adapt(
+                    enc, skip_dir,
+                    adapt.pvq.pvq_skip_dir_cdf[(1 if pli != 0 else 0)
+                                               + 2 * (bs - 1)], 7,
+                    adapt.pvq.pvq_skip_dir_increment)
         if encode_flip:
             cfl_encoded = True
-    tell = enc.tell_frac() - tell
+    tell = (cost[0] if cost is not None else enc.tell_frac()) - tell
     if out[0] != 0:
         skip_rate = -math.log2(
             (skip_cdf[1] - skip_cdf[0])
@@ -931,13 +1010,19 @@ def pvq_encode_block(enc, adapt, encoder_ctx, ref, coeffs_in, out, q0, pli,
             out[0] = rdo_quant(int(coeffs_in[0]) - int(ref[0]), dc_quant,
                                dc_rate, pvq_norm_lambda)
         rollback_fn(cp)
-        # The rollback restores fresh CDF list objects; re-fetch the row
-        # (the reference's pointer stays valid because it restores bytes
-        # in place, reference: src/encode.c:742-750).
+        # The rollback restores fresh CDF list objects; re-fetch the
+        # row (the reference's pointer stays valid because it restores
+        # bytes in place, reference: src/encode.c:742-750).
         skip_cdf = adapt.skip_cdf[2 * bs + (1 if pli != 0 else 0)]
-        encode_cdf_adapt(enc, 1 if out[0] != 0 else 0, skip_cdf,
-                         4 + (1 if pli == 0 and bs > 0 else 0),
-                         adapt.skip_increment)
+        if cost is not None:
+            cost[0] = tell0_blk
+            cost_cdf_adapt(cost, 1 if out[0] != 0 else 0, skip_cdf,
+                           4 + (1 if pli == 0 and bs > 0 else 0),
+                           adapt.skip_increment)
+        else:
+            encode_cdf_adapt(enc, 1 if out[0] != 0 else 0, skip_cdf,
+                             4 + (1 if pli == 0 and bs > 0 else 0),
+                             adapt.skip_increment)
         if is_keyframe:
             out[1:] = 0
         else:

@@ -258,6 +258,17 @@ def decode_cdf_adapt(dec, cdf, n, increment):
 _ADAPT_ARANGE = np.arange(1, 64, dtype=np.int32)
 
 
+def cost_cdf_adapt(cost, val, cdf, n, increment):
+    """Analytic symbol cost + the exact adaptation of encode_cdf_adapt,
+    minus the range coder (the cost-only fast trial; frame_enc.inc
+    cdf_cost_adapt).  cost: 1-element list accumulator in 1/8-bit
+    units."""
+    import math
+    prev = cdf[val - 1] if val > 0 else 0
+    cost[0] += -8.0 * math.log2((cdf[val] - prev) / cdf[n - 1])
+    _cdf_adapt_increment(val, cdf, n, increment)
+
+
 def _cdf_adapt_increment(val, cdf, n, increment):
     if isinstance(cdf, np.ndarray):
         if int(cdf[n - 1]) + increment > 32767:

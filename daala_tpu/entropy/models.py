@@ -228,6 +228,18 @@ class GenericModel:
             x = xs
         return x, self._update(ex_q16, x, xs, gid, integration)
 
+    def cost_encode(self, x: int, max_val: int, ex_q16: int,
+                    integration: int):
+        """cost_bits + the exact adaptation of encode(), minus the
+        range coder (the cost-only fast trial; frame_enc.inc
+        GenModel::cost_encode).  Returns (bits, updated ex_q16)."""
+        if max_val == 0:
+            return 0.0, ex_q16
+        c = self.cost_bits(x, max_val, ex_q16)
+        shift, gid = self._params(ex_q16)
+        xs = (x + (1 << shift >> 1)) >> shift
+        return c, self._update(ex_q16, x, xs, gid, integration)
+
     def cost_bits(self, x: int, max_val: int, ex_q16: int) -> float:
         """generic_encode_cost (reference: src/generic_encoder.c:152-193)."""
         if max_val == 0:

@@ -151,6 +151,10 @@ def _configure(lib):
                                             c.c_void_p, c.c_void_p,
                                             c.c_int, c.c_int]
     lib.ec_pvq_codeword_rate_q3.restype = c.c_int
+    lib.ec_pvq_codeword_cost_enc_q3.argtypes = [
+        c.c_void_p, c.c_int, c.c_int, c.c_void_p, c.c_void_p,
+        c.c_int, c.c_int]
+    lib.ec_pvq_codeword_cost_enc_q3.restype = c.c_int
     lib.ec_pvq_codeword_decode.argtypes = [c.c_void_p, c.c_void_p,
                                            c.c_int, c.c_int, c.c_void_p,
                                            c.c_void_p, c.c_int, c.c_int]

@@ -802,6 +802,28 @@ int ec_pvq_codeword_rate_q3(const int32_t *y, int n, int k,
   return tell_frac_impl(e.tell(), e.rng) - tell + 8 * nsigns;
 }
 
+/* Codeword rate in Q3 units measured by coding into a thread-local
+ * scratch range coder against the REAL codeword CDFs (which adapt
+ * exactly as a live encode would) — the cost-only fast trial's
+ * codeword accounting (frame_enc.inc pvq_encode_partition). */
+int ec_pvq_codeword_cost_enc_q3(const int32_t *y, int n, int k,
+                                int32_t *k1_cdf, int32_t *split_cdf,
+                                int k1_inc, int split_inc) {
+  static thread_local EcEnc e;
+  e.low = 0;
+  e.rng = 0x8000;
+  e.cnt = -9;
+  e.precarry.clear();
+  e.end_window = 0;
+  e.nend_bits = 0;
+  e.end_bytes.clear();
+  e.error = 0;
+  int tell = tell_frac_impl(e.tell(), e.rng);
+  ec_pvq_codeword_encode((void *)&e, y, n, k, k1_cdf, split_cdf,
+                         k1_inc, split_inc);
+  return tell_frac_impl(e.tell(), e.rng) - tell;
+}
+
 }  // extern "C"
 
 // ---- PVQ fixed-point math core ----------------------------------------
@@ -1388,14 +1410,16 @@ void ec_pvq_theta(int32_t *out, const int32_t *x0, const int32_t *r0,
     int64_t ilo = gain_bound - 1 > 1 ? gain_bound - 1 : 1;
     int64_t ihi = gain_bound + 1;
     if (speed >= 2) {
-      // Fast trial mode: evaluate only the projection candidate —
-      // nearest quantized gain and nearest quantized theta — instead
-      // of the reference's +-1 gain x 4-theta neighborhood.  Only the
+      // Fast trial mode: restrict to the 2x2 neighborhood at and just
+      // below the projection (nearest quantized gain/theta and one
+      // step down — the step the RD tradeoff usually prefers) instead
+      // of the reference's +-1 gain x 4-theta set.  Only the
       // block-size RDO trial pass runs here (frame_enc.inc speed
       // mapping); the final pass always searches the full set.
       int64_t i0 = shr_round(cg - gain_offset, kCgainShift);
       if (i0 < 1) i0 = 1;
-      ilo = ihi = i0;
+      ilo = i0 - 1 > 1 ? i0 - 1 : 1;
+      ihi = i0;
     }
     for (int64_t i = ilo; i <= ihi; i++) {
       int64_t qcg = shl32(i, kCgainShift) + gain_offset;
@@ -1411,7 +1435,8 @@ void ec_pvq_theta(int32_t *out, const int32_t *x0, const int32_t *r0,
         int64_t j0 = (int64_t)__builtin_floor(0.5 + tpos);
         if (j0 < 0) j0 = 0;
         if (j0 > ts - 1) j0 = ts - 1;
-        theta_lower = theta_upper = j0;
+        theta_lower = j0 - 1 > 0 ? j0 - 1 : 0;
+        theta_upper = j0;
       }
       for (int64_t j = theta_lower;
            j <= theta_upper && nitems < 256; j++) {
@@ -1502,12 +1527,8 @@ void ec_pvq_theta(int32_t *out, const int32_t *x0, const int32_t *r0,
     for (int i = 0; i < n; i++) x16_d[i] = (double)x16[i];
     int64_t ilo = gain_bound > 1 ? gain_bound : 1;
     int64_t ihi_nr = gain_bound + 1;
-    if (speed >= 2) {
-      // Fast trial mode: nearest quantized gain only (see above).
-      int64_t i0 = shr_round(cg, kCgainShift);
-      if (i0 < 1) i0 = 1;
-      ilo = ihi_nr = i0;
-    }
+    // (speed >= 2 keeps the exact 2-candidate noref gain range — it is
+    // already minimal.)
     for (int64_t i = ilo; i <= ihi_nr; i++) {
       int64_t qcg = shl32(i, kCgainShift);
       int64_t k = compute_k(qcg, -1, 1, n, beta);
