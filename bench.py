@@ -49,11 +49,14 @@ def bench_ours(frames, device=False, sweep=False):
     from daala_tpu.codec.encoder import Encoder
     info = headers.Info(pic_width=W, pic_height=H)
     # Production speed preset: fast block-size RDO trial pass (speed=2
-    # projection-only PVQ candidates + closed-form rates).  BD-neutral
-    # and reference-decodable (tests/test_fast_trial.py); the final
-    # pass still searches and codes exactly.
+    # projection-only PVQ candidates + closed-form rates) with the
+    # boosted, rate-gated subtree prune (BD-rate +0.0..+0.4% over the
+    # plain fast trial across the corpus classes, tools/sweep_trial.py).
+    # Reference-decodable (tests/test_fast_trial.py); the final pass
+    # still searches and codes exactly.
     enc = Encoder(info, quant=QUANT, complexity=COMPLEXITY,
-                  trial_rate_approx=True)
+                  trial_rate_approx=True, trial_prune_boost=3.0,
+                  trial_prune_rate_gate=0.5)
     enc.keyframe_rate = 256
     if device:
         # TPU front-ends: BMA SAD fields (models/mefield.py), RDO +

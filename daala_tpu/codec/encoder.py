@@ -164,7 +164,8 @@ def interp_qm(q, use_masking, pli):
 class Encoder:
     def __init__(self, info: headers.Info, quant=10, complexity=7,
                  use_activity_masking=True, qm=OD_HVS_QM, use_dering=True,
-                 bitrate=0, trial_rate_approx=False):
+                 bitrate=0, trial_rate_approx=False,
+                 trial_prune_boost=1.0, trial_prune_rate_gate=0.5):
         self.info = info
         self.state = CodecState(info)
         # OD_SET_QUANT semantics (reference: src/encode.c OD_SET_QUANT).
@@ -219,6 +220,19 @@ class Encoder:
         # default so the default configuration stays byte-identical to
         # the reference encoder.
         self.trial_rate_approx = bool(trial_rate_approx)
+        # Multiplier on the fast trial pass's fitted subtree-prune
+        # envelopes (_kf_prune_thr/_if_prune_thr; native kf_prune_thr/
+        # if_prune_thr read it from dcfg[3]).  1.0 = the fitted <=3%
+        # wrongly-pruned envelopes; larger values trade BD-rate for
+        # trial-pass speed (swept in tools/sweep_trial.py — the
+        # production preset in bench.py uses the measured knee).  Only
+        # read when trial_rate_approx is on.
+        self.trial_prune_boost = float(trial_prune_boost)
+        # Rate gate on the boosted prune, in q3 (1/8-bit) units per
+        # pixel of the node's unsplit trial rate: the boosted envelope
+        # only applies to nodes that also coded cheaply (mostly-skip).
+        # Native mirror: dcfg[4].
+        self.trial_prune_rate_gate = float(trial_prune_rate_gate)
         # Active cost-only trial accumulator ([q3_bits] while the fast
         # trial pass runs, else None); see _encode_coefficients.
         self._cost_q3 = None
@@ -932,7 +946,23 @@ class Encoder:
                     thr = (_kf_prune_thr(bsi, st.quantizer)
                            if ctx["is_keyframe"]
                            else _if_prune_thr(bsi, st.quantizer))
-                    if dist_ns / (lam * (n * n)) < thr:
+                    ratio = dist_ns / (lam * (n * n))
+                    prune = ratio < thr
+                    # Boosted prune (trial_prune_boost > 1): extend the
+                    # fitted envelope, but only for nodes whose unsplit
+                    # trial also coded cheaply (mostly-skip: on dense-AC
+                    # content a low-dist merge can still lose real rate
+                    # to a split's better lapping, tools/sweep_trial.py
+                    # smooth class), and only at mid/high quantizers
+                    # (below Q4=240 fine splits carry real RD weight).
+                    boost = getattr(self, "trial_prune_boost", 1.0)
+                    gate = getattr(self, "trial_prune_rate_gate", 0.5)
+                    if (not prune and boost > 1.0
+                            and st.quantizer >= 240
+                            and ratio < thr * boost
+                            and rate_nosplit < gate * (n * n)):
+                        prune = True
+                    if prune:
                         self._rollback_full(cp_post)
                         self._cost_q3[0] = cost_post
                         c[y0:y0 + n, x0:x0 + n] = nosplit
@@ -1250,7 +1280,10 @@ class Encoder:
             cfg[57] = info.bitdepth_mode
         dcfg = np.array([self.pvq_norm_lambda,
                          getattr(self, "bs_rdo_lambda", 0.0),
-                         getattr(self, "dering_lambda", 0.0)], np.float64)
+                         getattr(self, "dering_lambda", 0.0),
+                         getattr(self, "trial_prune_boost", 1.0),
+                         getattr(self, "trial_prune_rate_gate", 0.5)],
+                        np.float64)
         # Device dering: defer the native dering stage, batch the 5
         # filtered gain candidates for every superblock on the TPU
         # (models/restore.py dering_candidates_device), then let the

@@ -80,10 +80,10 @@ def test_pvq_theta_python_matches_native(speed):
         PC._NLIB = nlib
 
 
-def _encode_clip(frames, w, h, quant, fast):
+def _encode_clip(frames, w, h, quant, fast, boost=1.0):
     info = H.Info(pic_width=w, pic_height=h)
     enc = Encoder(info, quant=quant, complexity=7,
-                  trial_rate_approx=fast)
+                  trial_rate_approx=fast, trial_prune_boost=boost)
     enc.keyframe_rate = 8
     pkts = list(enc.flush_headers())
     for fr in frames:
@@ -97,9 +97,14 @@ def _psnr(a, b):
     return 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
 
 
-@pytest.mark.parametrize("quant", [10, 25, 55])
-def test_fast_trial_rd_guard(quant):
-    """Fast-trial streams must decode bit-exactly in the reference C
+@pytest.mark.parametrize("quant,boost", [(10, 1.0), (25, 1.0),
+                                         (55, 1.0), (25, 3.0),
+                                         (55, 3.0)])
+def test_fast_trial_rd_guard(quant, boost):
+    """Fast-trial streams (including the boosted production preset,
+    trial_prune_boost=3 with the 0.5 q3/px rate gate — BD-rate vs the
+    plain fast trial is +0.0..+0.4% across the corpus classes,
+    tools/sweep_trial.py) must decode bit-exactly in the reference C
     decoder and stay RD-neutral vs the exact trial pass (bytes within
     5%, PSNR within 0.3 dB) across the quantizer range."""
     sys.path.insert(0, "tests")
@@ -109,7 +114,8 @@ def test_fast_trial_rd_guard(quant):
     frames = content.make_clip(w, h, nfr, seed=9)
     stats = {}
     for fast in (False, True):
-        pkts = _encode_clip(frames, w, h, quant, fast)
+        pkts = _encode_clip(frames, w, h, quant, fast,
+                            boost=boost if fast else 1.0)
         info = H.Info(pic_width=w, pic_height=h)
         dec = Decoder(info)
         outs = [f for p in pkts[3:] for f in dec.decode_packet(p)]

@@ -61,6 +61,15 @@ CASES = [
     # same approximations and stay byte-identical.
     ("fast_trial", dict(quant=18, complexity=7, trial_rate_approx=True),
      128, 96, 3, 8, True),
+    # Boosted subtree prune (production speed preset: prune envelopes
+    # scaled by trial_prune_boost, rate-gated to mostly-skip nodes):
+    # the Python and native gates must fire identically.  quant=25
+    # puts the Q4 quantizer past the >=240 boost gate.
+    ("fast_trial_boost", dict(quant=25, complexity=7,
+                              trial_rate_approx=True,
+                              trial_prune_boost=3.0,
+                              trial_prune_rate_gate=0.5),
+     128, 96, 3, 8, True),
 ]
 
 

@@ -48,6 +48,11 @@ def main():
                     help="fast block-size RDO trial pass (speed=2 "
                          "projection-only PVQ candidates + closed-form "
                          "rates; BD-neutral, final pass stays exact)")
+    ap.add_argument("--trial-prune-boost", type=float, default=3.0,
+                    help="with --fast-trial: scale on the fitted "
+                         "subtree-prune envelopes, rate-gated to "
+                         "mostly-skip nodes (tools/sweep_trial.py "
+                         "picks the production value; 1.0 disables)")
     ap.add_argument("--no-activity-masking", action="store_true",
                     help="disable perceptual activity masking "
                          "(reference's --activity-masking 0)")
@@ -156,7 +161,8 @@ def main():
             frames, info_kwargs,
             dict(quant=args.video_quality,
                  use_dering=not args.no_dering, bitrate=args.bitrate,
-                 trial_rate_approx=args.fast_trial),
+                 trial_rate_approx=args.fast_trial,
+                 trial_prune_boost=args.trial_prune_boost),
             b_frames=args.b_frames, segment_len=seg,
             workers=args.workers)
         enc = Encoder(H.Info(**info_kwargs), quant=args.video_quality)
@@ -184,7 +190,8 @@ def main():
                   use_activity_masking=not args.no_activity_masking,
                   use_dering=not args.no_dering,
                   bitrate=args.bitrate if not two_pass_writing else 0,
-                  trial_rate_approx=args.fast_trial)
+                  trial_rate_approx=args.fast_trial,
+                  trial_prune_boost=args.trial_prune_boost)
     enc.b_frames = args.b_frames
     if args.mv_level_max is not None:
         enc.mv_max_level = args.mv_level_max
