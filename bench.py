@@ -61,8 +61,10 @@ def bench_ours(frames, device=False, sweep=False):
     if device:
         # TPU front-ends: BMA SAD fields (models/mefield.py), RDO +
         # final transform pyramids (models/keyframe.py) — decisions and
-        # packets identical to the host path.
+        # packets identical to the host path — plus the whole-frame
+        # PVQ band RDO (models/pvqsearch.py, BD-rate-neutral).
         enc.use_device_analysis = True
+        enc.use_device_pvq = True
     if sweep:
         # TPU MV refinement (Jacobi color sweeps, models/mesweep.py);
         # BD-rate neutral vs the greedy host loop.

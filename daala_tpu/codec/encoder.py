@@ -781,14 +781,21 @@ class Encoder:
                 speed = 2
         forced_bands = None
         tab = getattr(self, "_device_pvq_tab", None)
-        if (tab is not None and pli == 0 and not is_keyframe
-                and not rdo_only and not use_haar):
+        if tab is not None and not rdo_only and not use_haar:
             fb = {}
-            nb = len(part.band_offsets(n)) - 1
-            for band in range(nb):
-                e = tab.get((0, by, bx, band))
-                if e is not None and e[7]:
-                    fb[band] = e[:7]
+            offs_b = part.band_offsets(n)
+            for band in range(len(offs_b) - 1):
+                e = tab.get((pli, by, bx, band))
+                if e is None or not e[7]:
+                    continue
+                if is_keyframe and np.any(
+                        predt[int(offs_b[band]):int(offs_b[band + 1])]):
+                    # Keyframe band with a nonzero HV intra reference:
+                    # the device searched against a zero reference
+                    # (sequential dependency), so run the exact host
+                    # search here instead.
+                    continue
+                fb[band] = e[:7]
             forced_bands = fb or None
         skip = PC.pvq_encode_block(
             enc, st.adapt, self, predt, dblock, out, quant, pli, bs, beta,
@@ -1300,23 +1307,32 @@ class Encoder:
         # EC pass replays them through ec_pvq_theta_forced — keeping
         # the C++ entropy throughput AND the device search.
         tab = getattr(self, "_device_pvq_tab", None)
-        if (tab is not None and not rdo_only and not is_keyframe
+        if (tab is not None and not rdo_only
                 and not use_haar_wavelet):
-            n4v, n4h = st.frame_height >> 2, st.frame_width >> 2
+            # Per-plane 4x4 grids, concatenated (the native side
+            # derives the same plane base offsets from F.pl dims).
+            base = [0] * (info.nplanes + 1)
+            for pli in range(info.nplanes):
+                xd, yd = info.plane_dec[pli]
+                base[pli + 1] = base[pli] + \
+                    ((st.frame_height >> yd) >> 2) * \
+                    ((st.frame_width >> xd) >> 2)
             blocks = {}
-            for (_pli, by4, bx4, band), e in tab.items():
-                blocks.setdefault((by4, bx4), {})[band] = e
+            for (pli, by4, bx4, band), e in tab.items():
+                blocks.setdefault((pli, by4, bx4), {})[band] = e
             nslots = max(1, len(blocks))
-            idx = np.full(n4v * n4h, -1, np.int32)
+            idx = np.full(base[info.nplanes], -1, np.int32)
             meta = np.zeros((nslots, 16, 6), np.int32)
             sd = np.zeros((nslots, 16), np.float64)
             yoff = np.zeros(nslots, np.int64)
             ypool = []
             ytot = 0
-            for s, ((by4, bx4), bands) in enumerate(
+            for s, ((pli, by4, bx4), bands) in enumerate(
                     sorted(blocks.items())):
-                idx[by4 * n4h + bx4] = s
-                bsb = st.bsize4(bx4, by4)
+                xd, yd = info.plane_dec[pli]
+                n4h_p = (st.frame_width >> xd) >> 2
+                idx[base[pli] + by4 * n4h_p + bx4] = s
+                bsb = max(st.bsize4(bx4 << xd, by4 << yd), xd) - xd
                 slen = part.scan_length(4 << bsb)
                 offs = part.band_offsets(4 << bsb)
                 yarr = np.zeros(slen, np.int32)
@@ -1761,15 +1777,18 @@ class Encoder:
         # and the host entropy stage replays the decisions
         # (BD-rate-neutral; reference search: src/pvq_encoder.c:333).
         self._device_pvq_tab = None
-        if (device_on and not is_keyframe and not use_haar_wavelet
+        if (device_on and not use_haar_wavelet
                 and self._device_d is not None
-                and self._device_md is not None
+                and (is_keyframe or self._device_md is not None)
                 and getattr(self, "use_device_pvq", False)
                 and st.quantizer != 0):
             from daala_tpu.models import pvqsearch as PS
-            self._device_pvq_tab = PS.search_inter_luma(
-                st, st.quantizer, np.asarray(self._device_d[0]),
-                np.asarray(self._device_md[0]), self.pvq_norm_lambda,
+            self._device_pvq_tab = PS.search_frame(
+                st, info, st.quantizer,
+                [np.asarray(p) for p in self._device_d],
+                (None if is_keyframe
+                 else [np.asarray(p) for p in self._device_md]),
+                self.pvq_norm_lambda, is_keyframe=bool(is_keyframe),
                 use_masking=bool(self.use_activity_masking),
                 device_put_fn=getattr(self, "device_put_fn", None))
         ctmp = self._encode_coefficients(padded_in, self_img, is_keyframe,

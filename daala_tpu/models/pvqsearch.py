@@ -497,15 +497,28 @@ def _codeword_rate(y, k, n_tree, n, k1_cdf, split_cdf):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("n", "beta", "iters"))
+@functools.partial(jax.jit,
+                   static_argnames=("n", "beta", "iters", "is_keyframe"))
 def band_search(X, R, qm, q0, lam, n, beta, iters, k1_cdf=None,
-                split_cdf=None):
-    """Batched pvq_theta for inter bands (is_keyframe=False, no CfL).
+                split_cdf=None, is_keyframe=False):
+    """Batched pvq_theta for inter bands and keyframe-luma bands.
 
-    X, R: (m, n) int32 input / MC-prediction coefficients (coding
-    order, band slice).  qm: (n,) int32 QM slice.  q0: scalar int32
-    band quantizer.  lam: scalar f32 pvq_norm_lambda.  n, beta, iters:
-    static.
+    X, R: (m, n) int32 input / reference coefficients (coding order,
+    band slice).  For inter bands R is the MC prediction; for keyframe
+    luma R must be all-zero (the HV intra prediction is sequentially
+    dependent — the host falls back to its own search for the rare
+    band with a nonzero intra reference; keyframe chroma/CfL is
+    excluded entirely because its reference is the *coded* luma).
+    qm: (n,) int32 QM slice.  q0: scalar int32 band quantizer.  lam:
+    scalar f32 pvq_norm_lambda.  n, beta, iters, is_keyframe: static.
+
+    is_keyframe gates the two host-side keyframe differences
+    (pvq_theta, reference src/pvq_encoder.c:333-636): the skip
+    distortion is the plain gain energy (skipping codes zeros, not a
+    reference copy), and the theta=0 reference-gain initial candidate
+    is never installed (keyframes start — and with R == 0 stay — on
+    the noref path, so the skip symbol stays SKIP_ZERO, not
+    SKIP_COPY).
 
     Returns (noref u8, qg i32, itheta i32, max_theta i32, k i32,
     y (m, n) i32, skip_diff f32, valid u8) — the host replays them via
@@ -536,9 +549,14 @@ def band_search(X, R, qm, q0, lam, n, beta, iters, k1_cdf=None,
         / _shl32(jnp.ones_like(g), xshift + rshift).astype(jnp.float32))
     corr = jnp.clip(corr, -1.0, 1.0)
     inv_cs2 = np.float32(1.0 / (_CGSCALE * _CGSCALE))
-    # skip_dist (inter branch of pvq_theta).
-    skip_dist = (_GAIN_WEIGHT * (cgf - cgrf) ** 2
-                 + cgrf * cgf * (2.0 - 2.0 * corr)) * inv_cs2
+    if is_keyframe:
+        # Keyframe skip codes zeros: the skip distortion is the plain
+        # gain energy (pvq_theta keyframe branch).
+        skip_dist = _GAIN_WEIGHT * cgf * cgf * inv_cs2
+    else:
+        # skip_dist (inter branch of pvq_theta).
+        skip_dist = (_GAIN_WEIGHT * (cgf - cgrf) ** 2
+                     + cgrf * cgf * (2.0 - 2.0 * corr)) * inv_cs2
     # Initial candidate: qg=0 noref zero-vector.
     best_dist = _GAIN_WEIGHT * cgf * cgf * inv_cs2
     best_cost = best_dist
@@ -548,20 +566,21 @@ def band_search(X, R, qm, q0, lam, n, beta, iters, k1_cdf=None,
     best_ts = jnp.zeros((m,), jnp.int32)
     best_k = jnp.zeros((m,), jnp.int32)
     best_y = jnp.zeros((m, n), jnp.int32)
-    # Initial candidate 2 (inter): reference-gain, theta=0 (qg=0
-    # coded).  For icgr != 0 the host keeps the zero-vector distortion
-    # from candidate 1 as best_dist (pvq_theta only overwrites it in
-    # the icgr == 0 branch).
-    scgr = jnp.maximum(0.0, gain_offset.astype(jnp.float32))
-    d2 = jnp.where(
-        icgr == 0,
-        (_GAIN_WEIGHT * (cgf - scgr) ** 2
-         + scgr * cgf * (2.0 - 2.0 * corr)) * inv_cs2,
-        best_dist)
-    best_dist = d2
-    best_cost = d2
-    noref = jnp.zeros((m,), jnp.uint8)
-    best_itheta = jnp.zeros((m,), jnp.int32)
+    if not is_keyframe:
+        # Initial candidate 2 (inter): reference-gain, theta=0 (qg=0
+        # coded).  For icgr != 0 the host keeps the zero-vector
+        # distortion from candidate 1 as best_dist (pvq_theta only
+        # overwrites it in the icgr == 0 branch).
+        scgr = jnp.maximum(0.0, gain_offset.astype(jnp.float32))
+        d2 = jnp.where(
+            icgr == 0,
+            (_GAIN_WEIGHT * (cgf - scgr) ** 2
+             + scgr * cgf * (2.0 - 2.0 * corr)) * inv_cs2,
+            best_dist)
+        best_dist = d2
+        best_cost = d2
+        noref = jnp.zeros((m,), jnp.uint8)
+        best_itheta = jnp.zeros((m,), jnp.int32)
     dist0 = best_dist
     valid = jnp.ones((m,), jnp.uint8)
 
@@ -596,6 +615,10 @@ def band_search(X, R, qm, q0, lam, n, beta, iters, k1_cdf=None,
     # otherwise).
     noref_on = (corr < 0.5) | (cg < _shl32(jnp.full((m,), 2),
                                            P.OD_CGAIN_SHIFT))
+    if is_keyframe:
+        # Keyframe luma always searches the noref branch (pvq_theta:
+        # `(is_keyframe && pli == 0) || corr < 0.5 || ...`).
+        noref_on = jnp.ones((m,), jnp.bool_)
     gb_nr = cg >> P.OD_CGAIN_SHIFT
     x16_f = x16.astype(jnp.float32)
     cand_i = []       # gain index (m,) per candidate
@@ -752,79 +775,117 @@ def band_search(X, R, qm, q0, lam, n, beta, iters, k1_cdf=None,
 # ---------------------------------------------------------------------------
 
 
-def search_inter_luma(st, quantizer, d_plane, md_plane, lam,
-                      use_masking=True, device_put_fn=None):
-    """Device PVQ search for every luma band of an inter frame.
+def search_frame(st, info, quantizer, d_planes, md_planes, lam,
+                 is_keyframe=False, use_masking=True,
+                 device_put_fn=None):
+    """Device PVQ search for a whole frame's bands.
 
-    st: codec state (bsize4 map, qm tables, pvq_qm_q4); d_plane /
-    md_plane: whole-frame frequency-domain input / MC prediction (the
-    device analysis outputs, frame_height x frame_width int32).
+    st: codec state (bsize4 map, qm tables, pvq_qm_q4); d_planes /
+    md_planes: per-plane whole-frame frequency-domain input / reference
+    coefficients (the device analysis outputs, plane_h x plane_w
+    int32).  For inter frames every plane searches against its MC
+    prediction; for keyframes only luma is searched (against a zero
+    reference — the HV intra prediction is sequentially dependent, so
+    the host falls back to its own search for the rare band with a
+    nonzero intra reference; chroma/CfL keyframe bands reference the
+    *coded* luma and stay on the host, reference
+    src/pvq_encoder.c:858-875).
 
-    Returns {(0, by4, bx4, band): (noref, qg, itheta, max_theta, k,
-    y int32[n], skip_diff, valid)} keyed by the block's 4x4-grid
+    Returns {(pli, by4, bx4, band): (noref, qg, itheta, max_theta, k,
+    y int32[n], skip_diff, valid)} keyed by the block's plane 4x4-grid
     coordinates, matching the keys _block_encode derives."""
     from daala_tpu.ops import partition as part
 
     cw = st.adapt.pvq.pvq_codeword_ctx
-
-    n4v, n4h = (st.frame_height >> 2), (st.frame_width >> 2)
-    by_blocks = {}  # bs -> list of (by4, bx4)
-    for by4 in range(n4v):
-        for bx4 in range(n4h):
-            bs = st.bsize4(bx4, by4)
-            if (by4 & ((1 << bs) - 1)) or (bx4 & ((1 << bs) - 1)):
-                continue
-            by_blocks.setdefault(bs, []).append((by4, bx4))
     put = device_put_fn if device_put_fn is not None else (lambda a: a)
     out = {}
-    for bs, blocks in sorted(by_blocks.items()):
-        n = 4 << bs
-        offs = part.band_offsets(n)
-        nb_bands = len(offs) - 1
-        slen = part.scan_length(n)
-        off_qm = P.qm_offset(bs, 0)
-        qm_slice = np.asarray(st.qm[off_qm:off_qm + slen], np.int64)
-        tiles_d = np.stack([
-            d_plane[by4 * 4:by4 * 4 + n, bx4 * 4:bx4 * 4 + n]
-            for by4, bx4 in blocks])
-        tiles_md = np.stack([
-            md_plane[by4 * 4:by4 * 4 + n, bx4 * 4:bx4 * 4 + n]
-            for by4, bx4 in blocks])
-        coded_d = part.raster_to_coding(tiles_d.astype(np.int32))
-        coded_md = part.raster_to_coding(tiles_md.astype(np.int32))
-        beta = (P.BETA_1_5 if use_masking and bs > 0 else P.BETA_1)
-        for band in range(nb_bands):
-            o0, o1 = int(offs[band]), int(offs[band + 1])
-            nn = o1 - o0
-            q_band = max(1, max(1, quantizer)
-                         * int(st.pvq_qm_q4[0][P.qm_get_index(
-                             bs, band + 1)]) >> 4)
-            X = np.ascontiguousarray(coded_d[:, o0:o1], np.int32)
-            R = np.ascontiguousarray(coded_md[:, o0:o1], np.int32)
-            # Pad the band count to a power-of-two size class so the
-            # jit cache holds a handful of shapes instead of one per
-            # frame; padded rows are all-zero (k = 0, ignored).
-            mreal = X.shape[0]
-            mpad = max(32, 1 << (mreal - 1).bit_length())
-            if mpad != mreal:
-                X = np.pad(X, ((0, mpad - mreal), (0, 0)))
-                R = np.pad(R, ((0, mpad - mreal), (0, 0)))
-            # The fixed-point gain math needs 64-bit integer
-            # intermediates (sums of int16 squares); enable x64 for
-            # this trace only.
-            with jax.enable_x64(True):
-                res = band_search(
-                    put(jnp.asarray(X)), put(jnp.asarray(R)),
-                    jnp.asarray(qm_slice[o0:o1], jnp.int32),
-                    jnp.int32(q_band), jnp.float32(lam),
-                    nn, int(beta), int(nn + 64),
-                    k1_cdf=jnp.asarray(cw.pvq_k1_cdf, jnp.int32),
-                    split_cdf=jnp.asarray(cw.pvq_split_cdf, jnp.int32))
-            noref, qg, itheta, ts, k, y, skip_diff, valid = \
-                [np.asarray(r)[:mreal] for r in res]
-            for i, (by4, bx4) in enumerate(blocks):
-                out[(0, by4, bx4, band)] = (
-                    int(noref[i]), int(qg[i]), int(itheta[i]),
-                    int(ts[i]), int(k[i]), y[i], float(skip_diff[i]),
-                    bool(valid[i]))
+    nplanes = 1 if is_keyframe else len(d_planes)
+    for pli in range(nplanes):
+        xdec, ydec = info.plane_dec[pli]
+        d_plane = d_planes[pli]
+        md_plane = None if is_keyframe else md_planes[pli]
+        n4v = (st.frame_height >> ydec) >> 2
+        n4h = (st.frame_width >> xdec) >> 2
+        by_blocks = {}  # plane bs -> list of plane-grid (by4, bx4)
+        for by4 in range(n4v):
+            for bx4 in range(n4h):
+                # Plane leaf size: the luma block-size recursion
+                # clamped at the plane decimation (decode_recursive's
+                # `bs = max(obs, xdec) - xdec`).
+                bs = max(st.bsize4(bx4 << xdec, by4 << ydec),
+                         xdec) - xdec
+                if (by4 & ((1 << bs) - 1)) or (bx4 & ((1 << bs) - 1)):
+                    continue
+                by_blocks.setdefault(bs, []).append((by4, bx4))
+        for bs, blocks in sorted(by_blocks.items()):
+            n = 4 << bs
+            offs = part.band_offsets(n)
+            nb_bands = len(offs) - 1
+            slen = part.scan_length(n)
+            off_qm = P.qm_offset(bs, xdec)
+            qm_slice = np.asarray(st.qm[off_qm:off_qm + slen], np.int64)
+            tiles_d = np.stack([
+                d_plane[by4 * 4:by4 * 4 + n, bx4 * 4:bx4 * 4 + n]
+                for by4, bx4 in blocks])
+            coded_d = part.raster_to_coding(tiles_d.astype(np.int32))
+            if is_keyframe:
+                coded_md = np.zeros_like(coded_d)
+            else:
+                tiles_md = np.stack([
+                    md_plane[by4 * 4:by4 * 4 + n, bx4 * 4:bx4 * 4 + n]
+                    for by4, bx4 in blocks])
+                coded_md = part.raster_to_coding(
+                    tiles_md.astype(np.int32))
+            beta = (P.BETA_1_5
+                    if use_masking and pli == 0 and bs > 0 else P.BETA_1)
+            for band in range(nb_bands):
+                o0, o1 = int(offs[band]), int(offs[band + 1])
+                nn = o1 - o0
+                q_band = max(1, max(1, quantizer)
+                             * int(st.pvq_qm_q4[pli][P.qm_get_index(
+                                 bs, band + 1)]) >> 4)
+                X = np.ascontiguousarray(coded_d[:, o0:o1], np.int32)
+                R = np.ascontiguousarray(coded_md[:, o0:o1], np.int32)
+                # Pad the band count to a power-of-FOUR size class so
+                # the jit cache holds a handful of shapes instead of
+                # one per frame; padded rows are all-zero (k = 0,
+                # ignored).  Compiles cost ~25-40 s each on a 1-core
+                # host, so fewer classes beats less padded compute.
+                mreal = X.shape[0]
+                mpad = 64
+                while mpad < mreal:
+                    mpad <<= 2
+                if mpad != mreal:
+                    X = np.pad(X, ((0, mpad - mreal), (0, 0)))
+                    R = np.pad(R, ((0, mpad - mreal), (0, 0)))
+                # The fixed-point gain math needs 64-bit integer
+                # intermediates (sums of int16 squares); enable x64 for
+                # this trace only.
+                with jax.enable_x64(True):
+                    res = band_search(
+                        put(jnp.asarray(X)), put(jnp.asarray(R)),
+                        jnp.asarray(qm_slice[o0:o1], jnp.int32),
+                        jnp.int32(q_band), jnp.float32(lam),
+                        nn, int(beta), int(nn + 64),
+                        k1_cdf=jnp.asarray(cw.pvq_k1_cdf, jnp.int32),
+                        split_cdf=jnp.asarray(cw.pvq_split_cdf,
+                                              jnp.int32),
+                        is_keyframe=bool(is_keyframe))
+                noref, qg, itheta, ts, k, y, skip_diff, valid = \
+                    [np.asarray(r)[:mreal] for r in res]
+                for i, (by4, bx4) in enumerate(blocks):
+                    out[(pli, by4, bx4, band)] = (
+                        int(noref[i]), int(qg[i]), int(itheta[i]),
+                        int(ts[i]), int(k[i]), y[i],
+                        float(skip_diff[i]), bool(valid[i]))
     return out
+
+
+def search_inter_luma(st, quantizer, d_plane, md_plane, lam,
+                      use_masking=True, device_put_fn=None):
+    """Back-compat wrapper: luma-only inter search (see search_frame)."""
+    class _Mono:
+        plane_dec = ((0, 0),)
+    return search_frame(st, _Mono, quantizer, [d_plane], [md_plane],
+                        lam, is_keyframe=False, use_masking=use_masking,
+                        device_put_fn=device_put_fn)

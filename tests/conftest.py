@@ -22,6 +22,20 @@ try:
 except Exception:
     pass
 
+# XLA compile time dominates the device-path tests on a single-core
+# host (~25-40 s per band_search variant).  A persistent compilation
+# cache, keyed by hostname so a cache from a different machine is never
+# loaded, makes repeat runs cheap; cold runs are unaffected.
+try:
+    import platform
+    _cache_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".cache", "jax-" + platform.node())
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 

@@ -85,14 +85,73 @@ def test_band_search_matches_host(n, beta):
     assert agree / total > 0.85, (agree, total)
 
 
-def test_device_pvq_end_to_end():
-    """Opt-in device PVQ search on a small inter clip: streams decode
-    bit-exactly in the reference C decoder and stay RD-neutral
-    (bytes within 5%, PSNR within 0.3 dB of the host search)."""
+def test_band_search_keyframe_matches_host():
+    """Keyframe-luma mode (is_keyframe=True, zero reference): device
+    decisions must be dominated by exact matches with the host
+    pvq_theta keyframe search and every decision must replay."""
+    adapt = AdaptCtx()
+    adapt.reset(True)
+    cw = adapt.pvq.pvq_codeword_ctx
+    lam = OD_PVQ_LAMBDA
+    rng = np.random.default_rng(31)
+    n, beta = 15, P.BETA_1_5
+    m = 48
+    agree = 0
+    total = 0
+    for mag, q0 in ((120, 110), (700, 60), (40, 200)):
+        X = rng.normal(0, mag, (m, n)).astype(np.int32)
+        X[4:6] = 0
+        R = np.zeros((m, n), np.int32)
+        qm = np.full(n, 16, np.int32)
+        qm_inv = [4096] * n
+        with jax.enable_x64(True):
+            res = PS.band_search(
+                jnp.asarray(X), jnp.asarray(R), jnp.asarray(qm),
+                jnp.int32(q0), jnp.float32(lam), n, int(beta), n + 64,
+                k1_cdf=jnp.asarray(cw.pvq_k1_cdf, jnp.int32),
+                split_cdf=jnp.asarray(cw.pvq_split_cdf, jnp.int32),
+                is_keyframe=True)
+        noref, qg, itheta, ts, k, y, sdf, valid = \
+            [np.asarray(r) for r in res]
+        for i in range(m):
+            if not valid[i]:
+                continue
+            out_h = [0] * n
+            y_h = [0] * n
+            h = PC.pvq_theta(out_h, X[i].tolist(), R[i].tolist(), n,
+                             q0, y_h, beta, 1, True, 0, adapt,
+                             qm.tolist(), qm_inv, lam, 0)
+            # Keyframe decisions must stay on the noref path (the skip
+            # symbol must be SKIP_ZERO, never SKIP_COPY).
+            assert noref[i] == 1
+            e = (int(noref[i]), int(qg[i]), int(itheta[i]), int(ts[i]),
+                 int(k[i]), y[i], float(sdf[i]))
+            out_d = [0] * n
+            y_d = [0] * n
+            d = PC.pvq_theta(out_d, X[i].tolist(), R[i].tolist(), n,
+                             q0, y_d, beta, 1, True, 0, adapt,
+                             qm.tolist(), qm_inv, lam, 0, forced=e)
+            assert d[3] == int(k[i])
+            total += 1
+            agree += (h[0] == d[0] and h[3] == d[3]
+                      and list(out_h) == list(out_d))
+    assert total > 120
+    assert agree / total > 0.85, (agree, total)
+
+
+@pytest.mark.parametrize("w,h,q", [
+    (96, 64, 8), (96, 64, 18), (96, 64, 40),
+    (160, 112, 18), (160, 112, 40),
+])
+def test_device_pvq_end_to_end(w, h, q):
+    """Opt-in device PVQ search — keyframe luma + all inter planes —
+    across quantizers and resolutions: streams decode bit-exactly in
+    the reference C decoder and stay RD-neutral (bytes within 5%,
+    PSNR within 0.3 dB of the host search)."""
     sys.path.insert(0, "tests")
     import codec_oracle as co
 
-    w, h, nfr, q = 96, 64, 4, 18
+    nfr = 4
     frames = content.make_clip(w, h, nfr, seed=5)
 
     def run(device_pvq):
@@ -137,13 +196,16 @@ def test_device_pvq_native_matches_python():
     """The native frame engine consuming the flattened device decision
     table (frame_enc.inc ec_pvq_theta_forced) must produce the same
     bytes as the Python replay path (pvq_codec._pvq_theta_forced)."""
-    w, h, nfr, q = 96, 64, 4, 18
+    w, h, nfr, q = 96, 64, 5, 18
     frames = content.make_clip(w, h, nfr, seed=5)
 
     def run(native_frame):
         info = H.Info(pic_width=w, pic_height=h)
         e = Encoder(info, quant=q, complexity=7)
-        e.keyframe_rate = 256
+        # Mid-stream keyframe: covers the keyframe-luma forced replay
+        # (zero-reference device search + live-reference host fallback)
+        # in both engines.
+        e.keyframe_rate = 4
         e.use_device_analysis = True
         e.use_device_pvq = True
         e.use_native_frame = native_frame
