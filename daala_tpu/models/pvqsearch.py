@@ -799,6 +799,11 @@ def search_frame(st, info, quantizer, d_planes, md_planes, lam,
     cw = st.adapt.pvq.pvq_codeword_ctx
     put = device_put_fn if device_put_fn is not None else (lambda a: a)
     out = {}
+    # Two-phase schedule: issue every band_search dispatch first (jax
+    # dispatch is async, so the device/tunnel round trips pipeline
+    # instead of serializing one blocking fetch per band), then fetch
+    # all results.
+    pending = []  # (pli, blocks, band, mreal, device results tuple)
     nplanes = 1 if is_keyframe else len(d_planes)
     for pli in range(nplanes):
         xdec, ydec = info.plane_dec[pli]
@@ -871,13 +876,15 @@ def search_frame(st, info, quantizer, d_planes, md_planes, lam,
                         split_cdf=jnp.asarray(cw.pvq_split_cdf,
                                               jnp.int32),
                         is_keyframe=bool(is_keyframe))
-                noref, qg, itheta, ts, k, y, skip_diff, valid = \
-                    [np.asarray(r)[:mreal] for r in res]
-                for i, (by4, bx4) in enumerate(blocks):
-                    out[(pli, by4, bx4, band)] = (
-                        int(noref[i]), int(qg[i]), int(itheta[i]),
-                        int(ts[i]), int(k[i]), y[i],
-                        float(skip_diff[i]), bool(valid[i]))
+                pending.append((pli, blocks, band, mreal, res))
+    for pli, blocks, band, mreal, res in pending:
+        noref, qg, itheta, ts, k, y, skip_diff, valid = \
+            [np.asarray(r)[:mreal] for r in res]
+        for i, (by4, bx4) in enumerate(blocks):
+            out[(pli, by4, bx4, band)] = (
+                int(noref[i]), int(qg[i]), int(itheta[i]),
+                int(ts[i]), int(k[i]), y[i],
+                float(skip_diff[i]), bool(valid[i]))
     return out
 
 

@@ -124,17 +124,25 @@ def encode_clip_parallel(frames, info_kwargs, enc_kwargs=None, b_frames=0,
 # -- 3. batched multi-clip encode over the device mesh ----------------------
 
 def encode_clips_batched(clips, info_kwargs, mesh, quant=18, complexity=7,
-                         enc_kwargs=None):
+                         enc_kwargs=None, threads=None):
     """BASELINE.json config 5: N clips encoded by the REAL production
     encoder (trial-encode RDO, full entropy stage) with every device
     stage — BMA SAD fields, RDO transform pyramids, final analysis —
     running on the (dp, sp) mesh: clips map onto dp rows, each clip's
-    planes shard over that row's sp columns, and XLA's async dispatch
-    overlaps the rows' device work while the host entropy coders run.
+    planes shard over that row's sp columns.
 
-    Packets are byte-identical to a serial single-device encode (the
-    device stages are exact; tests/test_parallel.py pins it).  Returns a
-    list of per-clip packet lists."""
+    With threads (the default for >1 clip) each clip encodes on its own
+    host thread: clip B's device dispatches are issued while clip A's
+    host entropy stage runs, because both the ctypes calls into the
+    native frame/ME engines and the blocking device-result reads
+    release the GIL (the native engines' persistent scratch is
+    thread_local).  threads=False keeps the round-robin single-thread
+    schedule, where only XLA's async dispatch overlaps.
+
+    Packets are byte-identical to a serial single-device encode either
+    way (the device stages are exact and the clips are independent;
+    tests/test_parallel.py pins both schedules).  Returns a list of
+    per-clip packet lists."""
     import jax
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as PS
     from daala_tpu.codec import headers as H
@@ -167,6 +175,33 @@ def encode_clips_batched(clips, info_kwargs, mesh, quant=18, complexity=7,
         enc.device_put_fn = put
         encs.append(enc)
         outs.append([])
+    if threads is None:
+        threads = len(clips) > 1
+    if threads:
+        import threading
+        errs = [None] * len(clips)
+
+        def run_clip(ci):
+            try:
+                # The mesh context stack is thread-local: each worker
+                # enters it for its own trace/dispatch calls.
+                with mesh:
+                    for fr in clips[ci]:
+                        outs[ci].extend(encs[ci].encode_frame(fr))
+                    outs[ci].extend(encs[ci].flush())
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                errs[ci] = e
+
+        workers = [threading.Thread(target=run_clip, args=(ci,))
+                   for ci in range(len(clips))]
+        for t in workers:
+            t.start()
+        for t in workers:
+            t.join()
+        for e in errs:
+            if e is not None:
+                raise e
+        return outs
     nfr = max(len(c) for c in clips)
     with mesh:
         for t in range(nfr):

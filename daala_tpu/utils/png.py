@@ -20,8 +20,8 @@ def _chunk(tag: bytes, data: bytes) -> bytes:
             + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
 
 
-def write_png(path: str, img: np.ndarray):
-    """img: (H, W) grayscale or (H, W, 3) RGB uint8."""
+def png_bytes(img: np.ndarray) -> bytes:
+    """Encode (H, W) grayscale or (H, W, 3) RGB uint8 as PNG bytes."""
     img = np.asarray(img, np.uint8)
     if img.ndim == 2:
         color_type = 0
@@ -38,11 +38,15 @@ def write_png(path: str, img: np.ndarray):
     scan = np.empty((h, 1 + w * nch), np.uint8)
     scan[:, 0] = 0
     scan[:, 1:] = raw
+    return (_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(scan.tobytes(), 6))
+            + _chunk(b"IEND", b""))
+
+
+def write_png(path: str, img: np.ndarray):
+    """img: (H, W) grayscale or (H, W, 3) RGB uint8."""
     with open(path, "wb") as f:
-        f.write(_SIG)
-        f.write(_chunk(b"IHDR", ihdr))
-        f.write(_chunk(b"IDAT", zlib.compress(scan.tobytes(), 6)))
-        f.write(_chunk(b"IEND", b""))
+        f.write(png_bytes(img))
 
 
 def _paeth(a, b, c):

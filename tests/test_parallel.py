@@ -83,10 +83,19 @@ def test_encode_clips_batched_matches_serial():
     m = PM.make_mesh(dp=2)
     outs = PM.encode_clips_batched(clips, dict(pic_width=w,
                                                pic_height=h), m,
-                                   quant=18, complexity=7)
+                                   quant=18, complexity=7,
+                                   threads=False)
+    # One-thread-per-clip schedule (the production default: device
+    # dispatch of one clip overlaps host entropy of another) must be
+    # byte-identical too.
+    outs_t = PM.encode_clips_batched(clips, dict(pic_width=w,
+                                                 pic_height=h), m,
+                                     quant=18, complexity=7,
+                                     threads=True)
     for ci, frames in enumerate(clips):
         info = headers.Info(pic_width=w, pic_height=h)
         enc = Encoder(info, quant=18, complexity=7)
         want = [p for fr in frames for p in enc.encode_frame(fr)]
         want += enc.flush()
         assert [bytes(p) for p in outs[ci]] == [bytes(p) for p in want]
+        assert [bytes(p) for p in outs_t[ci]] == [bytes(p) for p in want]

@@ -81,6 +81,48 @@ def _write_heatmap(prefix, frame_no, heat, info):
         f.write(img.tobytes())
 
 
+def _html_frame(dec, info, rec, heat):
+    """Collect one frame's HTML-analyzer payload (image + overlays)."""
+    from daala_tpu.utils.png import png_bytes
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from convert import ycbcr_to_rgb
+    st = dec.state
+    planes = [np.asarray(p) for p in dec.last_recon]
+    if planes and planes[0].dtype != np.uint8:
+        # High-depth recon: shadow down to 8 bits for display.
+        shift = 2 * (info.bitdepth_mode - 1)
+        planes = [np.clip((p.astype(np.int32) + (1 << shift >> 1))
+                          >> shift, 0, 255).astype(np.uint8)
+                  for p in planes]
+    rgb = ycbcr_to_rgb(planes)
+    h8, w8 = info.frame_height >> 3, info.frame_width >> 3
+    h4, w4 = (info.pic_height + 3) >> 2, (info.pic_width + 3) >> 2
+    mv = []
+    if st.frame_type != 0:
+        g = dec.mv_grid
+        for vy in range(g.nvmvbs + 1):
+            for vx in range(g.nhmvbs + 1):
+                if not g.valid[vy, vx]:
+                    continue
+                mvx, mvy = int(g.mv[vy, vx, 0]), int(g.mv[vy, vx, 1])
+                if mvx or mvy:
+                    mv.append([vx, vy, mvx, mvy, int(g.ref[vy, vx])])
+    nhsb = info.frame_width >> 6
+    dering = [[int(v) for v in row] for row in
+              np.asarray(st.dering_level).reshape(-1, nhsb)]
+    skip = [[int(v) for v in row]
+            for row in np.asarray(st.bskip[0])[:h4, :w4]]
+    return {
+        "img": png_bytes(rgb[:info.pic_height, :info.pic_width]),
+        "meta": rec if "dering_levels" not in rec else
+                {k: v for k, v in rec.items() if k != "dering_levels"},
+        "bsize": [[int(v) for v in row]
+                  for row in st.bsize[:h8, :w8]],
+        "mv": mv, "mvsp": 8, "skip": skip, "dering": dering,
+        "heat": [[int(v) for v in row] for row in heat[:h4, :w4]],
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("stream", help=".ogv input")
@@ -97,6 +139,12 @@ def main():
                          "(PREFIX_NNNN.pgm + gnuplot-able .txt), built "
                          "from the per-location accounting records "
                          "(reference: examples/analyzer.cc:353-366)")
+    ap.add_argument("--html", metavar="FILE", default=None,
+                    help="write a self-contained interactive HTML "
+                         "analyzer (zoom, frame navigation, block-size/"
+                         "MV/skip/dering/bit-heatmap overlays) — the "
+                         "GUI counterpart of the reference's wx "
+                         "analyzer (examples/analyzer.cc:115)")
     args = ap.parse_args()
 
     with open(args.stream, "rb") as f:
@@ -112,6 +160,7 @@ def main():
     dec = Decoder(info)
     dec.accounting_enabled = True
     results = []
+    html_frames = []
     n = 0
     for pkt in video_pkts:
         dec.decode_packet(pkt)
@@ -166,9 +215,16 @@ def main():
                                 for row in lv))
         if args.heatmap:
             _write_heatmap(args.heatmap, n, heat, info)
+        if args.html:
+            html_frames.append(_html_frame(dec, info, rec, heat))
         n += 1
         if args.limit and n >= args.limit:
             break
+    if args.html:
+        from analyzer_html import write_html
+        write_html(args.html, html_frames, info.pic_width,
+                   info.pic_height)
+        print("wrote %s (%d frames)" % (args.html, len(html_frames)))
     if args.json:
         with open(args.json, "w") as f:
             json.dump(results, f, indent=1)
