@@ -165,7 +165,8 @@ class Encoder:
     def __init__(self, info: headers.Info, quant=10, complexity=7,
                  use_activity_masking=True, qm=OD_HVS_QM, use_dering=True,
                  bitrate=0, trial_rate_approx=False,
-                 trial_prune_boost=1.0, trial_prune_rate_gate=0.5):
+                 trial_prune_boost=1.0, trial_prune_rate_gate=0.5,
+                 trial_prune_gate_kf=0.05):
         self.info = info
         self.state = CodecState(info)
         # OD_SET_QUANT semantics (reference: src/encode.c OD_SET_QUANT).
@@ -233,6 +234,13 @@ class Encoder:
         # only applies to nodes that also coded cheaply (mostly-skip).
         # Native mirror: dcfg[4].
         self.trial_prune_rate_gate = float(trial_prune_rate_gate)
+        # Keyframe variant of the rate gate (native mirror: dcfg[5]).
+        # Much tighter than the inter gate: on smooth intra content the
+        # split's better lapping carries real rate even when the
+        # unsplit trial codes near-free (+7.6% BD at 832x480 with the
+        # inter gate applied to keyframes, tools/sweep_trial.py), so
+        # only true near-skip nodes may take the boosted prune.
+        self.trial_prune_gate_kf = float(trial_prune_gate_kf)
         # Active cost-only trial accumulator ([q3_bits] while the fast
         # trial pass runs, else None); see _encode_coefficients.
         self._cost_q3 = None
@@ -963,7 +971,16 @@ class Encoder:
                     # smooth class), and only at mid/high quantizers
                     # (below Q4=240 fine splits carry real RD weight).
                     boost = getattr(self, "trial_prune_boost", 1.0)
-                    gate = getattr(self, "trial_prune_rate_gate", 0.5)
+                    # Per-frame-type gates: on keyframes the split's
+                    # better lapping carries real rate even at low
+                    # unsplit rates (smooth gradients code near-free
+                    # but lose up to +7.6% BD at 832x480 with the
+                    # inter gate, tools/sweep_trial.py), so the
+                    # keyframe gate admits only true near-skip nodes.
+                    gate = (getattr(self, "trial_prune_gate_kf", 0.05)
+                            if ctx["is_keyframe"]
+                            else getattr(self, "trial_prune_rate_gate",
+                                         0.5))
                     if (not prune and boost > 1.0
                             and st.quantizer >= 240
                             and ratio < thr * boost
@@ -1289,7 +1306,8 @@ class Encoder:
                          getattr(self, "bs_rdo_lambda", 0.0),
                          getattr(self, "dering_lambda", 0.0),
                          getattr(self, "trial_prune_boost", 1.0),
-                         getattr(self, "trial_prune_rate_gate", 0.5)],
+                         getattr(self, "trial_prune_rate_gate", 0.5),
+                         getattr(self, "trial_prune_gate_kf", 0.05)],
                         np.float64)
         # Device dering: defer the native dering stage, batch the 5
         # filtered gain candidates for every superblock on the TPU

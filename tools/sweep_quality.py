@@ -174,7 +174,23 @@ def main():
     ap.add_argument("--seeds", default="0,1")
     ap.add_argument("--bitrates", default="400000,1500000,6000000")
     ap.add_argument("--out", default=None, help="write summary JSON")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force jax onto CPU (tunnel-attached TPUs "
+                         "make the device-path configs latency-bound; "
+                         "decisions are identical on any backend)")
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    try:
+        import platform
+        import jax
+        jax.config.update("jax_compilation_cache_dir", os.path.join(
+            HERE, ".cache", "jax-" + platform.node()))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          1.0)
+    except Exception:
+        pass
     w, h = map(int, args.size.split("x"))
     pw, ph = map(int, args.pvq_size.split("x"))
     quants = [int(q) for q in args.quants.split(",")]

@@ -54,12 +54,14 @@ def make_smooth_clip(w, h, nframes, seed=0):
 
 
 def encode_decode(frames, w, h, quant, fast, boost, complexity=7,
-                  rate_gate=0.5):
+                  rate_gate=0.5, kf_gate=None):
     info = H.Info(pic_width=w, pic_height=h)
     enc = Encoder(info, quant=quant, complexity=complexity,
                   trial_rate_approx=fast)
     enc.trial_prune_boost = boost
     enc.trial_prune_rate_gate = rate_gate
+    if kf_gate is not None:
+        enc.trial_prune_gate_kf = kf_gate
     enc.keyframe_rate = 256
     pkts = list(enc.flush_headers())
     t0 = time.perf_counter()
