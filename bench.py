@@ -3,13 +3,21 @@
 
 Times the production encoder (daala_tpu.codec.encoder.Encoder — native
 frame-coefficient and motion-estimation engines, the same path
-tools/encode.py uses) on a synthetic 1080p clip at complexity 7, and the
-reference C encoder (compiled from /root/reference as a test oracle) on
-the identical clip/settings as the baseline.
+tools/encode.py uses) on TWO synthetic 1080p clips at complexity 7 —
+a global-translation clip the redesigned ME solves nearly for free,
+and a natural-statistics clip (multi-octave texture, parallax
+occlusion, film grain; tests/content.py make_natural_clip) that it
+can't — and the reference C encoder (compiled from /root/reference as
+a test oracle) on the identical clips/settings as the baseline.
 
 Prints one JSON line: {"metric": ..., "value": N, "unit": ...,
-"vs_baseline": N}.  vs_baseline > 1 means faster than the reference C
-encoder on this host; null when the oracle is unavailable.
+"vs_baseline": N, "config": {...}}.  value / vs_baseline are the
+COMBINED throughput/ratio over both clips; config.per_content carries
+the per-clip ratios so the headline can't hide behind easy content.
+vs_baseline > 1 means faster than the reference C encoder on this
+host; null when the oracle is unavailable.  config.probe carries the
+device-path instrumentation (dispatches, host<->device bytes, compile
+totals) captured by daala_tpu.utils.devstats.
 """
 
 import json
@@ -24,12 +32,13 @@ sys.path[:0] = [HERE, os.path.join(HERE, "tests")]
 
 W, H, NFRAMES = 1920, 1080, 4
 QUANT, COMPLEXITY = 25, 7
+CONTENTS = ("translation", "natural")
 
 
 def _setup_jax_cache():
     """Persistent XLA compile cache (hostname-keyed): the device-path
-    probe compiles dozens of band_search/analysis variants, and over a
-    tunnel-attached chip each compile is a remote round trip — cache
+    probe compiles a handful of band_search/analysis programs, and over
+    a tunnel-attached chip each compile is a remote round trip — cache
     them across runs so only the first probe pays."""
     try:
         import platform
@@ -43,14 +52,17 @@ def _setup_jax_cache():
         pass
 
 
-def make_clip():
+def make_clip(content="translation", nframes=NFRAMES):
+    if content == "natural":
+        import content as C
+        return C.make_natural_clip(W, H, nframes, seed=3)
     rng = np.random.default_rng(0)
     yy, xx = np.mgrid[0:H, 0:W]
     base = (128 + 50 * np.sin(xx / 17.0) + 35 * np.cos(yy / 23.0)
             + 20 * np.sin((xx + yy) / 9.0))
     noise = rng.normal(0, 5, (H, W))
     frames = []
-    for t in range(NFRAMES):
+    for t in range(nframes):
         y = (np.roll(base, (2 * t, 3 * t), (0, 1)) + noise) \
             .clip(0, 255).astype(np.uint8)
         cb = (128 + 25 * np.sin((xx[::2, ::2] + 5 * t) / 19.0)) \
@@ -65,12 +77,13 @@ def bench_ours(frames, device=False, sweep=False):
     from daala_tpu.codec import headers
     from daala_tpu.codec.encoder import Encoder
     info = headers.Info(pic_width=W, pic_height=H)
-    # Production speed preset: fast block-size RDO trial pass (speed=2
-    # projection-only PVQ candidates + closed-form rates) with the
-    # boosted, rate-gated subtree prune (BD-rate +0.0..+0.4% over the
-    # plain fast trial across the corpus classes, tools/sweep_trial.py).
-    # Reference-decodable (tests/test_fast_trial.py); the final pass
-    # still searches and codes exactly.
+    # Production speed preset == tools/encode.py defaults: fast
+    # block-size RDO trial pass (speed=2 projection-only PVQ candidates
+    # + closed-form rates) with the boosted, rate-gated subtree prune
+    # (BD-rate +0.0..+0.4% over the plain fast trial across the corpus
+    # classes, tools/sweep_trial.py).  Reference-decodable
+    # (tests/test_fast_trial.py); the final pass still searches and
+    # codes exactly.
     enc = Encoder(info, quant=QUANT, complexity=COMPLEXITY,
                   trial_rate_approx=True, trial_prune_boost=3.0,
                   trial_prune_rate_gate=0.5)
@@ -88,16 +101,20 @@ def bench_ours(frames, device=False, sweep=False):
         enc.mv_refine_mode = "sweep"
     t0 = time.perf_counter()
     nbytes = 0
-    for fr in frames:
+    kf_wall = 0.0
+    for i, fr in enumerate(frames):
+        tf = time.perf_counter()
         for p in enc.encode_frame(fr):
             nbytes += len(p)
+        if i == 0:
+            kf_wall = time.perf_counter() - tf
     for p in enc.flush():
         nbytes += len(p)
     dt = time.perf_counter() - t0
-    return len(frames) * W * H / dt / 1e6, nbytes
+    return len(frames) * W * H / dt / 1e6, nbytes, kf_wall, dt
 
 
-def probe_device_mode(frames):
+def probe_device_mode():
     """Pick the fastest encoder configuration for this machine: the TPU
     paths win when a chip is attached locally (PCIe-class transfers) and
     lose through high-latency tunnels, so measure instead of guessing.
@@ -127,7 +144,7 @@ def probe_device_mode(frames):
     for name in ("host", "device", "device+sweep"):
         budget = 240 if name == "host" else 900
         if name == "device+sweep" and not isinstance(
-                results.get("device"), float):
+                results.get("device"), dict):
             # The sweep config is a superset of the device config's
             # chip usage: if plain device already failed or timed out,
             # don't spend another budget discovering the same thing.
@@ -141,14 +158,14 @@ def probe_device_mode(frames):
             line = [l for l in r.stdout.splitlines()
                     if l.startswith("{")]
             if r.returncode == 0 and line:
-                results[name] = json.loads(line[-1])["mpix_s"]
+                results[name] = json.loads(line[-1])
             else:
                 results[name] = "error: rc=%d %s" % (
                     r.returncode, r.stderr.strip()[-120:])
         except subprocess.TimeoutExpired:
             results[name] = "error: timed out (%ds)" % budget
-    floats = [(v, n) for n, v in results.items()
-              if isinstance(v, float)]
+    floats = [(v["mpix_s"], n) for n, v in results.items()
+              if isinstance(v, dict)]
     if not floats:
         return False, False, results
     best = max(floats)[1]
@@ -168,45 +185,82 @@ def bench_reference_c(frames):
     enc.flush_headers()
     t0 = time.perf_counter()
     for i, fr in enumerate(frames):
-        enc.encode_frame(fr, last=(i == NFRAMES - 1))
+        enc.encode_frame(fr, last=(i == len(frames) - 1))
     dt = time.perf_counter() - t0
-    return NFRAMES * W * H / dt / 1e6
+    return len(frames) * W * H / dt / 1e6
 
 
 def main():
     if len(sys.argv) >= 3 and sys.argv[1] == "--probe-one":
         # Subprocess mode: warm + measure one configuration on a short
-        # clip, print one JSON line (consumed by probe_device_mode).
+        # clip, print one JSON line (consumed by probe_device_mode)
+        # including the device-path instrumentation of the measured
+        # run (dispatch counts, host<->device bytes, compile totals —
+        # the warm run's compiles are reported separately).
         name = sys.argv[2]
         _setup_jax_cache()
+        from daala_tpu.utils import devstats
         short = make_clip()[:2]
         dev = name.startswith("device")
         sw = name == "device+sweep"
+        devstats.reset()
         bench_ours(short, device=dev, sweep=sw)
-        v, _ = bench_ours(short, device=dev, sweep=sw)
-        print(json.dumps({"config": name, "mpix_s": round(v, 4)}))
+        warm = devstats.snapshot()
+        devstats.reset()
+        v, _, kf_wall, dt = bench_ours(short, device=dev, sweep=sw)
+        stats = devstats.snapshot()
+        print(json.dumps({
+            "config": name, "mpix_s": round(v, 4),
+            "kf_wall_s": round(kf_wall, 2),
+            "inter_wall_s": round(dt - kf_wall, 2),
+            "dev": stats,
+            "warm_compiles": warm["compiles"],
+            "warm_compile_s": warm["compile_s"]}))
         return
     _setup_jax_cache()
-    frames = make_clip()
-    device, sweep, probe = probe_device_mode(frames)
-    # Alternating pairs damp shared-host drift (single runs on this
-    # class of host swing by tens of percent); best-of-3 per side.
-    value, nbytes = bench_ours(frames, device=device, sweep=sweep)
-    baseline = bench_reference_c(frames)
-    for _ in range(2):
-        v2, _ = bench_ours(frames, device=device, sweep=sweep)
+    device, sweep, probe = probe_device_mode()
+    from daala_tpu.utils import devstats
+    per_content = {}
+    tot_pix = tot_ours_s = tot_ref_s = 0.0
+    have_ref = True
+    for content in CONTENTS:
+        frames = make_clip(content)
+        # Alternating pairs damp shared-host drift (single runs on this
+        # class of host swing by tens of percent); best-of-2 per side.
+        devstats.reset()
+        value, nbytes, kf_wall, dt = bench_ours(frames, device=device,
+                                                sweep=sweep)
+        stats = devstats.snapshot()
+        baseline = bench_reference_c(frames)
+        v2, _, _, dt2 = bench_ours(frames, device=device, sweep=sweep)
         b2 = bench_reference_c(frames)
         value = max(value, v2)
+        dt = min(dt, dt2)
         if baseline and b2:
             baseline = max(baseline, b2)
-    vs = (value / baseline) if baseline else None
+        pix = len(frames) * W * H
+        tot_pix += pix
+        tot_ours_s += dt
+        entry = {"ours_mpix_s": round(value, 4),
+                 "kf_wall_s": round(kf_wall, 2)}
+        if device:
+            entry["dev"] = stats
+        if baseline:
+            tot_ref_s += pix / (baseline * 1e6)
+            entry["ref_mpix_s"] = round(baseline, 4)
+            entry["ratio"] = round(value / baseline, 3)
+        else:
+            have_ref = False
+        per_content[content] = entry
+    value = tot_pix / tot_ours_s / 1e6
+    vs = (tot_ref_s / tot_ours_s) if have_ref and tot_ref_s else None
     print(json.dumps({
         "metric": "1080p_e2e_encode_throughput",
         "value": round(value, 4),
         "unit": "Mpixels/s",
         "vs_baseline": round(vs, 3) if vs else None,
         "config": {"device_analysis": device, "mv_sweep": sweep,
-                   "probe": probe},
+                   "per_content": per_content, "probe": probe},
     }))
 
 

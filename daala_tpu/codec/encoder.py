@@ -1327,47 +1327,16 @@ class Encoder:
         tab = getattr(self, "_device_pvq_tab", None)
         if (tab is not None and not rdo_only
                 and not use_haar_wavelet):
-            # Per-plane 4x4 grids, concatenated (the native side
-            # derives the same plane base offsets from F.pl dims).
-            base = [0] * (info.nplanes + 1)
-            for pli in range(info.nplanes):
-                xd, yd = info.plane_dec[pli]
-                base[pli + 1] = base[pli] + \
-                    ((st.frame_height >> yd) >> 2) * \
-                    ((st.frame_width >> xd) >> 2)
-            blocks = {}
-            for (pli, by4, bx4, band), e in tab.items():
-                blocks.setdefault((pli, by4, bx4), {})[band] = e
-            nslots = max(1, len(blocks))
-            idx = np.full(base[info.nplanes], -1, np.int32)
-            meta = np.zeros((nslots, 16, 6), np.int32)
-            sd = np.zeros((nslots, 16), np.float64)
-            yoff = np.zeros(nslots, np.int64)
-            ypool = []
-            ytot = 0
-            for s, ((pli, by4, bx4), bands) in enumerate(
-                    sorted(blocks.items())):
-                xd, yd = info.plane_dec[pli]
-                n4h_p = (st.frame_width >> xd) >> 2
-                idx[base[pli] + by4 * n4h_p + bx4] = s
-                bsb = max(st.bsize4(bx4 << xd, by4 << yd), xd) - xd
-                slen = part.scan_length(4 << bsb)
-                offs = part.band_offsets(4 << bsb)
-                yarr = np.zeros(slen, np.int32)
-                for band, e in bands.items():
-                    noref, qg, itheta, ts, k, yvec, sdf, valid = e
-                    meta[s, band] = (int(noref), int(qg), int(itheta),
-                                     int(ts), int(k),
-                                     1 if valid else 0)
-                    sd[s, band] = float(sdf)
-                    o0 = int(offs[band])
-                    yarr[o0:o0 + len(yvec)] = yvec
-                ypool.append(yarr)
-                yoff[s] = ytot
-                ytot += slen
-            ypool = (np.concatenate(ypool) if ypool
-                     else np.zeros(1, np.int32))
+            # Vectorized flattening (models/pvqsearch.py
+            # DevicePVQTable.native_arrays): per-plane 4x4 grids,
+            # concatenated (the native side derives the same plane
+            # base offsets from F.pl dims).
+            idx, meta, yoff, ypool, sd = tab.native_arrays(st, info)
+            idx = np.ascontiguousarray(idx, np.int32)
+            meta = np.ascontiguousarray(meta, np.int32)
+            yoff = np.ascontiguousarray(yoff, np.int64)
             ypool = np.ascontiguousarray(ypool, np.int32)
+            sd = np.ascontiguousarray(sd, np.float64)
             tabp = np.array([idx.ctypes.data, meta.ctypes.data,
                              yoff.ctypes.data, ypool.ctypes.data,
                              sd.ctypes.data], np.int64)

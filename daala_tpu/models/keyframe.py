@@ -224,11 +224,13 @@ def analyze_keyframe(state, info, padded_planes, lossless,
         fpr_mode = (info.bitdepth_mode
                     if np.asarray(padded_planes[pli]).dtype == np.uint16
                     else 0)
+        from daala_tpu.utils import devstats
+        devstats.dispatch(plane)
         d = keyframe_analysis_plane(
             plane, mask_args, xdec=xdec, ydec=ydec,
             lossless=bool(lossless), fpr_mode=fpr_mode,
             use_pallas=os.environ.get("DAALA_TPU_PALLAS", "0") == "1")
-        out.append(np.asarray(d, np.int32))
+        out.append(devstats.fetch(d, np.int32))
     return out
 
 
@@ -304,14 +306,16 @@ def analyze_inter(state, info, padded_planes, mc_planes, lossless,
                     else 0)
         mc_fpr_mode = (info.bitdepth_mode
                        if info.full_precision_references else 0)
+        from daala_tpu.utils import devstats
+        devstats.dispatch(plane, mc)
         d, md = inter_analysis_plane(plane, mc, mask_args, xdec=xdec,
                                      ydec=ydec, lossless=bool(lossless),
                                      fpr_mode=fpr_mode,
                                      mc_fpr_mode=mc_fpr_mode,
                                      pic_w=pic_w, pic_h=pic_h,
                                      use_pallas=use_pallas)
-        d_out.append(np.asarray(d, np.int32))
-        md_out.append(np.asarray(md, np.int32))
+        d_out.append(devstats.fetch(d, np.int32))
+        md_out.append(devstats.fetch(md, np.int32))
     return d_out, md_out
 
 
@@ -431,14 +435,17 @@ def analyze_rdo_pyramid(state, info, padded_planes, mc_planes, lossless,
         plane = device_put_fn(plane, 0)
         if mc is not None:
             mc = device_put_fn(mc, 0)
+    from daala_tpu.utils import devstats
+    devstats.dispatch(plane, mc)
     d_l, md_l, d_m = rdo_pyramid_luma(
         plane, mc if mc is not None else plane, level_mask_args,
         lossless=bool(lossless), fpr_mode=fpr_mode,
         mc_fpr_mode=mc_fpr_mode, is_keyframe=is_keyframe,
         pic_w=info.pic_width, pic_h=info.pic_height,
         use_pallas=use_pallas)
-    d_out = {k: np.asarray(v, np.int32) for k, v in d_l.items()}
+    d_out = {k: devstats.fetch(v, np.int32) for k, v in d_l.items()}
     md_out = (None if md_l is None
-              else {k: np.asarray(v, np.int32) for k, v in md_l.items()})
-    dm_out = None if d_m is None else np.asarray(d_m, np.int32)
+              else {k: devstats.fetch(v, np.int32)
+                    for k, v in md_l.items()})
+    dm_out = None if d_m is None else devstats.fetch(d_m, np.int32)
     return d_out, md_out, dm_out

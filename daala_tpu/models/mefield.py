@@ -100,6 +100,7 @@ def fullpel_sad_fields(cur, refs_padded, pad, vis, nvmvbs, nhmvbs, r=16,
     cur_vis = np.asarray(cur[:vis_h, :vis_w], np.int32)
     if device_put_fn is not None:
         cur_vis = device_put_fn(cur_vis, 0)
+    from daala_tpu.utils import devstats
     out = []
     for rp in refs_padded:
         win = np.asarray(
@@ -107,7 +108,8 @@ def fullpel_sad_fields(cur, refs_padded, pad, vis, nvmvbs, nhmvbs, r=16,
             np.int32)
         if device_put_fn is not None:
             win = device_put_fn(win, 0)
+        devstats.dispatch(cur_vis, win)
         t = _fullpel_fields(jnp.asarray(cur_vis), jnp.asarray(win),
                             r, nvb, nhb)
-        out.append(np.asarray(t, np.int32))
+        out.append(devstats.fetch(t, np.int32))
     return out

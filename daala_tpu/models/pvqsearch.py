@@ -12,10 +12,17 @@ search batches on the TPU; the host entropy pass replays the decisions
 through the exact normative tail (skip logic + synthesis) in
 pvq_codec.pvq_theta(forced=...).
 
-Bucketing: bands group by (plane-class, block size, band index) — each
-bucket has a single band length n in {15, 8, 32, 128}, one beta, one
-per-band quantizer, and constant QM slices, so every bucket is one
-fixed-shape jitted call vectorized over its m bands.
+Bucketing: bands group by band length n in {8, 15, 32, 128, 512} ONLY
+— every band of the frame with the same length rides one fixed-shape
+jitted call, with the per-band quantizer, QM slice and activity beta
+as per-row tensors.  A 1080p frame is <= 5 device dispatches and the
+program count per frame type is bounded by the handful of band
+lengths, not by (plane, block size, band) — the compile/dispatch
+explosion that used to time the 1080p device probe out (one XLA
+program per (block-size, band) bucket with the split-rate tree
+unrolled per band length) is gone: the codeword-rate tree is evaluated
+with static gather tables + one ancestor-matrix matmul, so each
+program is small and compiles in seconds.
 
 Decision parity: the integer stages (gains, companding, Householder,
 k) follow the reference's fixed-point semantics exactly; the float RDO
@@ -177,21 +184,27 @@ def _od_pow(x, beta):
     return jnp.where(x == 0, 0, _od_exp2(logr))
 
 
-def _gain_compand(g, q0, beta):
-    """beta is a static host int."""
-    if beta == P.BETA_1:
-        return (P.OD_CGAIN_SCALE * _i64(g) + (_i64(q0) >> 1)) // _i64(q0)
-    expr = _od_pow(g, P.beta_rcp(beta))
+_RCP_B15 = P.beta_rcp(P.BETA_1_5)
+
+
+def _gain_compand(g, q0, beta15):
+    """Per-row companding: beta15 (m,) bool selects the activity-
+    masking beta 1.5 (Q12) vs beta 1 (the only two betas the encoder
+    uses, see search_frame)."""
+    q0l = _i64(q0)
+    b1 = (P.OD_CGAIN_SCALE * _i64(g) + (q0l >> 1)) // q0l
+    expr = _od_pow(g, _RCP_B15)
     expr = expr << (P.OD_CGAIN_SHIFT + P.OD_COMPAND_SHIFT
                     - P.OD_EXP2_OUTSHIFT)
-    return (expr + (_i64(q0) >> 1)) // _i64(q0)
+    b15 = (expr + (q0l >> 1)) // q0l
+    return jnp.where(beta15, b15, b1)
 
 
-def _compute_gain(x16, q0, beta, bshift):
+def _compute_gain(x16, q0, beta15, bshift):
     acc = jnp.sum(_i64(x16) * _i64(x16), axis=-1)
     irt, sqrt_shift = _od_sqrt(acc)
     g = _vshr_round(irt, sqrt_shift - bshift)
-    return _gain_compand(g, q0, beta), g
+    return _gain_compand(g, q0, beta15), g
 
 
 def _gain_expand(cg0, q0, beta):
@@ -230,10 +243,10 @@ def _pvq_sin(x):
     return _pvq_cos(32768 - _i64(x))
 
 
-def _compute_max_theta(qcg, beta):
+def _compute_max_theta(qcg, beta15):
     qconst_pi_2 = int(0.5 + (np.pi / 2) * (1 << P.OD_CGAIN_SHIFT))
-    ts = _shr_round(_i64(qcg) * _mult16_32_qbeta(P.beta_rcp(beta),
-                                                 qconst_pi_2),
+    rcp = jnp.where(beta15, _RCP_B15, P.BETA_1).astype(jnp.int64)
+    ts = _shr_round(_i64(qcg) * _mult16_32_qbeta(rcp, qconst_pi_2),
                     P.OD_CGAIN_SHIFT * 2)
     return jnp.where(qcg < int(0.5 + 1.4 * (1 << P.OD_CGAIN_SHIFT)), 1,
                      ts).astype(jnp.int32)
@@ -248,17 +261,21 @@ def _compute_theta(t, max_theta):
                      0)
 
 
-def _compute_k(qcg, itheta, noref, n, beta):
-    """n, beta static; qcg/itheta vectors; noref static bool."""
+def _compute_k(qcg, itheta, noref, n, beta15):
+    """n static; qcg/itheta vectors; noref static bool; beta15 (m,)
+    bool selects the beta-1.5 rows."""
     if noref:
         rt = P._SQRT_TABLE[1][P._ilog(n + 1)]
+        rcp = jnp.where(beta15, _RCP_B15, P.BETA_1).astype(jnp.int64)
         k = jnp.maximum(1, _shr_round(
             (_i64(qcg) - int(0.5 + 0.2 * (1 << P.OD_CGAIN_SHIFT)))
-            * _mult16_32_qbeta(P.beta_rcp(beta), rt),
+            * _mult16_32_qbeta(rcp, rt),
             P.OD_CGAIN_SHIFT + P.OD_SQRT_TBL_SHIFT))
         k = jnp.where(qcg == 0, 0, k)
-        if n == 15 and beta > P.beta_q12(1.25):
-            k = jnp.where(qcg == P.OD_CGAIN_SCALE, 1, k)
+        if n == 15:
+            # The reference's n==15, beta > 1.25 special case — only
+            # the beta-1.5 rows qualify (beta 1 does not).
+            k = jnp.where(beta15 & (qcg == P.OD_CGAIN_SCALE), 1, k)
         return k.astype(jnp.int32)
     rt = P._SQRT_TABLE[0][P._ilog(n + 1)]
     k = jnp.maximum(1, _vshr_round(
@@ -424,71 +441,106 @@ def _cdf_cost_bits(row, sym, nsyms):
     return jnp.log2(jnp.maximum(tot, 1.0)) - jnp.log2(p)
 
 
+@functools.lru_cache(maxsize=None)
+def _tree_tables(n_tree):
+    """Static evaluation tables for the split tree of a band of length
+    n_tree (numpy, cached): node spans, k1 CDF row ids, size contexts,
+    and the proper-ancestor incidence matrix.  With these the whole
+    tree evaluates as a fixed set of static-index gathers plus one
+    (m, NN) x (NN, NN) matmul — no per-node unrolling, so the XLA
+    graph stays constant-size for every band length."""
+    nodes = _split_tree(n_tree)
+    nn = len(nodes)
+    base = np.array([b for b, s, l, p in nodes], np.int32)
+    size = np.array([s for b, s, l, p in nodes], np.int32)
+    level = np.array([l for b, s, l, p in nodes], np.int32)
+    parent = np.array([p for b, s, l, p in nodes], np.int32)
+    anc = np.zeros((nn, nn), np.float32)
+    for i in range(nn):
+        p = parent[i]
+        while p >= 0:
+            anc[p, i] = 1.0
+            p = parent[p]
+    # k1 rows only exist for 1 < size <= 16 (is_k1 masks the rest; ids
+    # outside that range would index past the CDF table).
+    k1_id = np.array([P.k1_ctx(int(s), bool(l == 0))
+                      if 1 < s <= 16 else 0
+                      for s, l in zip(size, level)], np.int32)
+    sz_ctx = np.array([P.size_ctx(int(s)) if s > 1 else 0
+                       for s in size], np.int32)
+    return dict(nn=nn, base=base, size=size, anc=anc, k1_id=k1_id,
+                sz_ctx=sz_ctx, mid=(size >> 1))
+
+
 def _codeword_rate(y, k, n_tree, n, k1_cdf, split_cdf):
     """Exact PVQ codeword rate (bits) from frame-start CDF tables:
     replays the recursive split coder of encode_band_pvq_splits
-    (reference: src/laplace_encoder.c:56-80) over a static DFS tree
-    with data-dependent masks.  n_tree is the coded vector length (n
-    for noref, n-1 for the theta path).  Within-band CDF adaptation is
-    the only approximation (the host clones the live context per band;
-    rows drift by O(increment/32768) per touch)."""
+    (reference: src/laplace_encoder.c:56-80) over a static DFS tree,
+    fully vectorized over (rows, nodes).  n_tree is the coded vector
+    length (n for noref, n-1 for the theta path).  Within-band CDF
+    adaptation is the only approximation (the host clones the live
+    context per band; rows drift by O(increment/32768) per touch).
+
+    blocked(node) — "an ancestor terminated coding" — has the closed
+    form OR over proper ancestors a of [(k(a)==1 & size(a)<=16) |
+    k(a)==0], because the recursive ~blocked(parent) factor is
+    absorbed by the OR; that makes the whole propagation one matmul
+    against the static ancestor matrix instead of a sequential walk."""
+    del k  # k==0 rows fall out of the node masks
     m = y.shape[0]
+    tt = _tree_tables(n_tree)
     ya = jnp.abs(y).astype(jnp.int32)
     lane = jnp.arange(n)[None, :]
     ya = jnp.where(lane < n_tree, ya, 0)
-    nodes = _split_tree(n_tree)
-    nn = len(nodes)
-    # Prefix sums for O(1) per-node k.
-    csum = jnp.cumsum(ya, axis=-1)
-    csum = jnp.concatenate([jnp.zeros((m, 1), jnp.int32), csum], axis=-1)
-
-    def span_sum(base, size):
-        return csum[:, base + size] - csum[:, base]
-
-    # blocked[i]: an ancestor terminated coding (k1 leaf or k == 0 or
-    # the effective band boundary n_eff truncating... n_eff only zeroes
-    # lanes, structure is unchanged).
-    rate = jnp.zeros((m,), jnp.float32)
-    blocked = [None] * nn
-    for idx, (base, size, level, parent) in enumerate(nodes):
-        k_node = span_sum(base, size)
-        if parent < 0:
-            blk = jnp.zeros((m,), jnp.bool_)
-            # Top-level call context: caller guarantees n > 1, k > 0
-            # (k == 0 bands pay no codeword bits).
-        else:
-            pb, psz, plv, _pp = nodes[parent]
-            pk = span_sum(pb, psz)
-            p_k1leaf = (~blocked[parent]) & (pk == 1) & (psz <= 16)
-            blk = blocked[parent] | p_k1leaf | (pk == 0)
-        blocked[idx] = blk
-        if size <= 1:
-            continue
-        active = (~blk) & (k_node > 0)
-        is_k1 = active & (k_node == 1) & (size <= 16)
-        # k == 1 leaf: position coded from pvq_k1_cdf[k1_ctx].
-        cdf_id = P.k1_ctx(size, level == 0)
-        pos = jnp.argmax((ya[:, base:base + size] != 0), axis=-1) \
-            .astype(jnp.int32)
-        row_k1 = jnp.broadcast_to(k1_cdf[cdf_id][None, :],
-                                  (m, k1_cdf.shape[1]))
-        cost_k1 = _cdf_cost_bits(row_k1, pos,
-                                 jnp.full((m,), size, jnp.int32))
-        rate = rate + jnp.where(is_k1, cost_k1, 0.0)
-        # Split node: count_right from pvq_split_cdf[fctx] + raw bits.
-        is_split = active & ~is_k1
-        mid = size >> 1
-        count_right = span_sum(base + mid, size - mid)
-        total = k_node
-        shift = jnp.maximum(0, _ilog(total) - 3)
-        msbs = count_right >> shift
-        t_red = total >> shift
-        fctx = 7 * P.size_ctx(size) + t_red - 1
-        fctx = jnp.clip(fctx, 0, split_cdf.shape[0] - 1)
-        row_sp = split_cdf[fctx]
-        cost_sp = _cdf_cost_bits(row_sp, msbs, t_red + 1) \
-            + shift.astype(jnp.float32)
-        rate = rate + jnp.where(is_split, cost_sp, 0.0)
+    zcol = jnp.zeros((m, 1), jnp.int32)
+    csum = jnp.concatenate([zcol, jnp.cumsum(ya, axis=-1)], axis=-1)
+    # Weighted prefix sums give each k==1 span's pulse position in O(1).
+    wsum = jnp.concatenate(
+        [zcol, jnp.cumsum(ya * jnp.arange(n, dtype=jnp.int32)[None, :],
+                          axis=-1)], axis=-1)
+    base = tt["base"]
+    size = tt["size"]
+    k_node = csum[:, base + size] - csum[:, base]          # (m, NN)
+    term = ((k_node == 1) & (size <= 16)[None, :]) | (k_node == 0)
+    blocked = (term.astype(jnp.float32) @ jnp.asarray(tt["anc"])) > 0.5
+    inner = (size > 1)[None, :]
+    active = (~blocked) & (k_node > 0) & inner
+    is_k1 = active & (k_node == 1) & (size <= 16)[None, :]
+    # k == 1 leaf: position coded from pvq_k1_cdf[k1_ctx].
+    w1 = k1_cdf.shape[1]
+    pos = (wsum[:, base + size] - wsum[:, base]) - base[None, :]
+    pos = jnp.clip(pos, 0, jnp.asarray(size - 1)[None, :])
+    flat1 = k1_cdf.reshape(-1)
+    rowoff = jnp.asarray(tt["k1_id"] * w1)[None, :]
+    tot1 = flat1[tt["k1_id"] * w1
+                 + np.minimum(size - 1, w1 - 1)][None, :] \
+        .astype(jnp.float32)
+    hi1 = flat1[rowoff + pos].astype(jnp.float32)
+    lo1 = jnp.where(pos > 0, flat1[rowoff + jnp.maximum(pos - 1, 0)],
+                    0).astype(jnp.float32)
+    cost_k1 = (jnp.log2(jnp.maximum(tot1, 1.0))
+               - jnp.log2(jnp.maximum(hi1 - lo1, 1.0)))
+    # Split node: count_right from pvq_split_cdf[fctx] + raw bits.
+    is_split = active & ~is_k1
+    count_right = csum[:, base + size] - csum[:, base + tt["mid"]]
+    shift = jnp.maximum(0, _ilog(k_node) - 3)
+    msbs = count_right >> shift
+    t_red = k_node >> shift
+    fctx = jnp.clip(7 * jnp.asarray(tt["sz_ctx"])[None, :] + t_red - 1,
+                    0, split_cdf.shape[0] - 1)
+    w2 = split_cdf.shape[1]
+    flat2 = split_cdf.reshape(-1)
+    roff2 = fctx * w2
+    tot2 = flat2[roff2 + jnp.minimum(t_red, w2 - 1)].astype(jnp.float32)
+    hi2 = flat2[roff2 + jnp.minimum(msbs, w2 - 1)].astype(jnp.float32)
+    lo2 = jnp.where(msbs > 0,
+                    flat2[roff2 + jnp.clip(msbs - 1, 0, w2 - 1)],
+                    0).astype(jnp.float32)
+    cost_sp = (jnp.log2(jnp.maximum(tot2, 1.0))
+               - jnp.log2(jnp.maximum(hi2 - lo2, 1.0))
+               + shift.astype(jnp.float32))
+    rate = (jnp.sum(jnp.where(is_k1, cost_k1, 0.0), axis=-1)
+            + jnp.sum(jnp.where(is_split, cost_sp, 0.0), axis=-1))
     return rate
 
 
@@ -498,8 +550,8 @@ def _codeword_rate(y, k, n_tree, n, k1_cdf, split_cdf):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n", "beta", "iters", "is_keyframe"))
-def band_search(X, R, qm, q0, lam, n, beta, iters, k1_cdf=None,
+                   static_argnames=("n", "iters", "is_keyframe"))
+def band_search(X, R, qm, q0, beta15, lam, n, iters, k1_cdf=None,
                 split_cdf=None, is_keyframe=False):
     """Batched pvq_theta for inter bands and keyframe-luma bands.
 
@@ -509,8 +561,11 @@ def band_search(X, R, qm, q0, lam, n, beta, iters, k1_cdf=None,
     dependent — the host falls back to its own search for the rare
     band with a nonzero intra reference; keyframe chroma/CfL is
     excluded entirely because its reference is the *coded* luma).
-    qm: (n,) int32 QM slice.  q0: scalar int32 band quantizer.  lam:
-    scalar f32 pvq_norm_lambda.  n, beta, iters, is_keyframe: static.
+    qm: (m, n) int32 per-row QM slices.  q0: (m,) int32 per-row band
+    quantizers.  beta15: (m,) bool — row uses the activity-masking
+    beta 1.5 (else beta 1).  lam: scalar f32 pvq_norm_lambda.  n,
+    iters, is_keyframe: static — ONE program per (band length,
+    frame type, row-count class).
 
     is_keyframe gates the two host-side keyframe differences
     (pvq_theta, reference src/pvq_encoder.c:333-636): the skip
@@ -518,7 +573,10 @@ def band_search(X, R, qm, q0, lam, n, beta, iters, k1_cdf=None,
     reference copy), and the theta=0 reference-gain initial candidate
     is never installed (keyframes start — and with R == 0 stay — on
     the noref path, so the skip symbol stays SKIP_ZERO, not
-    SKIP_COPY).
+    SKIP_COPY).  The keyframe program also skips the whole theta
+    machinery (Householder, theta candidates): with R == 0 those
+    candidates are dead, and dropping them cuts the keyframe device
+    work ~7x.
 
     Returns (noref u8, qg i32, itheta i32, max_theta i32, k i32,
     y (m, n) i32, skip_diff f32, valid u8) — the host replays them via
@@ -527,36 +585,38 @@ def band_search(X, R, qm, q0, lam, n, beta, iters, k1_cdf=None,
     m = X.shape[0]
     Xl = _i64(X)
     Rl = _i64(R)
-    qml = _i64(qm)[None, :]
+    qml = _i64(qm)
     # vector_log_mag (src/pvq.c:470-484)
     tx = (Xl >> 8)
     xs_tot = jnp.sum(tx * tx, axis=-1)
     xshift = jnp.maximum(0, 8 + 1 + _ilog(n + xs_tot) // 2 - 15)
-    tr = (Rl >> 8)
-    rs_tot = jnp.sum(tr * tr, axis=-1)
-    rshift = jnp.maximum(0, 8 + 1 + _ilog(n + rs_tot) // 2 - 14)
     x16 = _vshr_round(Xl * qml, P.OD_QM_SHIFT + xshift[:, None])
-    r16 = _vshr_round(Rl * qml, P.OD_QM_SHIFT + rshift[:, None])
-    corr_i = jnp.sum(x16 * r16, axis=-1)
-    cg, g = _compute_gain(x16, q0, beta, xshift)
-    cgr, gr = _compute_gain(r16, q0, beta, rshift)
-    icgr = _shr_round(cgr, P.OD_CGAIN_SHIFT)
-    gain_offset = cgr - _shl32(icgr, P.OD_CGAIN_SHIFT)
+    cg, g = _compute_gain(x16, q0, beta15, xshift)
     cgf = cg.astype(jnp.float32)
-    cgrf = cgr.astype(jnp.float32)
-    corr = corr_i.astype(jnp.float32) / (
-        1e-100 + g.astype(jnp.float32) * gr.astype(jnp.float32)
-        / _shl32(jnp.ones_like(g), xshift + rshift).astype(jnp.float32))
-    corr = jnp.clip(corr, -1.0, 1.0)
     inv_cs2 = np.float32(1.0 / (_CGSCALE * _CGSCALE))
-    if is_keyframe:
-        # Keyframe skip codes zeros: the skip distortion is the plain
-        # gain energy (pvq_theta keyframe branch).
-        skip_dist = _GAIN_WEIGHT * cgf * cgf * inv_cs2
-    else:
+    x16_f = x16.astype(jnp.float32)
+    if not is_keyframe:
+        tr = (Rl >> 8)
+        rs_tot = jnp.sum(tr * tr, axis=-1)
+        rshift = jnp.maximum(0, 8 + 1 + _ilog(n + rs_tot) // 2 - 14)
+        r16 = _vshr_round(Rl * qml, P.OD_QM_SHIFT + rshift[:, None])
+        corr_i = jnp.sum(x16 * r16, axis=-1)
+        cgr, gr = _compute_gain(r16, q0, beta15, rshift)
+        icgr = _shr_round(cgr, P.OD_CGAIN_SHIFT)
+        gain_offset = cgr - _shl32(icgr, P.OD_CGAIN_SHIFT)
+        cgrf = cgr.astype(jnp.float32)
+        corr = corr_i.astype(jnp.float32) / (
+            1e-100 + g.astype(jnp.float32) * gr.astype(jnp.float32)
+            / _shl32(jnp.ones_like(g),
+                     xshift + rshift).astype(jnp.float32))
+        corr = jnp.clip(corr, -1.0, 1.0)
         # skip_dist (inter branch of pvq_theta).
         skip_dist = (_GAIN_WEIGHT * (cgf - cgrf) ** 2
                      + cgrf * cgf * (2.0 - 2.0 * corr)) * inv_cs2
+    else:
+        # Keyframe skip codes zeros: the skip distortion is the plain
+        # gain energy (pvq_theta keyframe branch).
+        skip_dist = _GAIN_WEIGHT * cgf * cgf * inv_cs2
     # Initial candidate: qg=0 noref zero-vector.
     best_dist = _GAIN_WEIGHT * cgf * cgf * inv_cs2
     best_cost = best_dist
@@ -584,43 +644,7 @@ def band_search(X, R, qm, q0, lam, n, beta, iters, k1_cdf=None,
     dist0 = best_dist
     valid = jnp.ones((m,), jnp.uint8)
 
-    # ---- theta path ----
-    theta_on = (jnp.any(Rl != 0, axis=-1)) & (corr > 0.0)
-    # Householder reflection of r16.
-    mpos = jnp.argmax(jnp.abs(r16), axis=-1)
-    rm = jnp.take_along_axis(r16, mpos[:, None], axis=-1)[:, 0]
-    s = jnp.where(rm > 0, 1, -1).astype(jnp.int64)
-    bump = _shr_round(gr * s, rshift)
-    r16_refl = r16.at[jnp.arange(m), mpos].set(_wrap16(rm + bump))
-    xr_full = _apply_householder(x16, r16_refl)
-    #
-
-    # Delete index mpos: xr[j] = xr_full[j + (j >= mpos)] for j < n-1.
-    jj = jnp.arange(n)[None, :]
-    gidx = jj + (jj >= mpos[:, None])
-    xr = jnp.take_along_axis(xr_full, jnp.minimum(gidx, n - 1), axis=-1)
-    theta_f = jnp.arccos(corr)
-    theta_q = jnp.floor(0.5 + P.OD_MAX_THETA_SCALE * 2.0 / np.pi
-                        * theta_f).astype(jnp.int32)
-    gain_bound = (cg - gain_offset) >> P.OD_CGAIN_SHIFT
-    i_base = jnp.maximum(1, gain_bound - 1)
-    theta_scale_1 = 1.0 / ((1 << 15) * 2.0 / np.pi)
-    # xr lane n-1 is padding for the (n-1)-dim sub-search; excluded
-    # from the pulse search via its lane mask.
-    xr_f = xr.astype(jnp.float32)
-    xr_f = xr_f.at[:, n - 1].set(0.0)
-    # Candidate parameters, stacked (C = 12 theta + 2 noref) so the
-    # expensive pulse search compiles ONCE inside a lax.scan instead of
-    # 14 unrolled copies (compile time, not run time, dominates
-    # otherwise).
-    noref_on = (corr < 0.5) | (cg < _shl32(jnp.full((m,), 2),
-                                           P.OD_CGAIN_SHIFT))
-    if is_keyframe:
-        # Keyframe luma always searches the noref branch (pvq_theta:
-        # `(is_keyframe && pli == 0) || corr < 0.5 || ...`).
-        noref_on = jnp.ones((m,), jnp.bool_)
     gb_nr = cg >> P.OD_CGAIN_SHIFT
-    x16_f = x16.astype(jnp.float32)
     cand_i = []       # gain index (m,) per candidate
     cand_j = []       # theta index (−1 for noref)
     cand_ok_l = []
@@ -631,48 +655,89 @@ def band_search(X, R, qm, q0, lam, n, beta, iters, k1_cdf=None,
     cand_sinp = []
     cand_qth = []
     cand_isnr = []
-    for ci in range(3):
-        i_cand = (i_base + ci).astype(jnp.int32)
-        gain_ok = i_cand <= gain_bound + 1
-        qcg = _shl32(i_cand, P.OD_CGAIN_SHIFT) + gain_offset
-        ts = _compute_max_theta(qcg, beta)
-        tpos = (theta_q.astype(jnp.float32) * theta_scale_1 * 2.0
-                / np.pi * ts.astype(jnp.float32))
-        t_lower = jnp.maximum(0, jnp.floor(0.5 + tpos).astype(jnp.int32)
-                              - 2)
-        t_upper = jnp.minimum(ts - 1, jnp.ceil(tpos).astype(jnp.int32))
-        for tj in range(4):
-            j_cand = t_lower + tj
-            ok_c = (theta_on & gain_ok & (j_cand <= t_upper)
-                    & (j_cand >= 0))
-            qtheta = _compute_theta(j_cand, ts).astype(jnp.int32)
-            k = _compute_k(qcg, j_cand, False, n, beta)
-            qcgf = qcg.astype(jnp.float32)
-            dist_th = 2.0 - 2.0 * _pvq_cos(theta_q - qtheta) \
-                .astype(jnp.float32) / P.OD_TRIG_SCALE
-            dist_pre = (_GAIN_WEIGHT * (qcgf - cgf) ** 2
-                        + qcgf * cgf * dist_th) * inv_cs2
-            ok_c = ok_c & ~((dist_pre > dist0 + lam) & (k != 0))
-            sin_prod = (_pvq_sin(theta_q).astype(jnp.float32)
-                        / P.OD_TRIG_SCALE) \
-                * (_pvq_sin(qtheta).astype(jnp.float32)
-                   / P.OD_TRIG_SCALE)
-            cand_i.append(i_cand)
-            cand_j.append(j_cand)
-            cand_ok_l.append(ok_c)
-            cand_k.append(k)
-            cand_ts.append(ts)
-            cand_g2.append(qcgf * cgf * sin_prod * inv_cs2)
-            cand_dist_c.append(_GAIN_WEIGHT * (qcgf - cgf) ** 2
-                               * inv_cs2)
-            cand_sinp.append(sin_prod)
-            cand_qth.append(qtheta)
-            cand_isnr.append(jnp.zeros((m,), jnp.bool_))
+    if not is_keyframe:
+        # ---- theta path (inter only: keyframe luma R == 0 makes every
+        # theta candidate dead, so the keyframe program omits the whole
+        # Householder + theta machinery) ----
+        theta_on = (jnp.any(Rl != 0, axis=-1)) & (corr > 0.0)
+        # Householder reflection of r16.
+        mpos = jnp.argmax(jnp.abs(r16), axis=-1)
+        rm = jnp.take_along_axis(r16, mpos[:, None], axis=-1)[:, 0]
+        s = jnp.where(rm > 0, 1, -1).astype(jnp.int64)
+        bump = _shr_round(gr * s, rshift)
+        r16_refl = r16.at[jnp.arange(m), mpos].set(_wrap16(rm + bump))
+        xr_full = _apply_householder(x16, r16_refl)
+        # Delete index mpos: xr[j] = xr_full[j + (j >= mpos)], j < n-1.
+        jj = jnp.arange(n)[None, :]
+        gidx = jj + (jj >= mpos[:, None])
+        xr = jnp.take_along_axis(xr_full, jnp.minimum(gidx, n - 1),
+                                 axis=-1)
+        theta_f = jnp.arccos(corr)
+        theta_q = jnp.floor(0.5 + P.OD_MAX_THETA_SCALE * 2.0 / np.pi
+                            * theta_f).astype(jnp.int32)
+        gain_bound = (cg - gain_offset) >> P.OD_CGAIN_SHIFT
+        i_base = jnp.maximum(1, gain_bound - 1)
+        theta_scale_1 = 1.0 / ((1 << 15) * 2.0 / np.pi)
+        # xr lane n-1 is padding for the (n-1)-dim sub-search; excluded
+        # from the pulse search via its lane mask.
+        xr_f = xr.astype(jnp.float32)
+        xr_f = xr_f.at[:, n - 1].set(0.0)
+        noref_on = (corr < 0.5) | (cg < _shl32(jnp.full((m,), 2),
+                                               P.OD_CGAIN_SHIFT))
+        # Candidate parameters, stacked (C = 12 theta + 2 noref) so the
+        # expensive pulse search compiles ONCE inside a lax.scan
+        # instead of 14 unrolled copies.
+        for ci in range(3):
+            i_cand = (i_base + ci).astype(jnp.int32)
+            gain_ok = i_cand <= gain_bound + 1
+            qcg = _shl32(i_cand, P.OD_CGAIN_SHIFT) + gain_offset
+            ts = _compute_max_theta(qcg, beta15)
+            tpos = (theta_q.astype(jnp.float32) * theta_scale_1 * 2.0
+                    / np.pi * ts.astype(jnp.float32))
+            t_lower = jnp.maximum(
+                0, jnp.floor(0.5 + tpos).astype(jnp.int32) - 2)
+            t_upper = jnp.minimum(ts - 1,
+                                  jnp.ceil(tpos).astype(jnp.int32))
+            for tj in range(4):
+                j_cand = t_lower + tj
+                ok_c = (theta_on & gain_ok & (j_cand <= t_upper)
+                        & (j_cand >= 0))
+                qtheta = _compute_theta(j_cand, ts).astype(jnp.int32)
+                k = _compute_k(qcg, j_cand, False, n, beta15)
+                qcgf = qcg.astype(jnp.float32)
+                dist_th = 2.0 - 2.0 * _pvq_cos(theta_q - qtheta) \
+                    .astype(jnp.float32) / P.OD_TRIG_SCALE
+                dist_pre = (_GAIN_WEIGHT * (qcgf - cgf) ** 2
+                            + qcgf * cgf * dist_th) * inv_cs2
+                ok_c = ok_c & ~((dist_pre > dist0 + lam) & (k != 0))
+                sin_prod = (_pvq_sin(theta_q).astype(jnp.float32)
+                            / P.OD_TRIG_SCALE) \
+                    * (_pvq_sin(qtheta).astype(jnp.float32)
+                       / P.OD_TRIG_SCALE)
+                cand_i.append(i_cand)
+                cand_j.append(j_cand)
+                cand_ok_l.append(ok_c)
+                cand_k.append(k)
+                cand_ts.append(ts)
+                cand_g2.append(qcgf * cgf * sin_prod * inv_cs2)
+                cand_dist_c.append(_GAIN_WEIGHT * (qcgf - cgf) ** 2
+                                   * inv_cs2)
+                cand_sinp.append(sin_prod)
+                cand_qth.append(qtheta)
+                cand_isnr.append(jnp.zeros((m,), jnp.bool_))
+    else:
+        # Keyframe luma always searches the noref branch (pvq_theta:
+        # `(is_keyframe && pli == 0) || corr < 0.5 || ...`).
+        noref_on = jnp.ones((m,), jnp.bool_)
+        xr_f = x16_f      # unused (every candidate is noref)
+        theta_q = jnp.zeros((m,), jnp.int32)
+        icgr = jnp.zeros((m,), jnp.int32)
+        gain_offset = jnp.zeros((m,), jnp.int64)
     for ci in range(2):
         i_cand = (jnp.maximum(1, gb_nr) + ci).astype(jnp.int32)
         gain_ok = i_cand <= gb_nr + 1
         qcg = _shl32(i_cand, P.OD_CGAIN_SHIFT)
-        k = _compute_k(qcg, -1, True, n, beta)
+        k = _compute_k(qcg, -1, True, n, beta15)
         qcgf = qcg.astype(jnp.float32)
         dist_pre = _GAIN_WEIGHT * (qcgf - cgf) ** 2 * inv_cs2
         ok_c = noref_on & gain_ok & ~((dist_pre > dist0) & (k != 0))
@@ -739,9 +804,12 @@ def band_search(X, R, qm, q0, lam, n, beta, iters, k1_cdf=None,
             # skip-copy and compounds across inter frames.
             rate_nr = _codeword_rate(y_c, c["k"], n, n, k1_cdf,
                                      split_cdf)
-            rate_th = _codeword_rate(y_c, c["k"], n - 1, n, k1_cdf,
-                                     split_cdf)
-            rate = jnp.where(c["isnr"], rate_nr, rate_th)
+            if is_keyframe:
+                rate = rate_nr  # every candidate is noref
+            else:
+                rate_th = _codeword_rate(y_c, c["k"], n - 1, n,
+                                         k1_cdf, split_cdf)
+                rate = jnp.where(c["isnr"], rate_nr, rate_th)
         else:
             n_eff = jnp.where(c["isnr"], n, n - 1)
             rate = _fast_rate(y_c, c["k"], n_eff[:, None], n, None)
@@ -775,6 +843,103 @@ def band_search(X, R, qm, q0, lam, n, beta, iters, k1_cdf=None,
 # ---------------------------------------------------------------------------
 
 
+class DevicePVQTable:
+    """Dense per-frame device PVQ decision table.
+
+    groups: one entry per (plane, block size) with vector block
+    coordinates and per-band result arrays — the natural shape of the
+    batched device search, consumed without per-block Python:
+
+      * native_arrays() flattens to the (idx, meta, yoff, ypool, sd)
+        arrays frame_enc.inc's ec_pvq_theta_forced replay reads,
+        entirely with numpy scatters;
+      * get((pli, by4, bx4, band)) provides the tuple view the pure-
+        Python coefficient path consumes (lazy index, test/debug path).
+    """
+
+    def __init__(self):
+        self.groups = []
+        self._index = None
+
+    def get(self, key):
+        pli, by4, bx4, band = key
+        if self._index is None:
+            self._index = {}
+            for g in self.groups:
+                for i in range(len(g["by4"])):
+                    self._index[(g["pli"], int(g["by4"][i]),
+                                 int(g["bx4"][i]))] = (g, i)
+        hit = self._index.get((pli, by4, bx4))
+        if hit is None:
+            return None
+        g, i = hit
+        r = g["bands"].get(band)
+        if r is None:
+            return None
+        return (int(r["noref"][i]), int(r["qg"][i]),
+                int(r["itheta"][i]), int(r["ts"][i]), int(r["k"][i]),
+                r["y"][i], float(r["skip_diff"][i]),
+                bool(r["valid"][i]))
+
+    def native_arrays(self, st, info):
+        """Flatten to the native replay arrays (idx int32 per-plane 4x4
+        grid concat -> slot | -1, meta (nslots, 16, 6) int32,
+        yoff (nslots,) int64, ypool int32, sd (nslots, 16) f64), slot
+        order = sorted (pli, by4, bx4)."""
+        from daala_tpu.ops import partition as part
+        base = [0] * (info.nplanes + 1)
+        n4h_p = [0] * info.nplanes
+        for pli in range(info.nplanes):
+            xd, yd = info.plane_dec[pli]
+            n4h_p[pli] = (st.frame_width >> xd) >> 2
+            base[pli + 1] = base[pli] + \
+                ((st.frame_height >> yd) >> 2) * n4h_p[pli]
+        if not self.groups:
+            return (np.full(max(1, base[info.nplanes]), -1, np.int32),
+                    np.zeros((1, 16, 6), np.int32),
+                    np.zeros(1, np.int64), np.zeros(1, np.int32),
+                    np.zeros((1, 16), np.float64))
+        flat = np.concatenate([
+            base[g["pli"]] + g["by4"].astype(np.int64) * n4h_p[g["pli"]]
+            + g["bx4"] for g in self.groups])
+        slen_all = np.concatenate([
+            np.full(len(g["by4"]), part.scan_length(4 << g["bs"]),
+                    np.int64) for g in self.groups])
+        order = np.argsort(flat, kind="stable")
+        nslots = len(flat)
+        slot_of = np.empty(nslots, np.int64)
+        slot_of[order] = np.arange(nslots)
+        idx = np.full(base[info.nplanes], -1, np.int32)
+        idx[flat] = slot_of.astype(np.int32)
+        slen_sorted = slen_all[order]
+        yoff = np.zeros(nslots, np.int64)
+        yoff[1:] = np.cumsum(slen_sorted)[:-1]
+        ypool = np.zeros(max(1, int(slen_sorted.sum())), np.int32)
+        meta = np.zeros((nslots, 16, 6), np.int32)
+        sd = np.zeros((nslots, 16), np.float64)
+        row0 = 0
+        for g in self.groups:
+            m_grp = len(g["by4"])
+            slots = slot_of[row0:row0 + m_grp]
+            row0 += m_grp
+            offs = part.band_offsets(4 << g["bs"])
+            yo = yoff[slots]
+            for band, r in g["bands"].items():
+                meta[slots, band, 0] = r["noref"]
+                meta[slots, band, 1] = r["qg"]
+                meta[slots, band, 2] = r["itheta"]
+                meta[slots, band, 3] = r["ts"]
+                meta[slots, band, 4] = r["k"]
+                meta[slots, band, 5] = r["valid"]
+                sd[slots, band] = r["skip_diff"]
+                o0 = int(offs[band])
+                nn = r["y"].shape[1]
+                ypool[yo[:, None]
+                      + (o0 + np.arange(nn, dtype=np.int64))[None, :]] \
+                    = r["y"]
+        return idx, meta, yoff, ypool, sd
+
+
 def search_frame(st, info, quantizer, d_planes, md_planes, lam,
                  is_keyframe=False, use_masking=True,
                  device_put_fn=None):
@@ -795,97 +960,136 @@ def search_frame(st, info, quantizer, d_planes, md_planes, lam,
     y int32[n], skip_diff, valid)} keyed by the block's plane 4x4-grid
     coordinates, matching the keys _block_encode derives."""
     from daala_tpu.ops import partition as part
+    from daala_tpu.utils import devstats
 
     cw = st.adapt.pvq.pvq_codeword_ctx
     put = device_put_fn if device_put_fn is not None else (lambda a: a)
-    out = {}
-    # Two-phase schedule: issue every band_search dispatch first (jax
-    # dispatch is async, so the device/tunnel round trips pipeline
-    # instead of serializing one blocking fetch per band), then fetch
-    # all results.
-    pending = []  # (pli, blocks, band, mreal, device results tuple)
+    table = DevicePVQTable()
+    # Buckets keyed by band length n: every band of the frame with the
+    # same length rides ONE dispatch (per-row q0 / QM slice / beta).
+    buckets = {}   # n -> dict(X=[], R=[], qm=[], q0=[], b15=[], segs=[])
     nplanes = 1 if is_keyframe else len(d_planes)
+    bs8 = np.asarray(st.bsize)
     for pli in range(nplanes):
         xdec, ydec = info.plane_dec[pli]
-        d_plane = d_planes[pli]
-        md_plane = None if is_keyframe else md_planes[pli]
+        d_plane = np.asarray(d_planes[pli])
+        md_plane = None if is_keyframe else np.asarray(md_planes[pli])
         n4v = (st.frame_height >> ydec) >> 2
         n4h = (st.frame_width >> xdec) >> 2
-        by_blocks = {}  # plane bs -> list of plane-grid (by4, bx4)
-        for by4 in range(n4v):
-            for bx4 in range(n4h):
-                # Plane leaf size: the luma block-size recursion
-                # clamped at the plane decimation (decode_recursive's
-                # `bs = max(obs, xdec) - xdec`).
-                bs = max(st.bsize4(bx4 << xdec, by4 << ydec),
-                         xdec) - xdec
-                if (by4 & ((1 << bs) - 1)) or (bx4 & ((1 << bs) - 1)):
-                    continue
-                by_blocks.setdefault(bs, []).append((by4, bx4))
-        for bs, blocks in sorted(by_blocks.items()):
+        ph, pw = n4v * 4, n4h * 4
+        # Plane leaf size: the luma block-size recursion clamped at the
+        # plane decimation (decode_recursive's `bs = max(obs, xdec) -
+        # xdec`), vectorized over the plane 4x4 grid.
+        by4g, bx4g = np.mgrid[0:n4v, 0:n4h]
+        bs_map = np.maximum(
+            bs8[(by4g << ydec) >> 1, (bx4g << xdec) >> 1], xdec) - xdec
+        lead = (((by4g & ((1 << bs_map) - 1)) == 0)
+                & ((bx4g & ((1 << bs_map) - 1)) == 0))
+        for bs in range(int(bs_map.max()) + 1):
+            sel = lead & (bs_map == bs)
+            if not sel.any():
+                continue
+            by4s, bx4s = np.nonzero(sel)
+            by4s = by4s.astype(np.int32)
+            bx4s = bx4s.astype(np.int32)
             n = 4 << bs
             offs = part.band_offsets(n)
             nb_bands = len(offs) - 1
             slen = part.scan_length(n)
             off_qm = P.qm_offset(bs, xdec)
-            qm_slice = np.asarray(st.qm[off_qm:off_qm + slen], np.int64)
-            tiles_d = np.stack([
-                d_plane[by4 * 4:by4 * 4 + n, bx4 * 4:bx4 * 4 + n]
-                for by4, bx4 in blocks])
-            coded_d = part.raster_to_coding(tiles_d.astype(np.int32))
-            if is_keyframe:
-                coded_md = np.zeros_like(coded_d)
-            else:
-                tiles_md = np.stack([
-                    md_plane[by4 * 4:by4 * 4 + n, bx4 * 4:bx4 * 4 + n]
-                    for by4, bx4 in blocks])
-                coded_md = part.raster_to_coding(
-                    tiles_md.astype(np.int32))
-            beta = (P.BETA_1_5
-                    if use_masking and pli == 0 and bs > 0 else P.BETA_1)
+            qm_slice = np.asarray(st.qm[off_qm:off_qm + slen], np.int32)
+
+            def tile(plane):
+                v = plane[:ph, :pw].reshape(ph // n, n, pw // n, n) \
+                    .transpose(0, 2, 1, 3)
+                return v[by4s >> bs, bx4s >> bs]
+
+            coded_d = part.raster_to_coding(tile(d_plane)
+                                            .astype(np.int32))
+            coded_md = (None if is_keyframe else
+                        part.raster_to_coding(tile(md_plane)
+                                              .astype(np.int32)))
+            beta15 = bool(use_masking and pli == 0 and bs > 0)
+            m_grp = len(by4s)
+            grp = dict(pli=pli, bs=bs, by4=by4s, bx4=bx4s,
+                       bands={})
+            table.groups.append(grp)
             for band in range(nb_bands):
                 o0, o1 = int(offs[band]), int(offs[band + 1])
                 nn = o1 - o0
                 q_band = max(1, max(1, quantizer)
                              * int(st.pvq_qm_q4[pli][P.qm_get_index(
                                  bs, band + 1)]) >> 4)
-                X = np.ascontiguousarray(coded_d[:, o0:o1], np.int32)
-                R = np.ascontiguousarray(coded_md[:, o0:o1], np.int32)
-                # Pad the band count to a power-of-FOUR size class so
-                # the jit cache holds a handful of shapes instead of
-                # one per frame; padded rows are all-zero (k = 0,
-                # ignored).  Compiles cost ~25-40 s each on a 1-core
-                # host, so fewer classes beats less padded compute.
-                mreal = X.shape[0]
-                mpad = 64
-                while mpad < mreal:
-                    mpad <<= 2
-                if mpad != mreal:
-                    X = np.pad(X, ((0, mpad - mreal), (0, 0)))
-                    R = np.pad(R, ((0, mpad - mreal), (0, 0)))
-                # The fixed-point gain math needs 64-bit integer
-                # intermediates (sums of int16 squares); enable x64 for
-                # this trace only.
-                with jax.enable_x64(True):
-                    res = band_search(
-                        put(jnp.asarray(X)), put(jnp.asarray(R)),
-                        jnp.asarray(qm_slice[o0:o1], jnp.int32),
-                        jnp.int32(q_band), jnp.float32(lam),
-                        nn, int(beta), int(nn + 64),
-                        k1_cdf=jnp.asarray(cw.pvq_k1_cdf, jnp.int32),
-                        split_cdf=jnp.asarray(cw.pvq_split_cdf,
-                                              jnp.int32),
-                        is_keyframe=bool(is_keyframe))
-                pending.append((pli, blocks, band, mreal, res))
-    for pli, blocks, band, mreal, res in pending:
+                bk = buckets.setdefault(
+                    nn, dict(X=[], R=[], qm=[], q0=[], b15=[],
+                             segs=[], m=0))
+                bk["X"].append(
+                    np.ascontiguousarray(coded_d[:, o0:o1], np.int32))
+                if coded_md is not None:
+                    bk["R"].append(np.ascontiguousarray(
+                        coded_md[:, o0:o1], np.int32))
+                bk["qm"].append(np.broadcast_to(
+                    qm_slice[o0:o1][None, :], (m_grp, nn)))
+                bk["q0"].append(np.full(m_grp, q_band, np.int32))
+                bk["b15"].append(np.full(m_grp, beta15, np.bool_))
+                bk["segs"].append((grp, band, bk["m"], m_grp))
+                bk["m"] += m_grp
+    # Two-phase schedule: issue every band_search dispatch first (jax
+    # dispatch is async, so the device/tunnel round trips pipeline
+    # instead of serializing one blocking fetch per band length), then
+    # fetch all results.
+    pending = []  # (segs, device results tuple)
+    k1_cdf = jnp.asarray(cw.pvq_k1_cdf, jnp.int32)
+    split_cdf = jnp.asarray(cw.pvq_split_cdf, jnp.int32)
+    for nn in sorted(buckets):
+        bk = buckets[nn]
+        X = np.concatenate(bk["X"], axis=0)
+        R = (np.zeros_like(X) if is_keyframe
+             else np.concatenate(bk["R"], axis=0))
+        qm = np.concatenate(bk["qm"], axis=0)
+        q0 = np.concatenate(bk["q0"], axis=0)
+        b15 = np.concatenate(bk["b15"], axis=0)
+        # Pad the row count to a power-of-two size class so the jit
+        # cache holds a handful of shapes per band length; padded rows
+        # are all-zero (k = 0, never read back).
+        mreal = X.shape[0]
+        mpad = 64
+        while mpad < mreal:
+            mpad <<= 1
+        if mpad != mreal:
+            pad = ((0, mpad - mreal), (0, 0))
+            X = np.pad(X, pad)
+            R = np.pad(R, pad)
+            qm = np.pad(qm, pad, constant_values=1)
+            q0 = np.pad(q0, (0, mpad - mreal), constant_values=1)
+            b15 = np.pad(b15, (0, mpad - mreal))
+        # The fixed-point gain math needs 64-bit integer intermediates
+        # (sums of int16 squares); enable x64 for this trace only.
+        devstats.dispatch(X, R, qm, q0, b15)
+        with jax.enable_x64(True):
+            res = band_search(
+                put(jnp.asarray(X)), put(jnp.asarray(R)),
+                put(jnp.asarray(np.ascontiguousarray(qm))),
+                jnp.asarray(q0), jnp.asarray(b15), jnp.float32(lam),
+                nn, int(nn + 64),
+                k1_cdf=k1_cdf, split_cdf=split_cdf,
+                is_keyframe=bool(is_keyframe))
+        pending.append((bk["segs"], res))
+    for segs, res in pending:
         noref, qg, itheta, ts, k, y, skip_diff, valid = \
-            [np.asarray(r)[:mreal] for r in res]
-        for i, (by4, bx4) in enumerate(blocks):
-            out[(pli, by4, bx4, band)] = (
-                int(noref[i]), int(qg[i]), int(itheta[i]),
-                int(ts[i]), int(k[i]), y[i],
-                float(skip_diff[i]), bool(valid[i]))
-    return out
+            [devstats.fetch(r) for r in res]
+        for grp, band, start, m_grp in segs:
+            sl = slice(start, start + m_grp)
+            grp["bands"][band] = dict(
+                noref=noref[sl].astype(np.int32),
+                qg=qg[sl].astype(np.int32),
+                itheta=itheta[sl].astype(np.int32),
+                ts=ts[sl].astype(np.int32),
+                k=k[sl].astype(np.int32),
+                y=np.ascontiguousarray(y[sl], np.int32),
+                skip_diff=skip_diff[sl].astype(np.float64),
+                valid=valid[sl].astype(np.int32))
+    return table
 
 
 def search_inter_luma(st, quantizer, d_plane, md_plane, lam,

@@ -294,10 +294,12 @@ def dering_candidates_device(luma_i16, bskip0, quantizer, nvdr, nhdr,
             xorig[i] = luma_i16[sby * 64:(sby + 1) * 64,
                                 sbx * 64:(sbx + 1) * 64]
     import jax
+    from daala_tpu.utils import devstats
+    devstats.dispatch(xorig)
     dirs_j, var_j = jax.vmap(
         lambda x: compute_dirs_var(x, coeff_shift))(jnp.asarray(xorig))
-    dirs = np.asarray(dirs_j)
-    var = np.asarray(var_j)
+    dirs = devstats.fetch(dirs_j)
+    var = devstats.fetch(var_j)
     v1 = np.minimum(32767, var >> 6)
     bits = np.zeros_like(v1)
     for p in range(15):
@@ -325,6 +327,7 @@ def dering_candidates_device(luma_i16, bskip0, quantizer, nvdr, nhdr,
                 lambda t: dering_filter(ib, xo, dd, t, 3))(tt5)
         return jax.vmap(per_sb)(inb_j, xorig_j, dirs_j2, thresh_j)
 
+    devstats.dispatch(inb, xorig, dirs, thresh)
     cands = run(jnp.asarray(inb), jnp.asarray(xorig),
                 jnp.asarray(dirs, np.int32), jnp.asarray(thresh))
-    return np.asarray(cands), dirs.astype(np.int32)
+    return devstats.fetch(cands), dirs.astype(np.int32)

@@ -25,14 +25,19 @@ from daala_tpu.ops import pvq as P
 from daala_tpu.utils.metrics import psnr
 
 
-def _search(X, R, qm, q0, beta, lam, cw):
-    n = X.shape[1]
+def _search(X, R, qm, q0, beta, lam, cw, is_keyframe=False):
+    m, n = X.shape
     with jax.enable_x64(True):
         res = PS.band_search(
-            jnp.asarray(X), jnp.asarray(R), jnp.asarray(qm),
-            jnp.int32(q0), jnp.float32(lam), n, int(beta), n + 64,
+            jnp.asarray(X), jnp.asarray(R),
+            jnp.asarray(np.broadcast_to(
+                np.asarray(qm, np.int32)[None, :], (m, n))),
+            jnp.full((m,), q0, jnp.int32),
+            jnp.full((m,), beta == P.BETA_1_5, jnp.bool_),
+            jnp.float32(lam), n, n + 64,
             k1_cdf=jnp.asarray(cw.pvq_k1_cdf, jnp.int32),
-            split_cdf=jnp.asarray(cw.pvq_split_cdf, jnp.int32))
+            split_cdf=jnp.asarray(cw.pvq_split_cdf, jnp.int32),
+            is_keyframe=is_keyframe)
     return [np.asarray(r) for r in res]
 
 
@@ -104,15 +109,8 @@ def test_band_search_keyframe_matches_host():
         R = np.zeros((m, n), np.int32)
         qm = np.full(n, 16, np.int32)
         qm_inv = [4096] * n
-        with jax.enable_x64(True):
-            res = PS.band_search(
-                jnp.asarray(X), jnp.asarray(R), jnp.asarray(qm),
-                jnp.int32(q0), jnp.float32(lam), n, int(beta), n + 64,
-                k1_cdf=jnp.asarray(cw.pvq_k1_cdf, jnp.int32),
-                split_cdf=jnp.asarray(cw.pvq_split_cdf, jnp.int32),
-                is_keyframe=True)
-        noref, qg, itheta, ts, k, y, sdf, valid = \
-            [np.asarray(r) for r in res]
+        noref, qg, itheta, ts, k, y, sdf, valid = _search(
+            X, R, qm, q0, beta, lam, cw, is_keyframe=True)
         for i in range(m):
             if not valid[i]:
                 continue

@@ -44,10 +44,17 @@ def main():
     ap.add_argument("--qm", type=int, choices=(0, 1), default=1,
                     help="quantization matrix: 0 = flat, 1 = HVS "
                          "(reference's --qm)")
-    ap.add_argument("--fast-trial", action="store_true",
+    ap.add_argument("--fast-trial", action="store_true", default=True,
                     help="fast block-size RDO trial pass (speed=2 "
                          "projection-only PVQ candidates + closed-form "
-                         "rates; BD-neutral, final pass stays exact)")
+                         "rates; BD-neutral, final pass stays exact). "
+                         "ON by default — the production preset bench.py "
+                         "measures; --exact-trial restores the "
+                         "reference-identical trial pass")
+    ap.add_argument("--exact-trial", dest="fast_trial",
+                    action="store_false",
+                    help="exact (reference-identical) block-size RDO "
+                         "trial pass instead of the fast preset")
     ap.add_argument("--trial-prune-boost", type=float, default=3.0,
                     help="with --fast-trial: scale on the fitted "
                          "subtree-prune envelopes, rate-gated to "
