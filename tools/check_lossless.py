@@ -17,10 +17,21 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("inputs", nargs="+", help=".y4m files to check")
+    ap.add_argument("inputs", nargs="*",
+                    help=".y4m files to check (default: every clip in "
+                         "$DAALA_CLIPS — the reference CI gate, "
+                         "/root/reference/ci/lossless.sh)")
     ap.add_argument("--limit", type=int, default=0)
     ap.add_argument("-b", "--b-frames", type=int, default=0)
     args = ap.parse_args()
+
+    if not args.inputs:
+        sys.path.insert(0, os.path.dirname(HERE))
+        from daala_tpu.utils import clips
+        args.inputs = clips.find_clips()
+        if not args.inputs:
+            print("check_lossless: SKIP — " + clips.skip_reason())
+            sys.exit(0)
 
     failures = 0
     for src in args.inputs:

@@ -86,7 +86,11 @@ def measure(orig, recon, limit):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("input", help="input .y4m")
+    ap.add_argument("input", nargs="?", default=None,
+                    help="input .y4m (or --all for every clip in "
+                         "$DAALA_CLIPS)")
+    ap.add_argument("--all", action="store_true",
+                    help="collect over every clip in $DAALA_CLIPS")
     ap.add_argument("-o", "--output", default=None,
                     help="output .json (default: <input>.rd.json)")
     ap.add_argument("-q", "--quants", default=None,
@@ -104,44 +108,59 @@ def main():
     quants = ([int(q) for q in args.quants.split(",")] if args.quants
               else DEFAULT_QUANTS)
     here = os.path.dirname(os.path.abspath(__file__))
-    out_path = args.output or (args.input + ".rd.json")
-    results = []
-    with tempfile.TemporaryDirectory() as td:
-        for q in quants:
-            ogv = os.path.join(td, "q%d.ogv" % q)
-            y4m = os.path.join(td, "q%d.y4m" % q)
-            if args.codec == "ref":
-                nbytes = _encode_ref(args.input, y4m, q, args.limit,
-                                     args.b_frames)
-            else:
-                cmd = [sys.executable, os.path.join(here, "encode.py"),
-                       args.input, ogv, "-v", str(q), "-b",
-                       str(args.b_frames)]
-                if args.limit:
-                    cmd += ["--limit", str(args.limit)]
-                cmd += [a for a in args.extra.split() if a]
-                subprocess.run(cmd, check=True, capture_output=True)
-                subprocess.run([sys.executable,
-                                os.path.join(here, "decode.py"), ogv,
-                                y4m],
-                               check=True, capture_output=True)
-                # Count video packet payloads only, matching what the
-                # reference anchor counts (no Ogg container overhead,
-                # no header packets).
-                from daala_tpu.utils.ogg import read_ogg_packets
-                with open(ogv, "rb") as f:
-                    nbytes = sum(len(p) for p, _g in read_ogg_packets(f)
-                                 if p and not (p[0] & 0x80))
-            vals, n, npix = measure(args.input, y4m, args.limit)
-            point = {"quant": q, "bytes": nbytes, "frames": n,
-                     "bits_per_pixel": round(nbytes * 8.0 / npix, 6)}
-            point.update(vals)
-            results.append(point)
-            print(json.dumps(point))
-    with open(out_path, "w") as f:
-        for p in results:
-            f.write(json.dumps(p) + "\n")
-    print("wrote %s" % out_path, file=sys.stderr)
+    if args.all:
+        sys.path.insert(0, os.path.dirname(here))
+        from daala_tpu.utils import clips
+        inputs = clips.find_clips()
+        if not inputs:
+            print("rd_collect: SKIP — " + clips.skip_reason())
+            return
+    elif args.input:
+        inputs = [args.input]
+    else:
+        ap.error("give an input .y4m or --all (with $DAALA_CLIPS set)")
+    for inp in inputs:
+        out_path = (args.output if args.output and len(inputs) == 1
+                    else inp + ".rd.json")
+        results = []
+        with tempfile.TemporaryDirectory() as td:
+            for q in quants:
+                ogv = os.path.join(td, "q%d.ogv" % q)
+                y4m = os.path.join(td, "q%d.y4m" % q)
+                if args.codec == "ref":
+                    nbytes = _encode_ref(inp, y4m, q, args.limit,
+                                         args.b_frames)
+                else:
+                    cmd = [sys.executable,
+                           os.path.join(here, "encode.py"),
+                           inp, ogv, "-v", str(q), "-b",
+                           str(args.b_frames)]
+                    if args.limit:
+                        cmd += ["--limit", str(args.limit)]
+                    cmd += [a for a in args.extra.split() if a]
+                    subprocess.run(cmd, check=True, capture_output=True)
+                    subprocess.run([sys.executable,
+                                    os.path.join(here, "decode.py"),
+                                    ogv, y4m],
+                                   check=True, capture_output=True)
+                    # Count video packet payloads only, matching what
+                    # the reference anchor counts (no Ogg container
+                    # overhead, no header packets).
+                    from daala_tpu.utils.ogg import read_ogg_packets
+                    with open(ogv, "rb") as f:
+                        nbytes = sum(len(p)
+                                     for p, _g in read_ogg_packets(f)
+                                     if p and not (p[0] & 0x80))
+                vals, n, npix = measure(inp, y4m, args.limit)
+                point = {"quant": q, "bytes": nbytes, "frames": n,
+                         "bits_per_pixel": round(nbytes * 8.0 / npix, 6)}
+                point.update(vals)
+                results.append(point)
+                print(json.dumps(point))
+        with open(out_path, "w") as f:
+            for p in results:
+                f.write(json.dumps(p) + "\n")
+        print("wrote %s" % out_path, file=sys.stderr)
 
 
 if __name__ == "__main__":
