@@ -27,7 +27,10 @@ _listener_installed = False
 
 
 def _compile_listener(event, duration, **kw):
-    if "compil" in event:
+    # Only actual XLA backend compilation (one event per compiled
+    # program); the broader /jax/core/compile/* family also fires for
+    # every trace and MLIR lowering, which would overcount by ~1000x.
+    if event.endswith("backend_compile_duration"):
         STATS["compiles"] += 1
         STATS["compile_s"] += float(duration)
 

@@ -80,18 +80,22 @@ def main():
     enc.use_device_analysis = True
     enc.use_device_pvq = not args.no_pvq
 
+    from daala_tpu.utils import devstats
     t0 = time.perf_counter()
     per_frame = []
     for i, fr in enumerate(frames):
         tf0 = time.perf_counter()
         nc0 = len(compiles)
+        devstats.reset()
         for _ in enc.encode_frame(fr):
             pass
         dt = time.perf_counter() - tf0
         per_frame.append({"frame": i, "wall_s": round(dt, 2),
-                          "compiles": len(compiles) - nc0})
-        sys.stderr.write("[frame %d] %.1fs, %d compiles\n"
-                         % (i, dt, len(compiles) - nc0))
+                          "compiles": len(compiles) - nc0,
+                          "dev": devstats.snapshot()})
+        sys.stderr.write("[frame %d] %.1fs, %d compiles %s\n"
+                         % (i, dt, len(compiles) - nc0,
+                            json.dumps(devstats.snapshot())))
         sys.stderr.flush()
     total = time.perf_counter() - t0
     print(json.dumps({
