@@ -1744,40 +1744,47 @@ class Encoder:
         # byte-identically.  Covers 8-bit and full-precision inputs.
         self._device_d = None
         self._device_md = None
+        self._device_pvq_tab = None
         if device_on:
             from daala_tpu.models import keyframe as KF
+            dev_d = dev_md = None
             if is_keyframe:
-                self._device_d = KF.analyze_keyframe(
+                dev_d, fetch_np = KF.analyze_keyframe(
                     st, info, padded_in, st.quantizer == 0,
-                    device_put_fn=getattr(self, "device_put_fn", None))
+                    device_put_fn=getattr(self, "device_put_fn", None),
+                    defer=True)
             else:
                 # Inter front-end: input + OBMC prediction through the
                 # same device transform pipeline.
                 mc_planes = [self_img.plane_view(pli)
                              for pli in range(info.nplanes)]
-                self._device_d, self._device_md = KF.analyze_inter(
+                dev_d, dev_md, fetch_np = KF.analyze_inter(
                     st, info, padded_in, mc_planes, st.quantizer == 0,
-                    device_put_fn=getattr(self, "device_put_fn", None))
-        # Device PVQ band search (models/pvqsearch.py): with the
-        # frame's input + prediction transforms already on the device,
-        # the per-band gain/theta/codeword RDO batches as jitted passes
-        # and the host entropy stage replays the decisions
-        # (BD-rate-neutral; reference search: src/pvq_encoder.c:333).
-        self._device_pvq_tab = None
-        if (device_on and not use_haar_wavelet
-                and self._device_d is not None
-                and (is_keyframe or self._device_md is not None)
-                and getattr(self, "use_device_pvq", False)
-                and st.quantizer != 0):
-            from daala_tpu.models import pvqsearch as PS
-            self._device_pvq_tab = PS.search_frame(
-                st, info, st.quantizer,
-                [np.asarray(p) for p in self._device_d],
-                (None if is_keyframe
-                 else [np.asarray(p) for p in self._device_md]),
-                self.pvq_norm_lambda, is_keyframe=bool(is_keyframe),
-                use_masking=bool(self.use_activity_masking),
-                device_put_fn=getattr(self, "device_put_fn", None))
+                    device_put_fn=getattr(self, "device_put_fn", None),
+                    defer=True)
+            # Device PVQ band search (models/pvqsearch.py): dispatched
+            # on the still-resident analysis coefficients — nothing
+            # round-trips through the host — and finished after the
+            # analysis fetch, so the band RDO computes while the
+            # entropy pass's planes stream back (BD-rate-neutral;
+            # reference search: src/pvq_encoder.c:333).
+            finish_pvq = None
+            if (not use_haar_wavelet
+                    and getattr(self, "use_device_pvq", False)
+                    and st.quantizer != 0):
+                from daala_tpu.models import pvqsearch as PS
+                finish_pvq = PS.search_frame(
+                    st, info, st.quantizer, dev_d, dev_md,
+                    self.pvq_norm_lambda, is_keyframe=bool(is_keyframe),
+                    use_masking=bool(self.use_activity_masking),
+                    device_put_fn=getattr(self, "device_put_fn", None),
+                    defer=True)
+            if is_keyframe:
+                self._device_d = fetch_np()
+            else:
+                self._device_d, self._device_md = fetch_np()
+            if finish_pvq is not None:
+                self._device_pvq_tab = finish_pvq()
         ctmp = self._encode_coefficients(padded_in, self_img, is_keyframe,
                                          use_haar_wavelet, planes_u8,
                                          rdo_only=0)

@@ -203,12 +203,15 @@ def keyframe_analysis_plane(plane_u8, mask_args, xdec=0, ydec=0,
 
 
 def analyze_keyframe(state, info, padded_planes, lossless,
-                     device_put_fn=None):
+                     device_put_fn=None, defer=False):
     """Run the device analysis for every plane of a keyframe; returns the
     list of `d` planes as numpy int32 arrays (host EC consumes them).
 
     device_put_fn(array, pli) may place inputs on a sharded mesh; by
-    default arrays go wherever jax puts them."""
+    default arrays go wherever jax puts them.  defer=True returns
+    (d_dev, finish) — the device arrays plus a finish() fetching the
+    numpy planes (see analyze_inter)."""
+    dev = []
     out = []
     for pli in range(info.nplanes):
         xdec, ydec = info.plane_dec[pli]
@@ -230,7 +233,17 @@ def analyze_keyframe(state, info, padded_planes, lossless,
             plane, mask_args, xdec=xdec, ydec=ydec,
             lossless=bool(lossless), fpr_mode=fpr_mode,
             use_pallas=os.environ.get("DAALA_TPU_PALLAS", "0") == "1")
-        out.append(devstats.fetch(d, np.int32))
+        if defer:
+            dev.append(d)
+        else:
+            out.append(devstats.fetch(d, np.int32))
+    if defer:
+        from daala_tpu.utils import devstats as _ds
+
+        def finish():
+            _ds.prefetch(*dev)
+            return [_ds.fetch(d, np.int32) for d in dev]
+        return dev, finish
     return out
 
 
@@ -281,11 +294,18 @@ def inter_analysis_plane(plane_u8, mc_plane_u8, mask_args, xdec=0, ydec=0,
 
 
 def analyze_inter(state, info, padded_planes, mc_planes, lossless,
-                  device_put_fn=None):
+                  device_put_fn=None, defer=False):
     """Device (d, md) analysis for every plane of an inter frame; the
-    prediction planes come from the OBMC stage (OD_FRAME_SELF)."""
+    prediction planes come from the OBMC stage (OD_FRAME_SELF).
+
+    defer=True returns (d_dev, md_dev, finish): the per-plane device
+    arrays (for downstream device consumers like the PVQ band search)
+    plus a zero-argument finish() that fetches the numpy planes — so
+    the caller can issue dependent device work before paying the
+    device->host transfer."""
     import os
     use_pallas = os.environ.get("DAALA_TPU_PALLAS", "0") == "1"
+    d_dev, md_dev = [], []
     d_out, md_out = [], []
     for pli in range(info.nplanes):
         xdec, ydec = info.plane_dec[pli]
@@ -314,8 +334,20 @@ def analyze_inter(state, info, padded_planes, mc_planes, lossless,
                                      mc_fpr_mode=mc_fpr_mode,
                                      pic_w=pic_w, pic_h=pic_h,
                                      use_pallas=use_pallas)
-        d_out.append(devstats.fetch(d, np.int32))
-        md_out.append(devstats.fetch(md, np.int32))
+        if defer:
+            d_dev.append(d)
+            md_dev.append(md)
+        else:
+            d_out.append(devstats.fetch(d, np.int32))
+            md_out.append(devstats.fetch(md, np.int32))
+    if defer:
+        from daala_tpu.utils import devstats
+
+        def finish():
+            devstats.prefetch(*(d_dev + md_dev))
+            return ([devstats.fetch(d, np.int32) for d in d_dev],
+                    [devstats.fetch(md, np.int32) for md in md_dev])
+        return d_dev, md_dev, finish
     return d_out, md_out
 
 
@@ -443,6 +475,9 @@ def analyze_rdo_pyramid(state, info, padded_planes, mc_planes, lossless,
         mc_fpr_mode=mc_fpr_mode, is_keyframe=is_keyframe,
         pic_w=info.pic_width, pic_h=info.pic_height,
         use_pallas=use_pallas)
+    devstats.prefetch(*(list(d_l.values())
+                        + (list(md_l.values()) if md_l else [])
+                        + ([d_m] if d_m is not None else [])))
     d_out = {k: devstats.fetch(v, np.int32) for k, v in d_l.items()}
     md_out = (None if md_l is None
               else {k: devstats.fetch(v, np.int32)

@@ -101,7 +101,7 @@ def fullpel_sad_fields(cur, refs_padded, pad, vis, nvmvbs, nhmvbs, r=16,
     if device_put_fn is not None:
         cur_vis = device_put_fn(cur_vis, 0)
     from daala_tpu.utils import devstats
-    out = []
+    pending = []
     for rp in refs_padded:
         win = np.asarray(
             rp[pad - r:pad + vis_h + r, pad - r:pad + vis_w + r],
@@ -109,7 +109,7 @@ def fullpel_sad_fields(cur, refs_padded, pad, vis, nvmvbs, nhmvbs, r=16,
         if device_put_fn is not None:
             win = device_put_fn(win, 0)
         devstats.dispatch(cur_vis, win)
-        t = _fullpel_fields(jnp.asarray(cur_vis), jnp.asarray(win),
-                            r, nvb, nhb)
-        out.append(devstats.fetch(t, np.int32))
-    return out
+        pending.append(_fullpel_fields(jnp.asarray(cur_vis),
+                                       jnp.asarray(win), r, nvb, nhb))
+    devstats.prefetch(*pending)
+    return [devstats.fetch(t, np.int32) for t in pending]

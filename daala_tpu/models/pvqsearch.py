@@ -551,21 +551,32 @@ def _codeword_rate(y, k, n_tree, n, k1_cdf, split_cdf):
 
 @functools.partial(jax.jit,
                    static_argnames=("n", "iters", "is_keyframe"))
-def band_search(X, R, qm, q0, beta15, lam, n, iters, k1_cdf=None,
-                split_cdf=None, is_keyframe=False):
+def band_search(dflat, mdflat, base, tabsel, tab, qmtab, q0, beta15,
+                lam, n, iters, k1_cdf=None, split_cdf=None,
+                is_keyframe=False):
     """Batched pvq_theta for inter bands and keyframe-luma bands.
 
-    X, R: (m, n) int32 input / reference coefficients (coding order,
-    band slice).  For inter bands R is the MC prediction; for keyframe
-    luma R must be all-zero (the HV intra prediction is sequentially
-    dependent — the host falls back to its own search for the rare
-    band with a nonzero intra reference; keyframe chroma/CfL is
-    excluded entirely because its reference is the *coded* luma).
-    qm: (m, n) int32 per-row QM slices.  q0: (m,) int32 per-row band
-    quantizers.  beta15: (m,) bool — row uses the activity-masking
-    beta 1.5 (else beta 1).  lam: scalar f32 pvq_norm_lambda.  n,
-    iters, is_keyframe: static — ONE program per (band length,
-    frame type, row-count class).
+    The band inputs are GATHERED ON DEVICE from the resident analysis
+    coefficient buffers — the host never round-trips the coefficient
+    planes through the search:
+
+      dflat, mdflat: 1-D int32 concatenations of the frame's input /
+          MC-prediction coefficient planes (the device analysis
+          outputs, still on device).  For keyframes mdflat is unused
+          (pass dflat).
+      base: (m,) int32 flat offset of each row's block origin inside
+          dflat (plane base + block raster origin); padded rows carry
+          a large negative base so every gather lands out of bounds
+          and fills with 0.
+      tabsel: (m,) int32 row -> gather-table id.
+      tab: (T, n) int32 per-(plane-stride, block size, band) flat
+          offsets of the band's coefficients relative to the block
+          origin, in coding order (from partition.coding_order_indices).
+      qmtab: (T, n) int32 per-table QM slices.
+      q0: (m,) int32 per-row band quantizers.  beta15: (m,) bool — row
+      uses the activity-masking beta 1.5 (else beta 1).  lam: scalar
+      f32 pvq_norm_lambda.  n, iters, is_keyframe: static — ONE
+      program per (band length, frame type, row-count ladder class).
 
     is_keyframe gates the two host-side keyframe differences
     (pvq_theta, reference src/pvq_encoder.c:333-636): the skip
@@ -578,10 +589,19 @@ def band_search(X, R, qm, q0, beta15, lam, n, iters, k1_cdf=None,
     candidates are dead, and dropping them cuts the keyframe device
     work ~7x.
 
-    Returns (noref u8, qg i32, itheta i32, max_theta i32, k i32,
-    y (m, n) i32, skip_diff f32, valid u8) — the host replays them via
-    pvq_codec.pvq_theta(forced=...) and falls back to its own search
-    where valid == 0."""
+    Returns a packed triple fetched in 3 transfers per bucket:
+      ints (m, 6) int32 = [noref, qg, itheta, max_theta, k, valid],
+      y (m, n) int16 pulse vectors (valid==0 where any |y| or k would
+          not fit — the host falls back to its own search there),
+      skip_diff (m,) f32.
+    The host replays them via pvq_codec.pvq_theta(forced=...)."""
+    idx = base[:, None] + jnp.take(tab, tabsel, axis=0)
+    X = jnp.take(dflat, idx, mode="fill", fill_value=0)
+    qm = jnp.take(qmtab, tabsel, axis=0)
+    if is_keyframe:
+        R = jnp.zeros_like(X)
+    else:
+        R = jnp.take(mdflat, idx, mode="fill", fill_value=0)
     m = X.shape[0]
     Xl = _i64(X)
     Rl = _i64(R)
@@ -833,8 +853,12 @@ def band_search(X, R, qm, q0, beta15, lam, n, iters, k1_cdf=None,
      noref, best_y, valid) = carry
 
     skip_diff = skip_dist - best_dist
-    return (noref, best_qg, best_itheta, best_ts, best_k, best_y,
-            skip_diff, valid)
+    # int16 pulse transport: |y[i]| <= k, so one bound check keeps the
+    # packing exact (the host falls back for the impossible overflow).
+    valid = jnp.where(best_k > 32767, 0, valid).astype(jnp.int32)
+    ints = jnp.stack([noref.astype(jnp.int32), best_qg, best_itheta,
+                      best_ts, best_k, valid], axis=-1)
+    return ints, best_y.astype(jnp.int16), skip_diff
 
 
 # ---------------------------------------------------------------------------
@@ -942,41 +966,69 @@ class DevicePVQTable:
 
 def search_frame(st, info, quantizer, d_planes, md_planes, lam,
                  is_keyframe=False, use_masking=True,
-                 device_put_fn=None):
+                 device_put_fn=None, defer=False):
     """Device PVQ search for a whole frame's bands.
 
     st: codec state (bsize4 map, qm tables, pvq_qm_q4); d_planes /
     md_planes: per-plane whole-frame frequency-domain input / reference
-    coefficients (the device analysis outputs, plane_h x plane_w
-    int32).  For inter frames every plane searches against its MC
-    prediction; for keyframes only luma is searched (against a zero
-    reference — the HV intra prediction is sequentially dependent, so
-    the host falls back to its own search for the rare band with a
-    nonzero intra reference; chroma/CfL keyframe bands reference the
-    *coded* luma and stay on the host, reference
-    src/pvq_encoder.c:858-875).
+    coefficients — the device analysis outputs, ideally still jax
+    device arrays (numpy works too and uploads once).  The band inputs
+    are gathered on device; only the compact row descriptors go up and
+    only the packed decisions come down.  For inter frames every plane
+    searches against its MC prediction; for keyframes only luma is
+    searched (against a zero reference — the HV intra prediction is
+    sequentially dependent, so the host falls back to its own search
+    for the rare band with a nonzero intra reference; chroma/CfL
+    keyframe bands reference the *coded* luma and stay on the host,
+    reference src/pvq_encoder.c:858-875).
 
-    Returns {(pli, by4, bx4, band): (noref, qg, itheta, max_theta, k,
-    y int32[n], skip_diff, valid)} keyed by the block's plane 4x4-grid
-    coordinates, matching the keys _block_encode derives."""
+    Returns a DevicePVQTable, or with defer=True a zero-argument
+    `finish()` callable: every dispatch has been issued asynchronously
+    and finish() fetches the results — letting the caller overlap the
+    device search with other host work (e.g. fetching the analysis
+    planes for the entropy pass)."""
     from daala_tpu.ops import partition as part
     from daala_tpu.utils import devstats
 
     cw = st.adapt.pvq.pvq_codeword_ctx
-    put = device_put_fn if device_put_fn is not None else (lambda a: a)
+    # device_put_fn follows the encoder's (array, pli) contract; the
+    # flat coefficient buffer spans planes, so it rides plane 0's
+    # sharding (replicated row sharding is fine for 1-D gathers).
+    put = ((lambda a: device_put_fn(a, 0))
+           if device_put_fn is not None else (lambda a: a))
     table = DevicePVQTable()
     # Buckets keyed by band length n: every band of the frame with the
-    # same length rides ONE dispatch (per-row q0 / QM slice / beta).
-    buckets = {}   # n -> dict(X=[], R=[], qm=[], q0=[], b15=[], segs=[])
+    # same length rides ONE dispatch.  Rows carry only compact
+    # descriptors (block base offset + gather-table id + quantizer);
+    # the coefficients themselves never leave the device — band_search
+    # gathers them from the flat analysis buffers.
+    buckets = {}   # n -> dict(base=[], tsel=[], q0=[], b15=[], segs=[])
+    tabs = {}      # nn -> {(stride, bs, band, off_qm): tab_id}
+    tab_rows = {}  # nn -> [(off_row int32[nn], qm_row int32[nn])]
     nplanes = 1 if is_keyframe else len(d_planes)
     bs8 = np.asarray(st.bsize)
+    # Flat device buffers of the analysis coefficients.  When the
+    # caller still holds numpy planes (tests, CPU path) they upload
+    # once here; device arrays concatenate on device with no transfer.
+    def _flatten(planes):
+        if isinstance(planes[0], np.ndarray):
+            flat = np.concatenate([np.asarray(p, np.int32).ravel()
+                                   for p in planes[:nplanes]])
+            devstats.dispatch(flat)
+            return put(jnp.asarray(flat))
+        return jnp.concatenate([jnp.ravel(p.astype(jnp.int32))
+                                for p in planes[:nplanes]])
+    plane_base = [0] * (nplanes + 1)
+    for pli in range(nplanes):
+        plane_base[pli + 1] = plane_base[pli] + \
+            int(np.prod(d_planes[pli].shape))
+    dflat = _flatten(d_planes)
+    mdflat = dflat if is_keyframe else _flatten(md_planes)
     for pli in range(nplanes):
         xdec, ydec = info.plane_dec[pli]
-        d_plane = np.asarray(d_planes[pli])
-        md_plane = None if is_keyframe else np.asarray(md_planes[pli])
+        stride = int(d_planes[pli].shape[1])
         n4v = (st.frame_height >> ydec) >> 2
         n4h = (st.frame_width >> xdec) >> 2
-        ph, pw = n4v * 4, n4h * 4
         # Plane leaf size: the luma block-size recursion clamped at the
         # plane decimation (decode_recursive's `bs = max(obs, xdec) -
         # xdec`), vectorized over the plane 4x4 grid.
@@ -998,22 +1050,17 @@ def search_frame(st, info, quantizer, d_planes, md_planes, lam,
             slen = part.scan_length(n)
             off_qm = P.qm_offset(bs, xdec)
             qm_slice = np.asarray(st.qm[off_qm:off_qm + slen], np.int32)
-
-            def tile(plane):
-                v = plane[:ph, :pw].reshape(ph // n, n, pw // n, n) \
-                    .transpose(0, 2, 1, 3)
-                return v[by4s >> bs, bx4s >> bs]
-
-            coded_d = part.raster_to_coding(tile(d_plane)
-                                            .astype(np.int32))
-            coded_md = (None if is_keyframe else
-                        part.raster_to_coding(tile(md_plane)
-                                              .astype(np.int32)))
             beta15 = bool(use_masking and pli == 0 and bs > 0)
             m_grp = len(by4s)
+            # Flat offset of each block's raster origin inside dflat.
+            blk_base = (plane_base[pli]
+                        + ((by4s.astype(np.int64) >> bs) * n) * stride
+                        + (bx4s.astype(np.int64) >> bs) * n) \
+                .astype(np.int32)
             grp = dict(pli=pli, bs=bs, by4=by4s, bx4=bx4s,
                        bands={})
             table.groups.append(grp)
+            co = part.coding_order_indices(n)
             for band in range(nb_bands):
                 o0, o1 = int(offs[band]), int(offs[band + 1])
                 nn = o1 - o0
@@ -1021,15 +1068,21 @@ def search_frame(st, info, quantizer, d_planes, md_planes, lam,
                              * int(st.pvq_qm_q4[pli][P.qm_get_index(
                                  bs, band + 1)]) >> 4)
                 bk = buckets.setdefault(
-                    nn, dict(X=[], R=[], qm=[], q0=[], b15=[],
+                    nn, dict(base=[], tsel=[], q0=[], b15=[],
                              segs=[], m=0))
-                bk["X"].append(
-                    np.ascontiguousarray(coded_d[:, o0:o1], np.int32))
-                if coded_md is not None:
-                    bk["R"].append(np.ascontiguousarray(
-                        coded_md[:, o0:o1], np.int32))
-                bk["qm"].append(np.broadcast_to(
-                    qm_slice[o0:o1][None, :], (m_grp, nn)))
+                tkey = (stride, bs, band, off_qm)
+                tmap = tabs.setdefault(nn, {})
+                tid = tmap.get(tkey)
+                if tid is None:
+                    tid = len(tmap)
+                    tmap[tkey] = tid
+                    cb = co[o0:o1]
+                    off_row = ((cb // n) * stride + cb % n) \
+                        .astype(np.int32)
+                    tab_rows.setdefault(nn, []).append(
+                        (off_row, qm_slice[o0:o1]))
+                bk["base"].append(blk_base)
+                bk["tsel"].append(np.full(m_grp, tid, np.int32))
                 bk["q0"].append(np.full(m_grp, q_band, np.int32))
                 bk["b15"].append(np.full(m_grp, beta15, np.bool_))
                 bk["segs"].append((grp, band, bk["m"], m_grp))
@@ -1043,53 +1096,68 @@ def search_frame(st, info, quantizer, d_planes, md_planes, lam,
     split_cdf = jnp.asarray(cw.pvq_split_cdf, jnp.int32)
     for nn in sorted(buckets):
         bk = buckets[nn]
-        X = np.concatenate(bk["X"], axis=0)
-        R = (np.zeros_like(X) if is_keyframe
-             else np.concatenate(bk["R"], axis=0))
-        qm = np.concatenate(bk["qm"], axis=0)
-        q0 = np.concatenate(bk["q0"], axis=0)
-        b15 = np.concatenate(bk["b15"], axis=0)
-        # Pad the row count to a power-of-two size class so the jit
-        # cache holds a handful of shapes per band length; padded rows
-        # are all-zero (k = 0, never read back).
-        mreal = X.shape[0]
+        base = np.concatenate(bk["base"])
+        tsel = np.concatenate(bk["tsel"])
+        q0 = np.concatenate(bk["q0"])
+        b15 = np.concatenate(bk["b15"])
+        rows = tab_rows[nn]
+        tab = np.stack([r[0] for r in rows])
+        qmt = np.stack([r[1] for r in rows])
+        # Pad the table count to a power of two and the row count to a
+        # factor-4 ladder: at 1080p each (band length, frame type)
+        # settles into one ladder class, so the program set is a
+        # handful per frame type and stable across frames — no compile
+        # churn as the split map shifts.  Padded rows carry a large
+        # negative base: every gather lands out of bounds and fills 0
+        # (k = 0, never read back).
+        tpad = 1
+        while tpad < tab.shape[0]:
+            tpad <<= 1
+        if tpad != tab.shape[0]:
+            pad = ((0, tpad - tab.shape[0]), (0, 0))
+            tab = np.pad(tab, pad)
+            qmt = np.pad(qmt, pad, constant_values=1)
+        mreal = base.shape[0]
         mpad = 64
         while mpad < mreal:
-            mpad <<= 1
+            mpad <<= 2
         if mpad != mreal:
-            pad = ((0, mpad - mreal), (0, 0))
-            X = np.pad(X, pad)
-            R = np.pad(R, pad)
-            qm = np.pad(qm, pad, constant_values=1)
-            q0 = np.pad(q0, (0, mpad - mreal), constant_values=1)
-            b15 = np.pad(b15, (0, mpad - mreal))
+            padn = mpad - mreal
+            base = np.pad(base, (0, padn),
+                          constant_values=np.int32(-(1 << 30)))
+            tsel = np.pad(tsel, (0, padn))
+            q0 = np.pad(q0, (0, padn), constant_values=1)
+            b15 = np.pad(b15, (0, padn))
         # The fixed-point gain math needs 64-bit integer intermediates
         # (sums of int16 squares); enable x64 for this trace only.
-        devstats.dispatch(X, R, qm, q0, b15)
+        devstats.dispatch(base, tsel, q0, b15, tab, qmt)
         with jax.enable_x64(True):
             res = band_search(
-                put(jnp.asarray(X)), put(jnp.asarray(R)),
-                put(jnp.asarray(np.ascontiguousarray(qm))),
-                jnp.asarray(q0), jnp.asarray(b15), jnp.float32(lam),
+                dflat, mdflat, jnp.asarray(base), jnp.asarray(tsel),
+                jnp.asarray(tab), jnp.asarray(qmt), jnp.asarray(q0),
+                jnp.asarray(b15), jnp.float32(lam),
                 nn, int(nn + 64),
                 k1_cdf=k1_cdf, split_cdf=split_cdf,
                 is_keyframe=bool(is_keyframe))
         pending.append((bk["segs"], res))
-    for segs, res in pending:
-        noref, qg, itheta, ts, k, y, skip_diff, valid = \
-            [devstats.fetch(r) for r in res]
-        for grp, band, start, m_grp in segs:
-            sl = slice(start, start + m_grp)
-            grp["bands"][band] = dict(
-                noref=noref[sl].astype(np.int32),
-                qg=qg[sl].astype(np.int32),
-                itheta=itheta[sl].astype(np.int32),
-                ts=ts[sl].astype(np.int32),
-                k=k[sl].astype(np.int32),
-                y=np.ascontiguousarray(y[sl], np.int32),
-                skip_diff=skip_diff[sl].astype(np.float64),
-                valid=valid[sl].astype(np.int32))
-    return table
+
+    def _finish():
+        devstats.prefetch(*[r for _, res in pending for r in res])
+        for segs, res in pending:
+            ints, y, skip_diff = [devstats.fetch(r) for r in res]
+            y = y.astype(np.int32)
+            skip_diff = skip_diff.astype(np.float64)
+            for grp, band, start, m_grp in segs:
+                sl = slice(start, start + m_grp)
+                grp["bands"][band] = dict(
+                    noref=ints[sl, 0], qg=ints[sl, 1],
+                    itheta=ints[sl, 2], ts=ints[sl, 3], k=ints[sl, 4],
+                    y=y[sl], skip_diff=skip_diff[sl],
+                    valid=ints[sl, 5])
+        return table
+    if defer:
+        return _finish
+    return _finish()
 
 
 def search_inter_luma(st, quantizer, d_plane, md_plane, lam,

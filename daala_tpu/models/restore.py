@@ -22,6 +22,7 @@ from __future__ import annotations
 import functools
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from daala_tpu.ops.dering import (DIRECTION_OFFSETS, OD_FILT_BORDER,
@@ -293,41 +294,45 @@ def dering_candidates_device(luma_i16, bskip0, quantizer, nvdr, nhdr,
                            sbx * 64:sbx * 64 + 64 + 2 * B]
             xorig[i] = luma_i16[sby * 64:(sby + 1) * 64,
                                 sbx * 64:(sbx + 1) * 64]
-    import jax
     from daala_tpu.utils import devstats
-    devstats.dispatch(xorig)
-    dirs_j, var_j = jax.vmap(
-        lambda x: compute_dirs_var(x, coeff_shift))(jnp.asarray(xorig))
-    dirs = devstats.fetch(dirs_j)
-    var = devstats.fetch(var_j)
-    v1 = np.minimum(32767, var >> 6)
-    bits = np.zeros_like(v1)
-    for p in range(15):
-        bits += (v1 >= (1 << p)).astype(np.int32)
-    tt = np.asarray(_THRESH_TABLE_Q8, np.int64)
     skipb = _skip_blocks_luma(bskip0, nvdr, nhdr) \
         .reshape(nvdr, 8, nhdr, 8).transpose(0, 2, 1, 3) \
         .reshape(nvdr * nhdr, 8, 8)
+    # Per-gain base thresholds (the only float math; 5 host ints).
     base_threshold = float(quantizer) ** 0.84182
-    gains = [0.5, 0.707, 1, 1.41, 2]
-    threshs = []
-    for g in gains:
-        t0 = int(g * base_threshold)
-        th = ((t0 * tt[bits] + 128) >> 8).astype(np.int32)
-        th = np.where(v1 < 0, 0, th)
-        th = np.where(skipb != 0, 0, th)
-        threshs.append(th)
-    thresh = np.stack(threshs, 1)  # (NSB, 5, 8, 8)
-    import functools
+    # t0 * tt[bits] <= ~3900 * 256: comfortably int32.
+    t0s = np.array([int(g * base_threshold)
+                    for g in (0.5, 0.707, 1, 1.41, 2)], np.int32)
+    devstats.dispatch(inb, xorig, skipb, t0s)
+    cands, dirs_j = _dering_cands_fused(
+        jnp.asarray(inb), jnp.asarray(xorig), jnp.asarray(skipb),
+        jnp.asarray(t0s), coeff_shift)
+    devstats.prefetch(cands, dirs_j)
+    return devstats.fetch(cands), devstats.fetch(dirs_j, np.int32)
 
-    @functools.partial(jax.jit)
-    def run(inb_j, xorig_j, dirs_j2, thresh_j):
-        def per_sb(ib, xo, dd, tt5):
-            return jax.vmap(
-                lambda t: dering_filter(ib, xo, dd, t, 3))(tt5)
-        return jax.vmap(per_sb)(inb_j, xorig_j, dirs_j2, thresh_j)
 
-    devstats.dispatch(inb, xorig, dirs, thresh)
-    cands = run(jnp.asarray(inb), jnp.asarray(xorig),
-                jnp.asarray(dirs, np.int32), jnp.asarray(thresh))
-    return devstats.fetch(cands), dirs.astype(np.int32)
+@functools.partial(jax.jit, static_argnames=("coeff_shift",))
+def _dering_cands_fused(inb, xorig, skipb, t0s, coeff_shift):
+    """Direction search + per-block thresholds + all 5 gain-level
+    filters as ONE device program: the host threshold math of the
+    two-dispatch version (direction fetch, threshold compute, filter
+    dispatch) moves on device, so the dering RDO costs one round trip
+    and the superblock windows upload once."""
+    dirs, var = jax.vmap(
+        lambda x: compute_dirs_var(x, coeff_shift))(xorig)
+    v1 = jnp.minimum(32767, var >> 6)
+    bits = jnp.zeros_like(v1)
+    for p in range(15):
+        bits += (v1 >= (1 << p)).astype(v1.dtype)
+    tt = jnp.asarray(np.asarray(_THRESH_TABLE_Q8, np.int32))
+    tb = tt[bits]  # (NSB, 8, 8)
+    th = ((t0s[None, :, None, None] * tb[:, None]) + 128) >> 8
+    th = th.astype(jnp.int32)
+    th = jnp.where((v1 < 0)[:, None], 0, th)
+    th = jnp.where((skipb != 0)[:, None], 0, th)
+
+    def per_sb(ib, xo, dd, tt5):
+        return jax.vmap(
+            lambda t: dering_filter(ib, xo, dd, t, 3))(tt5)
+    cands = jax.vmap(per_sb)(inb, xorig, dirs.astype(jnp.int32), th)
+    return cands, dirs

@@ -84,3 +84,14 @@ def fetch(x, dtype=None):
     STATS["fetch_wall_s"] += time.perf_counter() - t0
     STATS["d2h_bytes"] += _nbytes(a)
     return a
+
+
+def prefetch(*arrays):
+    """Start device->host copies of several jax arrays so subsequent
+    fetch() calls overlap their transfers instead of serializing one
+    blocking round trip per array."""
+    for x in arrays:
+        try:
+            x.copy_to_host_async()
+        except Exception:
+            pass

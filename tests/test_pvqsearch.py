@@ -26,19 +26,28 @@ from daala_tpu.utils.metrics import psnr
 
 
 def _search(X, R, qm, q0, beta, lam, cw, is_keyframe=False):
+    """Drive band_search through its device-gather interface with a
+    trivial identity layout: row i's band lives at dflat[i*n : i*n+n]."""
     m, n = X.shape
+    base = (np.arange(m, dtype=np.int32) * n)
+    tab = np.arange(n, dtype=np.int32)[None, :]
+    qmt = np.asarray(qm, np.int32)[None, :]
     with jax.enable_x64(True):
-        res = PS.band_search(
-            jnp.asarray(X), jnp.asarray(R),
-            jnp.asarray(np.broadcast_to(
-                np.asarray(qm, np.int32)[None, :], (m, n))),
+        ints, y, sd = PS.band_search(
+            jnp.asarray(np.asarray(X, np.int32).ravel()),
+            jnp.asarray(np.asarray(R, np.int32).ravel()),
+            jnp.asarray(base), jnp.zeros((m,), jnp.int32),
+            jnp.asarray(tab), jnp.asarray(qmt),
             jnp.full((m,), q0, jnp.int32),
             jnp.full((m,), beta == P.BETA_1_5, jnp.bool_),
             jnp.float32(lam), n, n + 64,
             k1_cdf=jnp.asarray(cw.pvq_k1_cdf, jnp.int32),
             split_cdf=jnp.asarray(cw.pvq_split_cdf, jnp.int32),
             is_keyframe=is_keyframe)
-    return [np.asarray(r) for r in res]
+    ints = np.asarray(ints)
+    return [ints[:, 0], ints[:, 1], ints[:, 2], ints[:, 3], ints[:, 4],
+            np.asarray(y).astype(np.int32), np.asarray(sd),
+            ints[:, 5]]
 
 
 @pytest.mark.parametrize("n,beta", [(15, P.BETA_1), (8, P.BETA_1_5)])
