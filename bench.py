@@ -89,11 +89,14 @@ def bench_ours(frames, device=False, sweep=False):
                   trial_prune_rate_gate=0.5)
     enc.keyframe_rate = 256
     if device:
-        # TPU front-ends: BMA SAD fields (models/mefield.py), RDO +
-        # final transform pyramids (models/keyframe.py) — decisions and
-        # packets identical to the host path — plus the whole-frame
-        # PVQ band RDO (models/pvqsearch.py, BD-rate-neutral).
-        enc.use_device_analysis = True
+        # LEAN TPU search offload: BMA SAD fields (models/mefield.py,
+        # exact lookups) + the whole-frame PVQ band RDO
+        # (models/pvqsearch.py, BD-rate-neutral) searched against
+        # device-resident transforms; only compact decision tables come
+        # back (~2-8 MB/frame vs the 25-84 MB/frame the full
+        # plane-fetching tier moved — measured with devstats, see
+        # README).  The byte-identical full-analysis tier stays the
+        # conformance path (use_device_analysis).
         enc.use_device_pvq = True
     if sweep:
         # TPU MV refinement (Jacobi color sweeps, models/mesweep.py);

@@ -1603,7 +1603,8 @@ class Encoder:
             lam_sad = max(16, (self.target_quantizer * 11) >> 7)
             lam_sad = int(lam_sad * getattr(self, "lam_sad_scale", 1))
             fp_fields = None
-            if getattr(self, "use_device_analysis", False):
+            if (getattr(self, "use_device_analysis", False)
+                    or getattr(self, "use_device_pvq", False)):
                 # Device full-pel SAD fields (models/mefield.py): the
                 # BMA window costs batch on the TPU; the host search
                 # consumes them as exact lookups, decisions unchanged.
@@ -1745,7 +1746,23 @@ class Encoder:
         self._device_d = None
         self._device_md = None
         self._device_pvq_tab = None
-        if device_on:
+        # Two device tiers (measured split: tools/profile_device.py /
+        # devstats):
+        #   use_device_analysis — the byte-identical backend: the
+        #     host entropy stage consumes the fetched device transform
+        #     planes (12-25 MB/frame d2h at 1080p).
+        #   use_device_pvq — the LEAN search offload: the transforms
+        #     run on device only to stay RESIDENT as inputs to the PVQ
+        #     band RDO; nothing but the compact decision table comes
+        #     back (~2-8 MB/frame) and the native engine computes its
+        #     own transforms (~0.05 s/frame).  This is the production
+        #     device configuration: the fetched planes only ever
+        #     replaced host work that is cheaper than their transfer
+        #     on any link.
+        device_search = (getattr(self, "use_device_pvq", False)
+                         and not use_haar_wavelet
+                         and st.quantizer != 0)
+        if device_on or device_search:
             from daala_tpu.models import keyframe as KF
             dev_d = dev_md = None
             if is_keyframe:
@@ -1769,9 +1786,7 @@ class Encoder:
             # entropy pass's planes stream back (BD-rate-neutral;
             # reference search: src/pvq_encoder.c:333).
             finish_pvq = None
-            if (not use_haar_wavelet
-                    and getattr(self, "use_device_pvq", False)
-                    and st.quantizer != 0):
+            if device_search:
                 from daala_tpu.models import pvqsearch as PS
                 finish_pvq = PS.search_frame(
                     st, info, st.quantizer, dev_d, dev_md,
@@ -1779,10 +1794,11 @@ class Encoder:
                     use_masking=bool(self.use_activity_masking),
                     device_put_fn=getattr(self, "device_put_fn", None),
                     defer=True)
-            if is_keyframe:
-                self._device_d = fetch_np()
-            else:
-                self._device_d, self._device_md = fetch_np()
+            if device_on:
+                if is_keyframe:
+                    self._device_d = fetch_np()
+                else:
+                    self._device_d, self._device_md = fetch_np()
             if finish_pvq is not None:
                 self._device_pvq_tab = finish_pvq()
         ctmp = self._encode_coefficients(padded_in, self_img, is_keyframe,

@@ -355,8 +355,8 @@ def _pulse_search(xc, k, g2, lam, n, iters, lane_ok=None):
                 * (delta_rate[:, None] + jidx[None, :]
                    * accel_rate[:, None]))
 
-    def body(_, state):
-        yp, xy, yy, i = state
+    def body(state):
+        t, yp, xy, yy, i = state
         active = i < kf
         phase2 = i >= (kf - rdo_pulses.astype(jnp.float32))
         txy = xy[:, None] + x
@@ -378,10 +378,18 @@ def _pulse_search(xc, k, g2, lam, n, iters, lane_ok=None):
         xy = xy + jnp.where(active, xadd, 0.0)
         yy = yy + jnp.where(active, 2.0 * yold + 1.0, 0.0)
         i = i + one
-        return yp, xy, yy, i
+        return t + 1, yp, xy, yy, i
 
-    yp, xy, yy, i = jax.lax.fori_loop(
-        0, iters, body, (yp0, xy0, yy0, i0))
+    # Trip count: the fixed `iters` bound (rows needing more fall back
+    # to the host search, exactly as before) clamped to what the batch
+    # actually needs — after the floor-projection init the typical
+    # remaining pulse count is k - i0 <= ~4, so the while_loop runs a
+    # handful of steps instead of n + 64 every time.
+    need = jnp.ceil(jnp.max(kf - i0)).astype(jnp.int32)
+    trip = jnp.minimum(jnp.int32(iters), jnp.maximum(need, 0))
+    _, yp, xy, yy, i = jax.lax.while_loop(
+        lambda s: s[0] < trip, body,
+        (jnp.int32(0), yp0, xy0, yy0, i0))
     ok = i >= kf
     cos_dist = xy / (1e-100 + jnp.sqrt(xx * yy))
     cos_dist = jnp.where(k == 0, 0.0, cos_dist)
@@ -1103,14 +1111,18 @@ def search_frame(st, info, quantizer, d_planes, md_planes, lam,
         rows = tab_rows[nn]
         tab = np.stack([r[0] for r in rows])
         qmt = np.stack([r[1] for r in rows])
-        # Pad the table count to a power of two and the row count to a
-        # factor-4 ladder: at 1080p each (band length, frame type)
-        # settles into one ladder class, so the program set is a
-        # handful per frame type and stable across frames — no compile
-        # churn as the split map shifts.  Padded rows carry a large
-        # negative base: every gather lands out of bounds and fills 0
-        # (k = 0, never read back).
-        tpad = 1
+        # Fixed program set, no compile churn: the gather-table count
+        # pads to >=16 (every (stride, bs, band, qm-offset) combo a
+        # 4:4:4 frame can produce fits) and the row count is CHUNKED at
+        # a fixed 8192 — rows beyond one chunk ride extra dispatches of
+        # the SAME compiled program, so at production scale exactly one
+        # program per (band length, frame type) ever compiles (4 band
+        # lengths x 2 frame types).  Small frames (tests, dryruns) pad
+        # to a short power-of-4 ladder instead of paying an 8192-row
+        # program.  Padded rows carry a large negative base: every
+        # gather lands out of bounds and fills 0 (k = 0, never read
+        # back).
+        tpad = 16
         while tpad < tab.shape[0]:
             tpad <<= 1
         if tpad != tab.shape[0]:
@@ -1118,11 +1130,13 @@ def search_frame(st, info, quantizer, d_planes, md_planes, lam,
             tab = np.pad(tab, pad)
             qmt = np.pad(qmt, pad, constant_values=1)
         mreal = base.shape[0]
+        CHUNK = 8192
         mpad = 64
-        while mpad < mreal:
+        while mpad < min(mreal, CHUNK):
             mpad <<= 2
-        if mpad != mreal:
-            padn = mpad - mreal
+        nchunks = (mreal + mpad - 1) // mpad
+        padn = nchunks * mpad - mreal
+        if padn:
             base = np.pad(base, (0, padn),
                           constant_values=np.int32(-(1 << 30)))
             tsel = np.pad(tsel, (0, padn))
@@ -1130,23 +1144,33 @@ def search_frame(st, info, quantizer, d_planes, md_planes, lam,
             b15 = np.pad(b15, (0, padn))
         # The fixed-point gain math needs 64-bit integer intermediates
         # (sums of int16 squares); enable x64 for this trace only.
-        devstats.dispatch(base, tsel, q0, b15, tab, qmt)
-        with jax.enable_x64(True):
-            res = band_search(
-                dflat, mdflat, jnp.asarray(base), jnp.asarray(tsel),
-                jnp.asarray(tab), jnp.asarray(qmt), jnp.asarray(q0),
-                jnp.asarray(b15), jnp.float32(lam),
-                nn, int(nn + 64),
-                k1_cdf=k1_cdf, split_cdf=split_cdf,
-                is_keyframe=bool(is_keyframe))
-        pending.append((bk["segs"], res))
+        tab_j = jnp.asarray(tab)
+        qmt_j = jnp.asarray(qmt)
+        chunks = []
+        for ci in range(nchunks):
+            sl = slice(ci * mpad, (ci + 1) * mpad)
+            devstats.dispatch(base[sl], tsel[sl], q0[sl], b15[sl],
+                              tab if ci == 0 else None,
+                              qmt if ci == 0 else None)
+            with jax.enable_x64(True):
+                chunks.append(band_search(
+                    dflat, mdflat, jnp.asarray(base[sl]),
+                    jnp.asarray(tsel[sl]), tab_j, qmt_j,
+                    jnp.asarray(q0[sl]), jnp.asarray(b15[sl]),
+                    jnp.float32(lam), nn, int(nn + 64),
+                    k1_cdf=k1_cdf, split_cdf=split_cdf,
+                    is_keyframe=bool(is_keyframe)))
+        pending.append((bk["segs"], chunks))
 
     def _finish():
-        devstats.prefetch(*[r for _, res in pending for r in res])
-        for segs, res in pending:
-            ints, y, skip_diff = [devstats.fetch(r) for r in res]
-            y = y.astype(np.int32)
-            skip_diff = skip_diff.astype(np.float64)
+        devstats.prefetch(*[r for _, chunks in pending
+                            for res in chunks for r in res])
+        for segs, chunks in pending:
+            parts = [[devstats.fetch(r) for r in res] for res in chunks]
+            ints = np.concatenate([p[0] for p in parts])
+            y = np.concatenate([p[1] for p in parts]).astype(np.int32)
+            skip_diff = np.concatenate([p[2] for p in parts]) \
+                .astype(np.float64)
             for grp, band, start, m_grp in segs:
                 sl = slice(start, start + m_grp)
                 grp["bands"][band] = dict(
