@@ -206,6 +206,21 @@ class Encoder:
         if complexity >= 8:
             self.mv_max_level = 4
             self.mv_decimate = 5
+        elif complexity >= 7:
+            # Default tier: selective-thorough pipeline (decimate=6,
+            # me_enc.inc subdivide_sel) — the thorough pipeline's
+            # subdivide-all/refine/decimate/refine shape, but forced
+            # fine-level (3-4) subdivision only where the coarse mesh
+            # leaves concentrated residual (>= mv_sel_gate/16 x the
+            # frame-mean 8x8-cell SAD); cold windows keep the coarse
+            # mesh.  Measured on the synthetic corpus vs the greedy
+            # level-3 default it replaces (tools/rd_compare.py):
+            # natural +10.37% -> +0.28%, smooth -9.3% -> -6.3%,
+            # texture +0.5%, mixed +0.9% BD-rate at ~1.2-1.3x encode
+            # time; the full thorough tier (c>=8) stays at ~2.2x.
+            self.mv_max_level = 4
+            self.mv_decimate = 6
+            self.mv_sel_gate = 16
         else:
             self.mv_max_level = 3 if complexity >= 6 else 2
             self.mv_decimate = 0
@@ -1199,6 +1214,12 @@ class Encoder:
             return it
         if self.complexity >= 9:
             return 8
+        if getattr(self, "mv_decimate", 0) == 6:
+            # Selective-thorough default tier: the refine pass runs
+            # twice (pre- and post-decimation), so 2 iterations each
+            # converge like the greedy tier's single 4-pass run
+            # (natural-class sweeps: 4+4 buys 0.3% bits at +28% time).
+            return 2
         if self.complexity >= 5:
             return 4
         return 2
@@ -1635,7 +1656,9 @@ class Encoder:
                                  fp_fields=fp_fields,
                                  telescope=getattr(self, "mv_telescope",
                                                    0),
-                                 use_satd=getattr(self, "mv_satd", 0)))
+                                 use_satd=getattr(self, "mv_satd", 0),
+                                 sel_gate_q4=getattr(self, "mv_sel_gate",
+                                                     0)))
             if use_native_me and sweep:
                 mvest.refine_sweep(
                     self.mv_grid, search_luma, refs, info, lam_mv,

@@ -389,7 +389,7 @@ def estimate_all_native(grid, cur_luma, refs, info, search_range, lam,
                         adapt, vis, complexity, lam_sad, frame_type,
                         max_level=2, iters=2, mesh_search_range=8,
                         decimate=0, min_level=0, fp_fields=None,
-                        telescope=0, use_satd=0):
+                        telescope=0, use_satd=0, sel_gate_q4=0):
     """One native call covering estimate_multi + refine_mesh +
     refine_mvs (daala_tpu/native/me_enc.inc me_estimate), with decisions
     identical to the Python pipeline.  Returns True when the native
@@ -407,7 +407,10 @@ def estimate_all_native(grid, cur_luma, refs, info, search_range, lam,
     cur = np.ascontiguousarray(cur_luma, np.uint8)
     planes4 = _ref_slot_planes(refs, info)
     gout = np.zeros(4, np.int32)
-    cfg = np.zeros(44, np.int64)
+    cfg = np.zeros(46, np.int64)
+    # Selective-thorough subdivision gate (decimate=6), Q4 multiple of
+    # the frame-mean cell SAD; 0 = native default (24 = 1.5x mean).
+    cfg[44] = sel_gate_q4
     # Last frame's global vectors seed the whole-frame search's
     # early-abort limit (decision-neutral: the native search returns
     # the exact lexicographic (SAD, raster-index) minimum either way).

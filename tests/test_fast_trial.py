@@ -85,6 +85,11 @@ def _encode_clip(frames, w, h, quant, fast, boost=1.0):
     enc = Encoder(info, quant=quant, complexity=7,
                   trial_rate_approx=fast, trial_prune_boost=boost)
     enc.keyframe_rate = 8
+    # Pin the greedy ME tier: this suite isolates the fast-vs-exact
+    # TRIAL pass; the selective-thorough mesh default adds unrelated
+    # RD jitter on micro-clips this small.
+    enc.mv_decimate = 0
+    enc.mv_max_level = 3
     pkts = list(enc.flush_headers())
     for fr in frames:
         pkts += enc.encode_frame(fr)

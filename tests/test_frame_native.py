@@ -162,6 +162,11 @@ def test_native_me_matches_python():
         enc = Encoder(info, quant=15, complexity=7)
         enc.keyframe_rate = 8
         enc.use_native_me = native_me
+        # Pin the greedy pipeline: the Python engine implements only
+        # the greedy mesh (the decimate=5/6 thorough tiers are
+        # native-only, non-normative speed/quality presets).
+        enc.mv_decimate = 0
+        enc.mv_max_level = 3
         out = []
         for fr in frames:
             out += enc.encode_frame(fr)
@@ -220,6 +225,8 @@ def test_native_me_min_level_matches_python():
             enc = Encoder(info, quant=15, complexity=7)
             enc.keyframe_rate = 8
             enc.use_native_me = native_me
+            enc.mv_decimate = 0  # greedy pipeline: see parity test above
+            enc.mv_max_level = 3
             enc.mv_level_min = lmin
             out = [p for fr in frames for p in enc.encode_frame(fr)]
             out += enc.flush()

@@ -49,7 +49,8 @@ def make_class(kind, w, h, n, seed=1):
 
 
 def run_ours(frames, w, h, q, complexity, mv_max_level=None,
-             mv_iters=None, lam_sad_scale=None, mv_decimate=0):
+             mv_iters=None, lam_sad_scale=None, mv_decimate=0,
+             mv_sel_gate=0):
     from daala_tpu.codec import headers as H
     from daala_tpu.codec.encoder import Encoder
     from daala_tpu.codec.decoder import Decoder
@@ -63,6 +64,8 @@ def run_ours(frames, w, h, q, complexity, mv_max_level=None,
         enc.lam_sad_scale = lam_sad_scale
     if mv_decimate:
         enc.mv_decimate = mv_decimate
+    if mv_sel_gate:
+        enc.mv_sel_gate = mv_sel_gate
     enc.keyframe_rate = 256
     pkts = list(enc.flush_headers())
     nb = 0
@@ -119,6 +122,7 @@ def main():
     ap.add_argument("--mv-iters", type=int, default=None)
     ap.add_argument("--lam-sad-scale", type=float, default=None)
     ap.add_argument("--mv-decimate", type=int, default=0)
+    ap.add_argument("--mv-sel-gate", type=int, default=0)
     args = ap.parse_args()
     w, h = map(int, args.size.split("x"))
     from daala_tpu.utils.metrics import bd_rate
@@ -128,7 +132,8 @@ def main():
         for q in args.quants:
             nb_o, out_o = run_ours(frames, w, h, q, args.complexity,
                                    args.mv_max_level, args.mv_iters,
-                                   args.lam_sad_scale, args.mv_decimate)
+                                   args.lam_sad_scale, args.mv_decimate,
+                                   args.mv_sel_gate)
             nb_r, out_r = run_ref(frames, w, h, q, args.complexity)
             r_our.append(nb_o)
             d_our.append(mean_psnr(frames, out_o))
