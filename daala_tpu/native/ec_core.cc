@@ -38,6 +38,7 @@ static inline double now_s() {
 #if defined(__AVX2__)
 # include <immintrin.h>
 #endif
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -2383,20 +2384,60 @@ static const int DIR_OFF[8][3][2] = {
 
 static void dir_find8(const int16_t* x, int stride, int coeff_shift,
                       int* best_dir_out, int* var_out) {
-  int64_t partial[8][15];
-  memset(partial, 0, sizeof(partial));
+  // Row-vectorized accumulation of the 8 directional line sums
+  // (reference od_dir_find8, src/dering.c:61-125; SIMD shape follows
+  // the row-shift structure of the reference's own SSE4.1 port,
+  // src/x86/sse2dering.c).  Partial sums of <= 8 pixels fit int32
+  // comfortably; addition order is irrelevant, so the values are
+  // bit-identical to the scalar double loop.
+  typedef int32_t dv8 __attribute__((vector_size(32)));
+  typedef int32_t dv4 __attribute__((vector_size(16)));
+  int32_t p0[16] = {0}, p1[16] = {0}, p3[16] = {0}, p4[16] = {0},
+          p5[16] = {0}, p7[16] = {0};
+  int32_t p2[8], p6v[8];
+  dv8 acc6 = (dv8){};
+  auto addv8 = [](int32_t* dst, dv8 v) {
+    dv8 t;
+    memcpy(&t, dst, sizeof(t));
+    t += v;
+    memcpy(dst, &t, sizeof(t));
+  };
+  auto addv4 = [](int32_t* dst, dv4 v) {
+    dv4 t;
+    memcpy(&t, dst, sizeof(t));
+    t += v;
+    memcpy(dst, &t, sizeof(t));
+  };
   for (int i = 0; i < 8; i++) {
-    for (int j = 0; j < 8; j++) {
-      int64_t v = x[i * stride + j] >> coeff_shift;
-      partial[0][i + j] += v;
-      partial[1][i + j / 2] += v;
-      partial[2][i] += v;
-      partial[3][3 + i - j / 2] += v;
-      partial[4][7 + i - j] += v;
-      partial[5][3 - i / 2 + j] += v;
-      partial[6][j] += v;
-      partial[7][i / 2 + j] += v;
-    }
+    const int16_t* row = x + (size_t)i * stride;
+    dv8 v = {row[0], row[1], row[2], row[3],
+             row[4], row[5], row[6], row[7]};
+    v >>= coeff_shift;
+    dv8 vr = __builtin_shufflevector(v, v, 7, 6, 5, 4, 3, 2, 1, 0);
+    dv4 pair = {v[0] + v[1], v[2] + v[3], v[4] + v[5], v[6] + v[7]};
+    dv4 pairr = __builtin_shufflevector(pair, pair, 3, 2, 1, 0);
+    addv8(p0 + i, v);             // partial[0][i + j]
+    addv4(p1 + i, pair);          // partial[1][i + j/2]
+    p2[i] = v[0] + v[1] + v[2] + v[3] + v[4] + v[5] + v[6] + v[7];
+    addv4(p3 + i, pairr);         // partial[3][3 + i - j/2] = [i..i+3] rev
+    addv8(p4 + i, vr);            // partial[4][7 + i - j] = [i..i+7] rev
+    addv8(p5 + (3 - i / 2), v);   // partial[5][3 - i/2 + j]
+    acc6 += v;                    // partial[6][j]
+    addv8(p7 + (i / 2), v);       // partial[7][i/2 + j]
+  }
+  memcpy(p6v, &acc6, sizeof(p6v));
+  int64_t partial[8][15];
+  for (int i = 0; i < 15; i++) {
+    partial[0][i] = p0[i];
+    partial[1][i] = p1[i];
+    partial[3][i] = p3[i];
+    partial[4][i] = p4[i];
+    partial[5][i] = p5[i];
+    partial[7][i] = p7[i];
+  }
+  for (int i = 0; i < 8; i++) {
+    partial[2][i] = p2[i];
+    partial[6][i] = p6v[i];
   }
   int32_t cost[8];
   memset(cost, 0, sizeof(cost));

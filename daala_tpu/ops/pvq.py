@@ -447,12 +447,23 @@ QM_STRIDE = (((1 << 2 * OD_NBSIZES) - 1) << 4) // 3
 QM_BUFFER_SIZE = 2 * QM_STRIDE
 
 
+_INIT_QM_CACHE: dict = {}
+
+
 def init_qm(qm_q4: np.ndarray):
     """Build magnitude-compensated QM and inverse in coding order
     (reference: src/pvq.c:322-380).  qm_q4: flat 8x8 base matrix (64,).
 
-    Returns (qm, qm_inv) int16 arrays of length QM_BUFFER_SIZE."""
+    Returns (qm, qm_inv) int16 arrays of length QM_BUFFER_SIZE.
+    Vectorized + memoized on the base matrix: the interpolated QMs
+    repeat across keyframes, and the scalar build cost ~30 ms per
+    keyframe in both codecs at 1080p."""
     from daala_tpu.ops import partition
+    qarr = np.asarray(qm_q4, np.int64).reshape(-1)
+    key = qarr.tobytes()
+    hit = _INIT_QM_CACHE.get(key)
+    if hit is not None:
+        return hit[0].copy(), hit[1].copy()
     x = np.zeros(QM_BUFFER_SIZE, np.int16)
     x_inv = np.zeros(QM_BUFFER_SIZE, np.int16)
     mags = {0: [T.BASIS_MAG4, T.BASIS_MAG8, T.BASIS_MAG16, T.BASIS_MAG32,
@@ -462,27 +473,21 @@ def init_qm(qm_q4: np.ndarray):
                 T.BASIS_MAG64_CHROMA_420]}
     for bs in range(OD_NBSIZES):
         n = 4 << bs
+        idx = (np.arange(n) << 1) >> bs
         for xydec in range(2):
             off = qm_offset(bs, xydec)
-            y = np.zeros((n, n), np.int64)
-            y_inv = np.zeros((n, n), np.int64)
-            basis = mags[xydec][bs]
-            for i in range(n):
-                for j in range(n):
-                    if i == 0 and j == 0:
-                        mag = OD_QM_SCALE
-                    else:
-                        mag = int(np.floor(
-                            0.5 + OD_QM_SCALE * basis[i] * basis[j]))
-                        qmv = int(qm_q4[(i << 1 >> bs) * 8 +
-                                        (j << 1 >> bs)])
-                        mag *= 16
-                        mag = (mag + (qmv >> 1)) // qmv
-                    y[i, j] = min(OD_QM_SCALE_MAX, mag)
-                    ytmp = y[i, j]
-                    y_inv[i, j] = (OD_QM_SCALE * OD_QM_INV_SCALE
-                                   + (ytmp >> 1)) // ytmp
+            basis = np.asarray(mags[xydec][bs], np.float64)
+            # ((SCALE * basis[i]) * basis[j]) preserves the scalar
+            # loop's left-associated float rounding.
+            mag = np.floor(0.5 + (OD_QM_SCALE * basis)[:, None]
+                           * basis[None, :]).astype(np.int64)
+            qmv = qarr[(idx[:, None] * 8 + idx[None, :])]
+            y = (mag * 16 + (qmv >> 1)) // qmv
+            y[0, 0] = OD_QM_SCALE
+            np.minimum(y, OD_QM_SCALE_MAX, out=y)
+            y_inv = (OD_QM_SCALE * OD_QM_INV_SCALE + (y >> 1)) // y
             co = partition.coding_order_indices(n)
             x[off:off + len(co)] = y.reshape(-1)[co]
             x_inv[off:off + len(co)] = y_inv.reshape(-1)[co]
-    return x, x_inv
+    _INIT_QM_CACHE[key] = (x, x_inv)
+    return x.copy(), x_inv.copy()
