@@ -97,15 +97,18 @@ def fullpel_sad_fields(cur, refs_padded, pad, vis, nvmvbs, nhmvbs, r=16,
     vis_h, vis_w = vis
     nvb = nvmvbs // 8 + 1
     nhb = nhmvbs // 8 + 1
-    cur_vis = np.asarray(cur[:vis_h, :vis_w], np.int32)
+    # Ship the planes in their native 8-bit MC-view dtype and upcast on
+    # device (the kernel immediately widens to int16): uploading int32
+    # copies of two 1080p planes was 17 MB/frame of the lean tier's
+    # 22 MB h2d total (measured with DAALA_DEVSTATS_SITES).
+    cur_vis = np.ascontiguousarray(cur[:vis_h, :vis_w])
     if device_put_fn is not None:
         cur_vis = device_put_fn(cur_vis, 0)
     from daala_tpu.utils import devstats
     pending = []
     for rp in refs_padded:
-        win = np.asarray(
-            rp[pad - r:pad + vis_h + r, pad - r:pad + vis_w + r],
-            np.int32)
+        win = np.ascontiguousarray(
+            rp[pad - r:pad + vis_h + r, pad - r:pad + vis_w + r])
         if device_put_fn is not None:
             win = device_put_fn(win, 0)
         devstats.dispatch(cur_vis, win)

@@ -23,6 +23,26 @@ _ZERO = dict(dispatches=0, h2d_bytes=0, d2h_bytes=0,
              fetch_wall_s=0.0, compiles=0, compile_s=0.0)
 STATS = dict(_ZERO)
 
+# Optional per-call-site attribution (site -> [dispatches, h2d, d2h,
+# fetch_wall_s]), enabled with DAALA_DEVSTATS_SITES=1 — answers "which
+# upload/fetch is the 20 MB" without a profiler.
+import os as _os
+SITES: dict = {}
+_TRACK_SITES = _os.environ.get("DAALA_DEVSTATS_SITES", "0") == "1"
+
+
+def _site_add(**kw):
+    if not _TRACK_SITES:
+        return
+    import sys
+    f = sys._getframe(2)
+    site = "%s:%d" % (_os.path.basename(f.f_code.co_filename),
+                      f.f_lineno)
+    s = SITES.setdefault(site, dict(dispatches=0, h2d=0, d2h=0,
+                                    fetch_s=0.0))
+    for k, v in kw.items():
+        s[k] += v
+
 _listener_installed = False
 
 
@@ -72,17 +92,22 @@ def dispatch(*inputs):
     """Record one device dispatch and the host->device bytes of its
     numpy inputs (jax arrays already on device count zero)."""
     STATS["dispatches"] += 1
+    nb = 0
     for x in inputs:
         if isinstance(x, np.ndarray):
-            STATS["h2d_bytes"] += _nbytes(x)
+            nb += _nbytes(x)
+    STATS["h2d_bytes"] += nb
+    _site_add(dispatches=1, h2d=nb)
 
 
 def fetch(x, dtype=None):
     """np.asarray(x) with device->host byte and wall-time accounting."""
     t0 = time.perf_counter()
     a = np.asarray(x) if dtype is None else np.asarray(x, dtype)
-    STATS["fetch_wall_s"] += time.perf_counter() - t0
+    dt = time.perf_counter() - t0
+    STATS["fetch_wall_s"] += dt
     STATS["d2h_bytes"] += _nbytes(a)
+    _site_add(d2h=_nbytes(a), fetch_s=dt)
     return a
 
 
