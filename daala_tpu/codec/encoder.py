@@ -221,6 +221,17 @@ class Encoder:
             self.mv_max_level = 4
             self.mv_decimate = 6
             self.mv_sel_gate = 16
+            # Recoverability bypass: frames whose level-0 (BMA) mesh
+            # already predicts within mv_sel_disp/256 of the per-block
+            # BMA SAD floor skip the thorough machinery entirely and
+            # run the greedy level-3 pipeline — the thorough passes can
+            # only recover the OBMC blending gap over that floor, which
+            # is negligible under global motion / noise and large at
+            # occlusion and parallax boundaries.  Measured at 1080p:
+            # the translation clip returns to greedy speed (was 1.67x)
+            # while the natural-statistics BD fix is preserved (see
+            # tools/rd_compare.py sweeps in the commit log).
+            self.mv_sel_disp = 16
         else:
             self.mv_max_level = 3 if complexity >= 6 else 2
             self.mv_decimate = 0
@@ -1658,6 +1669,8 @@ class Encoder:
                                                    0),
                                  use_satd=getattr(self, "mv_satd", 0),
                                  sel_gate_q4=getattr(self, "mv_sel_gate",
+                                                     0),
+                                 sel_disp_q8=getattr(self, "mv_sel_disp",
                                                      0)))
             if use_native_me and sweep:
                 mvest.refine_sweep(

@@ -389,7 +389,8 @@ def estimate_all_native(grid, cur_luma, refs, info, search_range, lam,
                         adapt, vis, complexity, lam_sad, frame_type,
                         max_level=2, iters=2, mesh_search_range=8,
                         decimate=0, min_level=0, fp_fields=None,
-                        telescope=0, use_satd=0, sel_gate_q4=0):
+                        telescope=0, use_satd=0, sel_gate_q4=0,
+                        sel_disp_q8=0):
     """One native call covering estimate_multi + refine_mesh +
     refine_mvs (daala_tpu/native/me_enc.inc me_estimate), with decisions
     identical to the Python pipeline.  Returns True when the native
@@ -411,6 +412,10 @@ def estimate_all_native(grid, cur_luma, refs, info, search_range, lam,
     # Selective-thorough subdivision gate (decimate=6), Q4 multiple of
     # the frame-mean cell SAD; 0 = native default (24 = 1.5x mean).
     cfg[44] = sel_gate_q4
+    # Recoverability bypass gate (decimate=6): greedy fallback when
+    # the mesh SAD gap over the BMA per-block floor is <=
+    # sel_disp_q8/256 of the floor; 0 = native default (16 = 6.25%).
+    cfg[45] = sel_disp_q8
     # Last frame's global vectors seed the whole-frame search's
     # early-abort limit (decision-neutral: the native search returns
     # the exact lexicographic (SAD, raster-index) minimum either way).

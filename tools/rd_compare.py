@@ -50,7 +50,7 @@ def make_class(kind, w, h, n, seed=1):
 
 def run_ours(frames, w, h, q, complexity, mv_max_level=None,
              mv_iters=None, lam_sad_scale=None, mv_decimate=0,
-             mv_sel_gate=0):
+             mv_sel_gate=0, mv_sel_disp=0):
     from daala_tpu.codec import headers as H
     from daala_tpu.codec.encoder import Encoder
     from daala_tpu.codec.decoder import Decoder
@@ -66,6 +66,8 @@ def run_ours(frames, w, h, q, complexity, mv_max_level=None,
         enc.mv_decimate = mv_decimate
     if mv_sel_gate:
         enc.mv_sel_gate = mv_sel_gate
+    if mv_sel_disp:
+        enc.mv_sel_disp = mv_sel_disp
     enc.keyframe_rate = 256
     pkts = list(enc.flush_headers())
     nb = 0
@@ -123,6 +125,7 @@ def main():
     ap.add_argument("--lam-sad-scale", type=float, default=None)
     ap.add_argument("--mv-decimate", type=int, default=0)
     ap.add_argument("--mv-sel-gate", type=int, default=0)
+    ap.add_argument("--mv-sel-disp", type=int, default=0)
     args = ap.parse_args()
     w, h = map(int, args.size.split("x"))
     from daala_tpu.utils.metrics import bd_rate
@@ -133,7 +136,7 @@ def main():
             nb_o, out_o = run_ours(frames, w, h, q, args.complexity,
                                    args.mv_max_level, args.mv_iters,
                                    args.lam_sad_scale, args.mv_decimate,
-                                   args.mv_sel_gate)
+                                   args.mv_sel_gate, args.mv_sel_disp)
             nb_r, out_r = run_ref(frames, w, h, q, args.complexity)
             r_our.append(nb_o)
             d_our.append(mean_psnr(frames, out_o))
