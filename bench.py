@@ -146,13 +146,19 @@ def probe_device_mode():
     # only pays the compiles once, in the first probe ever run here).
     for name in ("host", "device", "device+sweep"):
         budget = 240 if name == "host" else 900
-        if name == "device+sweep" and not isinstance(
-                results.get("device"), dict):
-            # The sweep config is a superset of the device config's
-            # chip usage: if plain device already failed or timed out,
-            # don't spend another budget discovering the same thing.
-            results[name] = "skipped (device failed)"
-            continue
+        if name == "device+sweep":
+            # The sweep config is a strict superset of the device
+            # config's chip usage: if plain device failed, timed out,
+            # or already lost to the host, don't spend another budget
+            # discovering the same thing.
+            d = results.get("device")
+            if not isinstance(d, dict):
+                results[name] = "skipped (device failed)"
+                continue
+            h = results.get("host")
+            if isinstance(h, dict) and d["mpix_s"] < h["mpix_s"]:
+                results[name] = "skipped (device < host)"
+                continue
         try:
             r = subprocess.run(
                 [sys.executable, os.path.abspath(__file__),
